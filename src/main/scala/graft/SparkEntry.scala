@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators._
+
+/** Driver contract: every implemented operator from SURVEY.md §2 (plus the
+  * LLM-pipeline extensions) surfaces here as a `queries` entry, with
+  * equivalent DuckDB SQL in `oracleSql` where the operator is
+  * SQL-expressible.
+  *
+  * Determinism rules used throughout (so the DuckDB hash-compare is exact):
+  *  - money aggregates are summed as DECIMAL(18,4) (exact integer
+  *    arithmetic — identical at any partition count and in any engine),
+  *    banker's-rounded (`bround` ↔ `roundbankers`), then cast to double;
+  *  - ratio columns are single IEEE divisions of integer counts;
+  *  - window/order keys avoid raw nanosecond timestamps (epoch millis);
+  *  - every query ends in a total-order `ORDER BY`.
+  *
+  * The reference-parity path (pandas float64 + banker's rounding on xlsx
+  * batches) lives in [[graft.Pipeline]] and is exercised by the golden
+  * ScalaTest suite instead — see Relational.scala's scaladoc.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** The testdata star schema re-shaped to the reference's logical tables
+    * (SURVEY.md §7.1): lineitem⋈orders ≈ Transactions, part ≈ Products,
+    * customer ≈ Customers. Amount is DECIMAL(18,4) for exact aggregation.
+    */
+  private def refShape(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey").as("customer_id"))
+    val txns = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("customer_id"),
+        col("l_partkey").as("product_code"),
+        col("l_extendedprice").as("amount_raw"),
+        col("l_extendedprice").cast("decimal(18,4)").as("amount"))
+    val products = t(s, dir, "part").select(
+      col("p_partkey").as("product_code"), col("p_name").as("product_name"),
+      col("p_brand").as("category"), col("p_retailprice").as("unit_price"))
+    val customers = t(s, dir, "customer").select(
+      col("c_custkey").as("customer_id"), col("c_name").as("name"))
+    (txns, products, customers)
+  }
+
+  /** J1 (broadcast) + J2 — see [[Relational.enrich]]. */
+  private def merged(s: SparkSession, dir: String): DataFrame = {
+    val (txns, products, customers) = refShape(s, dir)
+    Relational.enrich(txns, products, customers)
+  }
+
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  private def events(s: SparkSession, dir: String) = t(s, dir, "events")
+  private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
+
+  /** Packed `{id_name_email_dob_address_created}` lines synthesized from
+    * the customer table (with deliberately malformed rows), fed to the P2-P9
+    * parser — both sides of the oracle build the identical input.
+    */
+  private def packedCustomerLines(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val core = concat(
+      col("c_custkey").cast("string"), lit("_"), col("c_name"), lit("_"),
+      lower(col("c_mktsegment")), lit("@example.com_"),
+      col("c_nationkey").cast("string"), lit("_"),
+      col("c_mktsegment"), lit(" St "), col("c_nationkey").cast("string"),
+      lit("_"), (col("c_custkey") * 7).cast("string"))
+    c.select(
+      when(col("c_custkey") % 89 === 0,
+        concat(lit("{bad_"), col("c_custkey").cast("string"), lit("_record}")))
+      .when(col("c_custkey") % 97 === 0, concat(lit("{"), core))
+      .otherwise(concat(lit("{"), core, lit("}"))).as("line"))
+  }
+
+  /** Flagship query (SURVEY.md §7.1) on sf0.001; driver smoke-checks rows>0:
+    * scan → broadcast join → m:m join → exact sum → bround → dense rank →
+    * sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("flagship_rank")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Flagship relational chain (J1,J2,P12,A1,A2,A3,F8,W1,F10,O1) ----
+
+    "merged_detail" -> ((s, dir) =>
+      merged(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("customer_id"), col("name"), col("product_code"),
+          col("product_name"), col("category"),
+          col("amount_raw").as("amount"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "category_totals" -> ((s, dir) =>
+      Relational.categoryTotals(merged(s, dir))
+        .select(col("customer_id"), col("name"), col("category"),
+          col("amount").cast("double").as("amount"))
+        .orderBy("customer_id", "name", "category")),
+
+    "flagship_rank" -> ((s, dir) =>
+      Relational.summaryRanked(Relational.categoryTotals(merged(s, dir)))
+        .select(col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"), col("rank"))
+        .orderBy("rank", "customer_id")),
+
+    "top_spenders" -> ((s, dir) =>
+      Relational.topSpenders(Relational.categoryTotals(merged(s, dir)))
+        .select(col("category"), col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"))
+        .orderBy("category")),
+
+    "nested_details" -> ((s, dir) =>   // A4 — nested output: rows-only check
+      Relational.nestDetails(
+          Relational.categoryTotals(merged(s, dir))
+            .withColumn("amount", col("amount").cast("double")))
+        .orderBy("customer_id")),
+
+    // ---- Customer packed-record parser (P1-P9, F1-F6) -------------------
+
+    "parse_customers" -> ((s, dir) =>
+      Relational.parseCustomers(packedCustomerLines(s, dir), "line")
+        .orderBy(col("customer_id").cast("long"))),
+
+    // ---- CDC / event-time operators (J3 core, W2, streaming analogs) ----
+
+    "cdc_lag" -> ((s, dir) =>
+      EventOps.changeCapture(events(s, dir)).orderBy("user_id", "event_id")),
+
+    "event_windows" -> ((s, dir) =>
+      EventOps.tumblingCounts(events(s, dir))
+        .orderBy("window_start_ms", "event_type")),
+
+    "sessionize" -> ((s, dir) =>
+      EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
+
+    // ---- Dedup family ---------------------------------------------------
+
+    "exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir)).orderBy("fingerprint")),
+
+    "prefix_dedup" -> ((s, dir) =>
+      Dedup.prefixDedup(docs(s, dir)).orderBy("fingerprint")),
+
+    "minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
+
+    "neardup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
+      Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // ---- Similarity search ----------------------------------------------
+
+    "ann_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L)),
+
+    "ann_topk_lsh" -> ((s, dir) =>    // approximate path: rows-only check
+      Similarity.lshTopK(emb(s, dir), queryId = 0L)),
+
+    "embedding_neardup_lsh" -> ((s, dir) =>  // rows-only check
+      Similarity.lshNearDupPairs(emb(s, dir), threshold = 0.9)
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- Text analysis --------------------------------------------------
+
+    "token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(docs(s, dir))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("avg_token_len"), col("stopword_ratio"), col("distinct_ratio"))
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir))
+        .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
+          col("de_hits").cast("long").as("de_hits"),
+          col("fr_hits").cast("long").as("fr_hits"),
+          col("es_hits").cast("long").as("es_hits"), col("pred_lang"))
+        .orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(TextOps.tokenStats(docs(s, dir)))
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy("doc_id"))
+  )
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+  // Omitted for: nested_details (nested list output), simhash_pairs
+  // (xxhash64 is not portable), ann_topk_lsh / embedding_neardup_lsh
+  // (approximate paths — verified against the exact operators in ScalaTest
+  // instead). Those get the driver's rows-only check.
+
+  private val mergedSql =
+    """FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+
+  private val ctSql =
+    s"""SELECT o.o_custkey AS customer_id, c.c_name AS name,
+       |  p.p_brand AS category,
+       |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS amount
+       |$mergedSql
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  private val shinglesSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tokens
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3
+      |    THEN list_transform(range(1, len(tokens) - 1),
+      |      i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+      |    ELSE [] END) AS shingles
+      |  FROM t)""".stripMargin
+
+  private val enList = "('the','a','of','and','to','in','is','it')"
+  private val deList = "('der','die','das','und','ist','mit','ein','zu')"
+  private val frList = "('le','la','les','et','est','une','dans','que')"
+  private val esList = "('el','los','las','y','es','una','en','por')"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "merged_detail" ->
+      s"""SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS customer_id,
+         |  c.c_name AS name, p.p_partkey AS product_code,
+         |  p.p_name AS product_name, p.p_brand AS category,
+         |  l.l_extendedprice AS amount
+         |$mergedSql
+         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "category_totals" ->
+      s"""WITH ct AS ($ctSql)
+         |SELECT customer_id, name, category, CAST(amount AS DOUBLE) AS amount
+         |FROM ct ORDER BY customer_id, name, category""".stripMargin,
+
+    "flagship_rank" ->
+      s"""WITH ct AS ($ctSql),
+         |s AS (SELECT customer_id, name, roundbankers(SUM(amount), 2) AS amt
+         |      FROM ct GROUP BY 1, 2)
+         |SELECT customer_id, name, CAST(amt AS DOUBLE) AS amount,
+         |  CAST(DENSE_RANK() OVER (ORDER BY amt DESC) AS INT) AS "rank"
+         |FROM s ORDER BY "rank", customer_id""".stripMargin,
+
+    "top_spenders" ->
+      s"""WITH ct AS ($ctSql),
+         |r AS (SELECT category, customer_id, name, amount,
+         |  ROW_NUMBER() OVER (PARTITION BY category
+         |    ORDER BY amount DESC, customer_id ASC, name ASC) AS rn FROM ct)
+         |SELECT category, customer_id, name,
+         |  CAST(roundbankers(amount, 2) AS DOUBLE) AS amount
+         |FROM r WHERE rn = 1 ORDER BY category""".stripMargin,
+
+    "parse_customers" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_custkey || '_' || c_name || '_' ||
+        |    lower(c_mktsegment) || '@example.com_' || c_nationkey || '_' ||
+        |    c_mktsegment || ' St ' || c_nationkey || '_' ||
+        |    (c_custkey * 7) AS core
+        |  FROM customer),
+        |r AS (
+        |  SELECT CASE
+        |    WHEN c_custkey % 89 = 0 THEN '{bad_' || c_custkey || '_record}'
+        |    WHEN c_custkey % 97 = 0 THEN '{' || core
+        |    ELSE '{' || core || '}' END AS line
+        |  FROM b),
+        |f AS (SELECT trim(line) AS l FROM r
+        |      WHERE trim(line) LIKE '{%' AND trim(line) LIKE '%}'),
+        |c AS (SELECT substr(l, 2, length(l) - 2) AS content FROM f),
+        |p AS (SELECT string_split(content, '_') AS parts FROM c
+        |      WHERE len(string_split(content, '_')) = 6)
+        |SELECT parts[1] AS customer_id, parts[2] AS name, parts[3] AS email,
+        |  parts[4] AS dob, parts[5] AS address, parts[6] AS created_date
+        |FROM p ORDER BY CAST(customer_id AS BIGINT)""".stripMargin,
+
+    "cdc_lag" ->
+      """SELECT user_id, event_id, old_value, new_value FROM (
+        |  SELECT user_id, event_id,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS old_value,
+        |    value AS new_value
+        |  FROM events)
+        |WHERE old_value IS NOT NULL AND old_value <> new_value
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "event_windows" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT user_id, event_id, ms, lag(ms) OVER (
+        |  PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, ms, CASE WHEN prev IS NULL
+        |  OR ms - prev > 1800000 THEN 1 ELSE 0 END AS flag FROM l),
+        |s AS (SELECT user_id, ms, event_id, CAST(SUM(flag) OVER (
+        |  PARTITION BY user_id ORDER BY ms, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS session_id FROM f)
+        |SELECT user_id, session_id, MIN(ms) AS session_start_ms,
+        |  MAX(ms) AS session_end_ms, COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "prefix_dedup" ->
+      """SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
+        |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "minhash_signatures" ->
+      s"""$shinglesSql
+         |SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> md5('0:' || s))) AS sig_0,
+         |  list_min(list_transform(shingles, s -> md5('1:' || s))) AS sig_1,
+         |  list_min(list_transform(shingles, s -> md5('2:' || s))) AS sig_2,
+         |  list_min(list_transform(shingles, s -> md5('3:' || s))) AS sig_3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "neardup_pairs" ->
+      s"""$shinglesSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    list_min(list_transform(shingles, s -> md5('0:' || s))) AS sig
+         |  FROM sh
+         |  UNION ALL SELECT doc_id, 1,
+         |    list_min(list_transform(shingles, s -> md5('1:' || s))) FROM sh
+         |  UNION ALL SELECT doc_id, 2,
+         |    list_min(list_transform(shingles, s -> md5('2:' || s))) FROM sh
+         |  UNION ALL SELECT doc_id, 3,
+         |    list_min(list_transform(shingles, s -> md5('3:' || s))) FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+         |  FROM shing x JOIN shing y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.da AS doc_a, c.db AS doc_b,
+         |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |    (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+         |FROM cand c
+         |JOIN sizes sa ON c.da = sa.doc_id
+         |JOIN sizes sb ON c.db = sb.doc_id
+         |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+         |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |  (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |  AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, label,
+        |  round(list_inner_product(v, qv) /
+        |    sqrt(list_inner_product(v, v) * list_inner_product(qv, qv)), 6)
+        |    AS sim
+        |FROM c, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+         |    AS avg_token_len,
+         |  CAST(len(list_filter(toks, x -> x IN $enList)) AS DOUBLE) /
+         |    len(toks) AS stopword_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |    AS distinct_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x IN $enList)) AS BIGINT)
+         |    AS en_hits,
+         |  CAST(len(list_filter(toks, x -> x IN $deList)) AS BIGINT)
+         |    AS de_hits,
+         |  CAST(len(list_filter(toks, x -> x IN $frList)) AS BIGINT)
+         |    AS fr_hits,
+         |  CAST(len(list_filter(toks, x -> x IN $esList)) AS BIGINT)
+         |    AS es_hits
+         |  FROM t)
+         |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+         |    THEN 'unknown'
+         |  WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+         |    THEN 'en'
+         |  WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+         |    THEN 'de'
+         |  WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+         |    THEN 'fr'
+         |  ELSE 'es' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  len(list_filter(toks, x -> x IN $enList)) AS hits FROM t)
+         |SELECT doc_id,
+         |  (CASE WHEN n_tokens >= 20 THEN 1.0
+         |        ELSE n_tokens / 20.0 END) * 0.4 +
+         |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
+         |  (CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.02
+         |        THEN 1.0 ELSE 0.0 END) * 0.2 AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin
+  )
 }

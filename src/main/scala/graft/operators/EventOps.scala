@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators: the set-based CDC core (W2/J3 of SURVEY.md §2),
+  * event-time tumbling windows, and gap-based sessionization. All are
+  * batch-expressible; [[graft.streaming.StreamingPipeline]] runs the same
+  * windowed aggregation incrementally with a watermark.
+  *
+  * Ordering keys are epoch *milliseconds* (`unix_millis`), not raw
+  * timestamps: the source parquet stores nanosecond timestamps, and
+  * millisecond keys make window ordering identical across engines that
+  * keep different sub-microsecond precision.
+  */
+object EventOps {
+
+  /** Event time in epoch millis, tolerant of how the nanosecond source
+    * column was read: `spark.sql.legacy.parquet.nanosAsLong=true` yields a
+    * LongType of nanos (Spark has no nanosecond TimestampType), otherwise
+    * a TimestampType.
+    */
+  private def eventMs(df: DataFrame, tsCol: String = "ts"):
+      org.apache.spark.sql.Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"$tsCol div 1000000")
+      case _ => unix_millis(col(tsCol))
+    }
+
+  /** Event time as a (microsecond) TimestampType column for `window()`. */
+  private def eventTs(df: DataFrame, tsCol: String = "ts"):
+      org.apache.spark.sql.Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$tsCol div 1000"))
+      case _ => col(tsCol)
+    }
+
+  /** W2 (SURVEY.md §2.5): per-key value-change capture — the set-based form
+    * of the reference's per-row CDC loop (/root/reference/app.py:110-116).
+    * Emits one row per observed change of `valueCol` within each
+    * `keyCol` partition, ordered by event time.
+    *
+    * Scale: one shuffle on `keyCol`; the window sort is per-key, not
+    * global.
+    */
+  def changeCapture(events: DataFrame, keyCol: String = "user_id",
+                    valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(eventMs(events), col("event_id"))
+    events
+      .withColumn("old_value", lag(col(valueCol), 1).over(w))
+      .where(col("old_value").isNotNull && col("old_value") =!= col(valueCol))
+      .select(col(keyCol), col("event_id"), col("old_value"),
+              col(valueCol).as("new_value"))
+  }
+
+  /** Tumbling event-time windows via `window()` — the same plan Structured
+    * Streaming uses; aggregates are exact-DECIMAL summed then rounded
+    * (deterministic at any partition count).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(eventTs(events), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           cast2dp(sum(col("value").cast("decimal(18,4)"))).as("total_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+              col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization (30-min default): classic lag → new-session
+    * flag → running sum = session index → per-session aggregate. Two
+    * shuffles total (both on `user_id`), no global sort.
+    */
+  def sessionize(events: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), eventMs(events).as("ms"))
+      .withColumn("_new", when(col("ms") - lag(col("ms"), 1).over(byTime) > gapMs
+                               || lag(col("ms"), 1).over(byTime).isNull, 1)
+                          .otherwise(0))
+      .withColumn("session_id", sum(col("_new")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ms").as("session_start_ms"), max("ms").as("session_end_ms"),
+           count(lit(1)).as("n_events"))
+  }
+
+  private def cast2dp(c: org.apache.spark.sql.Column) =
+    round(c, 2).cast("double")
+}

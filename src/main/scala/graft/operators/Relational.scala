@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference pipeline's relational surface (SURVEY.md §2.2-2.6),
+  * re-expressed as pure `DataFrame => DataFrame` operators built only from
+  * Catalyst column expressions — everything stays inside whole-stage
+  * codegen; no UDFs, no RDDs, no driver-side loops.
+  *
+  * Two numeric modes coexist deliberately:
+  *  - reference parity (this file): `DoubleType` + `bround` (pandas float64
+  *    + banker's rounding, /root/reference/app.py:133,140,146,150);
+  *  - oracle determinism ([[graft.SparkEntry]]): exact DECIMAL sums, so
+  *    results are bit-stable across partition counts and engines.
+  */
+object Relational {
+
+  /** Customer packed-record parser, P1-P9 + F1-F6
+    * (/root/reference/app.py:93-107).
+    *
+    * `{id_name_email_dob_address_created}` → 6 string columns. Malformed
+    * lines (no braces, wrong arity) are dropped — the reference's
+    * try/except + predicate semantics (app.py:95-104). The `"|"`
+    * join+resplit identity (app.py:101-102) is preserved: a field
+    * containing `|` shifts columns exactly as the reference would.
+    *
+    * @param lineCol column holding the raw packed line
+    * @param passthrough columns to carry along (e.g. a row index for CDC
+    *                    ordering — see [[graft.state.StateStore]])
+    */
+  def parseCustomers(raw: DataFrame, lineCol: String,
+                     passthrough: Seq[String] = Nil): DataFrame = {
+    val line = trim(col(lineCol).cast(StringType))             // P2/F1
+    val kept = raw
+      .withColumn("_line", line)
+      .where(col("_line").startsWith("{") &&
+             col("_line").endsWith("}"))                       // P3/F2
+      .withColumn("_content",
+        expr("substring(_line, 2, length(_line) - 2)"))        // P4/F3
+      .withColumn("_parts", split(col("_content"), "_", 6))    // P5/F4
+      .where(size(col("_parts")) === 6)                        // P6
+      // P7 (app.py:101-102): "|".join(parts).split("|") — identity unless a
+      // field contains "|", in which case columns shift (kept faithfully).
+      .withColumn("_parts", split(concat_ws("|", col("_parts")), "\\|"))
+    val fields = Seq("customer_id", "name", "email", "dob",
+                     "address", "created_date")                // P9, lowercase
+    kept.select(passthrough.map(col) ++
+      fields.zipWithIndex.map { case (f, i) =>
+        col("_parts").getItem(i).as(f) }: _*)
+  }
+
+  /** Header promotion + lowercase, P10-P11 (app.py:126-129): row with the
+    * minimum `idxCol` becomes the column names; remaining rows are data.
+    * The single-row `head()` is the only driver-side step (same work the
+    * reference does; the data itself never leaves executors).
+    */
+  def promoteHeader(df: DataFrame, idxCol: String = "_row_idx"): DataFrame = {
+    val dataCols = df.columns.filter(_ != idxCol)
+    val hdr = df.orderBy(col(idxCol)).select(dataCols.map(col): _*).head()
+    val names = dataCols.indices.map { i =>
+      Option(hdr.get(i)).map(_.toString.toLowerCase).getOrElse(s"_c$i")
+    }
+    val minIdx = df.agg(min(col(idxCol))).head().getLong(0)
+    df.where(col(idxCol) =!= minIdx)
+      .select(dataCols.zip(names).map { case (c, n) => col(c).as(n) } :+
+              col(idxCol): _*)
+  }
+
+  /** J1 + J2 (app.py:131-132): transactions ⋈ products (m:1 — the dim is
+    * tiny, so it is broadcast: no shuffle of the fact table), then
+    * ⋈ customers *without deduplication* — duplicate customer ids fan out
+    * matching transactions (m:m), which is load-bearing reference behavior
+    * (SURVEY.md §7.4.2): totals of duplicated customers are inflated.
+    */
+  def enrich(transactions: DataFrame, products: DataFrame,
+             customers: DataFrame): DataFrame =
+    transactions
+      .join(broadcast(products), Seq("product_code"), "inner")   // J1
+      .join(customers, Seq("customer_id"), "inner")              // J2 (m:m)
+
+  /** P12/F7 (app.py:133): null-coercing numeric cast — unparseable amounts
+    * become null and are ignored by `sum`, exactly like
+    * `pd.to_numeric(errors='coerce')`.
+    */
+  def castAmount(df: DataFrame, c: String = "amount"): DataFrame =
+    df.withColumn(c, col(c).cast(DoubleType))
+
+  /** A1 (app.py:136): per-(customer, name, category) total. */
+  def categoryTotals(merged: DataFrame): DataFrame =
+    merged.groupBy("customer_id", "name", "category")
+      .agg(sum("amount").as("amount"))
+
+  /** A2 + F8 + W1 + F10 + O1 (app.py:139-142): customer totals, banker's
+    * rounding to 2dp, global dense rank (desc) on the *rounded* value, sort
+    * by rank.
+    *
+    * Scale note: the rank window is unpartitioned — a single-task sort.
+    * That is safe here because its input is already one row per customer
+    * (post-aggregation), but at 100 TB swap in
+    * [[Relational.twoPhaseDenseRank]] (same signature, range-partitioned).
+    */
+  def summaryRanked(categoryTotals: DataFrame): DataFrame =
+    categoryTotals.groupBy("customer_id", "name")
+      .agg(bround(sum("amount"), 2).as("amount"))
+      .withColumn("rank",
+        dense_rank().over(Window.orderBy(desc("amount"))).cast(IntegerType))
+      .orderBy("rank", "customer_id")
+
+  /** Scale-path replacement for the unpartitioned W1 window: dense rank via
+    * an aggregate over *distinct* rounded amounts (tiny relation) joined
+    * back — no single-task global sort over the full input.
+    *
+    * dense_rank(v) = count(distinct amounts > v) + 1, computed by ranking
+    * only the distinct values (≤ #distinct totals rows, trivially
+    * parallel) and broadcasting the result.
+    */
+  def twoPhaseDenseRank(totals: DataFrame, valueCol: String = "amount",
+                        rankCol: String = "rank"): DataFrame = {
+    val distinctVals = totals.select(valueCol).distinct()
+      .withColumn(rankCol,
+        dense_rank().over(Window.orderBy(desc(valueCol))).cast(IntegerType))
+    totals.join(broadcast(distinctVals), Seq(valueCol))
+  }
+
+  /** A3 (app.py:145-146): top spender per category. The reference's
+    * `idxmax` takes the first row in A1's group-key-sorted order on ties,
+    * so the tiebreak is (customer_id, name) ascending — made explicit here
+    * with `row_number` (SURVEY.md §7.4.4; `max_by` would be
+    * nondeterministic).
+    */
+  def topSpenders(categoryTotals: DataFrame): DataFrame = {
+    val w = Window.partitionBy("category")
+      .orderBy(desc("amount"), asc("customer_id"), asc("name"))
+    categoryTotals
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("amount", bround(col("amount"), 2))
+  }
+
+  /** A4 (app.py:149-151): per-customer nested category detail —
+    * `customer_id → list[{customer_id, name, category, amount}]`, amounts
+    * rounded, list ordered by category (pandas preserves A1's key-sorted
+    * order; `sort_array` pins the same order distributively).
+    */
+  def nestDetails(categoryTotals: DataFrame): DataFrame =
+    categoryTotals
+      .withColumn("amount", bround(col("amount"), 2))
+      .groupBy("customer_id")
+      .agg(sort_array(collect_list(struct(
+        col("category"), col("name"), col("amount")))).as("details"))
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search. Vectors are `array<float>` columns; all
+  * arithmetic happens in codegen'd higher-order functions (`zip_with` +
+  * `aggregate`) after an exact float→double upcast, so a per-row cosine is
+  * a sequential double fold — deterministic and engine-portable.
+  *
+  * Two search paths:
+  *  - [[topK]]: one-query-vs-all brute force — O(n) scan, embarrassingly
+  *    parallel, the correct plan even at 100 TB for single-query top-k
+  *    (broadcast the query, scan the corpus once).
+  *  - [[lshNearDupPairs]] / [[lshTopK]]: sign-random-projection LSH
+  *    bucketing for all-pairs / batch workloads where a full scan per
+  *    query no longer flies.
+  */
+object Similarity {
+
+  /** Exact float→double upcast of a vector column. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cosine = dot/sqrt(|a|²·|b|²) — written exactly this way so an oracle
+    * using `x/sqrt(inner(a,a)*inner(b,b))` reproduces it bit-for-bit.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Brute-force cosine top-k of the corpus against one query vector
+    * (`queryId` row). The 1-row query side is broadcast; the corpus is
+    * scanned once with no shuffle until the final top-k sort (k rows).
+    * Similarity is rounded to 6dp *before* ranking so the ordering itself
+    * is deterministic cross-engine.
+    */
+  def topK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val query = corpus.where(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    corpus.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+              bround(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component (plane i, dim j) in
+    * [-0.5, 0.5): integer mixing only — no RNG, identical on every engine
+    * and every run.
+    */
+  private def planeComponent(i: Int, j: Column): Column =
+    (pmod(lit(i.toLong * 2654435761L) + j * 40503L + (j * j) * 69069L,
+          lit(1048576L)).cast("double") / 1048576.0) - 0.5
+
+  /** Sign-random-projection bucket key: `planes` sign bits packed into a
+    * long. Vectors with high cosine land in the same bucket with
+    * probability (1 - θ/π)^planes.
+    */
+  def lshBucket(v: Column, planes: Int = 12): Column =
+    (0 until planes).map { i =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+                 (x, j) => x * planeComponent(i, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** All-pairs near-duplicate search over embeddings via LSH buckets:
+    * candidates = pairs sharing a bucket in at least one of `tables`
+    * independent hash tables (band join on compact keys — never a cross
+    * join), verified with exact cosine ≥ `threshold`.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+                      planes: Int = 12, tables: Int = 3): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val banded = vecs.select(col("vec_id"), col("v"), explode(array(
+      (0 until tables).map(t => struct(lit(t).as("tbl"),
+        lshBucket(col("v"), planes = planes + t).as("bucket"))): _*))
+      .as("b"))
+      .select(col("vec_id"), col("v"), col("b.tbl"), col("b.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .select(col("vec_a"), col("vec_b"),
+              bround(cosine(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Bucketed approximate top-k for one query: search only the query's LSH
+    * bucket (plus same-bucket rows across `tables` hash tables) instead of
+    * the full corpus — the scale path when the corpus is too large for a
+    * per-query full scan. Recall is tested against [[topK]] in
+    * SimilaritySpec.
+    */
+  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+              planes: Int = 8, tables: Int = 3): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val banded = vecs.select(col("vec_id"), col("label"), col("v"),
+      explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+        lshBucket(col("v"), planes = planes + t).as("bucket"))): _*)).as("b"))
+      .select(col("vec_id"), col("label"), col("v"),
+              col("b.tbl"), col("b.bucket"))
+    val qBuckets = banded.where(col("vec_id") === queryId)
+      .select(col("bucket").as("qbucket"), col("tbl").as("qtbl"),
+              col("v").as("qv"))
+    banded.where(col("vec_id") =!= queryId)
+      .join(broadcast(qBuckets),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("label"),
+              bround(cosine(col("v"), col("qv")), 6).as("sim"))
+      .distinct()
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+}

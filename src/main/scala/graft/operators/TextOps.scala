@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: tokenization
+  * stats, quality scoring, language-ID heuristic, document fingerprinting,
+  * and the shingle/MinHash machinery [[Dedup]] builds on.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split /
+  * higher-order functions / md5) — no UDFs, so the hot path stays inside
+  * whole-stage codegen and scales linearly with no shuffle until an
+  * explicit aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct), the unit of near-dup similarity.
+    * Documents shorter than `n` tokens yield an empty set.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(lower(text))
+    val count = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(1), count), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(size(toks) >= n, grams)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** One MinHash signature: min over shingles of a salted md5. md5 is used
+    * (rather than xxhash64) because its hex form is engine-portable — the
+    * DuckDB oracle computes the identical signature.
+    */
+  def minhash(shingleSet: Column, salt: Int): Column =
+    array_min(transform(shingleSet, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** Per-document token statistics + quality signals
+    * (length, distinct-token ratio, mean token length, stopword ratio).
+    * All ratios are single IEEE divisions of integer counts —
+    * bit-deterministic in any engine.
+    */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (length(regexp_replace(col(textCol), " ", "")).cast("double") /
+        size(toks)).as("avg_token_len"),
+      (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") /
+        size(toks)).as("stopword_ratio"),
+      (size(array_distinct(toks)).cast("double") / size(toks))
+        .as("distinct_ratio"))
+  }
+
+  /** Quality score in [0,1]: composite of length, diversity and stopword
+    * signals — a deterministic stand-in for model-based quality filters.
+    */
+  def qualityScore(stats: DataFrame): DataFrame =
+    stats.withColumn("quality_score",
+      (when(col("n_tokens") >= 20, lit(1.0)).otherwise(
+         col("n_tokens").cast("double") / 20) * lit(0.4) +
+       col("distinct_ratio") * lit(0.4) +
+       when(col("stopword_ratio") > 0.02, lit(1.0)).otherwise(lit(0.0)) *
+         lit(0.2)))
+
+  /** Language-ID heuristic: stopword-hit counts per language, argmax with a
+    * fixed priority order on ties. Pure integer comparisons — portable.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words: _*)))
+    val scored = docs.select(
+      col("doc_id"),
+      hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
+      hits(FrStopwords).as("fr_hits"), hits(EsStopwords).as("es_hits"))
+    val best = greatest(col("en_hits"), col("de_hits"), col("fr_hits"),
+                        col("es_hits"))
+    scored.withColumn("pred_lang",
+      when(best === 0, lit("unknown"))
+        .when(col("en_hits") === best, lit("en"))
+        .when(col("de_hits") === best, lit("de"))
+        .when(col("fr_hits") === best, lit("fr"))
+        .otherwise(lit("es")))
+  }
+
+  /** Content fingerprint (md5 of the normalized text) — the exact-dedup
+    * key. md5 keeps it portable to the oracle engine.
+    */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** 64-bit SimHash from token hashes, built entirely from higher-order
+    * functions: per-token xxhash64 → ±1 per bit → summed bit counts →
+    * sign bits reassembled into a long. No UDF, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, transform(bitIdx, i =>
+        when(call_function("shiftright", xxhash64(t), i)
+               .bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, bitIdx, (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  // Small per-language stopword lists for the heuristic. Deliberately tiny:
+  // the point is the (portable, codegen'd) mechanism, not lexicon coverage.
+  val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val DeStopwords = Seq("der", "die", "das", "und", "ist", "mit", "ein", "zu")
+  val FrStopwords = Seq("le", "la", "les", "et", "est", "une", "dans", "que")
+  val EsStopwords = Seq("el", "los", "las", "y", "es", "una", "en", "por")
+}

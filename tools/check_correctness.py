@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each SparkEntry
+query output under OUTDIR, run the oracle SQL from oracle_sql.json in
+DuckDB against the same parquet tables and compare (columns sorted by
+name, full row-order-sensitive value compare).
+
+Usage: check_correctness.py <sfDir> <outDir>
+"""
+import json, sys, math
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        fail += 1
+        continue
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        fail += 1
+        continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+        fail += 1
+        continue
+    bad = None
+    for c in got.columns:
+        gv, wv = got[c].tolist(), want[c].tolist()
+        for i, (g, w) in enumerate(zip(gv, wv)):
+            eq = (g == w) or (
+                isinstance(g, float) and isinstance(w, float)
+                and math.isnan(g) and math.isnan(w))
+            if not eq:
+                bad = (c, i, g, w)
+                break
+        if bad:
+            break
+    if bad:
+        c, i, g, w = bad
+        print(f"FAIL {name}: col={c} row={i}: got={g!r} want={w!r}")
+        fail += 1
+    else:
+        print(f"PASS {name} ({len(got)} rows)")
+print(f"\n{len(oracle) - fail}/{len(oracle)} passed")
+sys.exit(1 if fail else 0)
