@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Xlsx
+import graft.state.StateStore
+
+/** One micro-batch outcome (the reference's render/download payload,
+  * /root/reference/app.py:169-174).
+  */
+case class BatchResult(
+    uploadId: Long,
+    summary: DataFrame,      // category_totals_summary: rank table
+    topSpenders: DataFrame,  // one row per category
+    merged: DataFrame,       // 14-column joined detail
+    nested: DataFrame,       // per-customer category detail (A4)
+    nChanges: Long)          // address-change rows captured this batch
+
+/** The end-to-end micro-batch pipeline — the Spark-native equivalent of
+  * the reference's `upload_file` flow (/root/reference/app.py:58-182):
+  * xlsx ingest → sheet validation → upload metadata → customer parse →
+  * CDC + upsert → header promotion → joins → aggregates → ranked outputs
+  * → 3-sheet xlsx export.
+  *
+  * This is the reference-parity path: amounts are float64 with banker's
+  * rounding, duplicate customers inflate the m:m join, repeat uploads
+  * re-toggle addresses — all deliberately preserved (SURVEY.md §7.4).
+  * The GoldenPipelineSpec asserts the reference's golden values on its
+  * own sample workbook.
+  */
+class Pipeline(spark: SparkSession, stateDir: String, processedDir: String) {
+
+  val store = new StateStore(spark, stateDir)
+  Files.createDirectories(Paths.get(processedDir))
+
+  val RequiredSheets = Set("Transactions", "Customers", "Products")
+
+  /** S3: the reference accepts only .xlsx uploads (app.py:55-56). */
+  def allowedFile(filename: String): Boolean =
+    filename.toLowerCase.endsWith(".xlsx")
+
+  /** Run one workbook as a micro-batch against persistent state.
+    *
+    * @param timestamp one ISO timestamp per batch (app.py:78 — computed
+    *                  once, shared by all change rows; F9)
+    */
+  def runBatch(workbookPath: String,
+               timestamp: String = LocalDateTime.now().toString)
+      : BatchResult = {
+    val filename = Paths.get(workbookPath).getFileName.toString
+    require(allowedFile(filename), s"not an xlsx: $filename")
+
+    val sheets = Xlsx.readSheets(spark, workbookPath)
+    require(RequiredSheets.subsetOf(sheets.keySet),          // S2
+      "File must contain Transactions, Customers, and Products sheets.")
+
+    val txRaw = sheets("Transactions")
+    val custRaw = sheets("Customers")
+    val prodRaw = sheets("Products")
+
+    // A5 + S6: per-sheet data row counts (minus header), dense upload id.
+    val uploadId = store.recordUpload(filename, timestamp,
+      txRaw.count() - 1, custRaw.count() - 1, prodRaw.count() - 1)
+
+    // P1-P9: skip header row, parse packed records, keep file order.
+    val parsed = Relational.parseCustomers(
+      custRaw.where(col("_row_idx") > 0), "_c0", passthrough = Seq("_row_idx"))
+
+    // J3 + S7 + S8: CDC capture + last-wins upsert.
+    val nChanges = store.applyCustomerBatch(parsed, timestamp, uploadId)
+
+    // P10-P11: header promotion; the batch's own (possibly duplicated)
+    // customer view joins the analytics — not the deduped state table
+    // (app.py:132 uses the parsed frame; SURVEY.md §7.4.2).
+    val transactions = Relational.promoteHeader(txRaw)
+      .withColumnRenamed("_row_idx", "_tx_idx")
+    val products = Relational.promoteHeader(prodRaw).drop("_row_idx")
+    val customersBatch = parsed.withColumnRenamed("_row_idx", "_cust_idx")
+
+    // J1 + J2 + P12. Row order mirrors pandas merge output (left row
+    // order, then right occurrence order) via the carried indices.
+    val merged = Relational.castAmount(
+        Relational.enrich(transactions, products, customersBatch))
+      .orderBy("_tx_idx", "_cust_idx")
+      .select("transaction_id", "customer_id", "transaction_date",
+        "product_code", "amount", "payment_type", "product_name", "category",
+        "unit_price", "name", "email", "dob", "address", "created_date")
+
+    // A1 → A2/W1 + A3 + A4.
+    val categoryTotals = Relational.categoryTotals(merged)
+    val summary = Relational.summaryRanked(categoryTotals)
+    val top = Relational.topSpenders(categoryTotals)
+    val nested = Relational.nestDetails(categoryTotals)
+
+    // S12: 3-sheet export, rows ordered as rendered (SURVEY.md §7.4.5).
+    Xlsx.write(s"$processedDir/processed_$uploadId.xlsx", Seq(
+      "CategoryTotalsSummary" -> summary,
+      "TopSpenders" -> top.orderBy("category"),
+      "MergedData" -> merged))
+
+    BatchResult(uploadId, summary, top, merged, nested, nChanges)
+  }
+}

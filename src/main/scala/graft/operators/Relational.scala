@@ -83,10 +83,12 @@ object Relational {
 
   /** P12/F7 (app.py:133): null-coercing numeric cast — unparseable amounts
     * become null and are ignored by `sum`, exactly like
-    * `pd.to_numeric(errors='coerce')`.
+    * `pd.to_numeric(errors='coerce')`. `try_cast`, not `cast`: under
+    * Spark 4's default ANSI mode a plain cast would *fail* the batch on
+    * the first malformed value instead of coercing it.
     */
   def castAmount(df: DataFrame, c: String = "amount"): DataFrame =
-    df.withColumn(c, col(c).cast(DoubleType))
+    df.withColumn(c, expr(s"try_cast($c AS DOUBLE)"))
 
   /** A1 (app.py:136): per-(customer, name, category) total. */
   def categoryTotals(merged: DataFrame): DataFrame =

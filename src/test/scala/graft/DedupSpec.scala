@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps on the warm mat near the door in the hall"
+
+  private val docs = Seq(
+    (0L, base),
+    (1L, base),                                  // exact duplicate of 0
+    (2L, base.replace("warm", "cold")),          // near-duplicate of 0
+    (3L, "completely different text about query engines and columnar " +
+         "storage formats with vectorized execution and late binding"),
+    (4L, "another unrelated document mentioning streams watermarks " +
+         "sessionization and exactly once sinks for event pipelines"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length === 4)  // 5 docs, one exact pair
+    val dup = out.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("doc_id") === 0L)
+  }
+
+  test("nearDupPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) === 1.0)                  // exact → jaccard 1
+    assert(byPair.contains((0L, 2L)))                 // near-dup caught
+    assert(byPair((0L, 2L)) < 1.0 && byPair((0L, 2L)) > 0.5)
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))  // unrelated
+  }
+
+  test("simhashSignatures matches the column-expression simhash") {
+    val viaDf = Dedup.simhashSignatures(docs).orderBy("doc_id")
+      .collect().map(_.getAs[Long]("simhash")).toSeq
+    val viaCol = docs.select(graft.operators.TextOps.simhash(
+        org.apache.spark.sql.functions.col("text")).as("s"))
+      .orderBy(docs("doc_id")).collect().map(_.getAs[Long]("s")).toSeq
+    assert(viaDf === viaCol)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; near-dups close") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Long]("hamming")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) === 0L)
+    assert(!byPair.contains((0L, 3L)) && !byPair.contains((3L, 4L)))
+  }
+
+  test("minhashSignatures: identical docs share all bands") {
+    val sigs = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
+    val s0 = sigs(0).toSeq.drop(1)
+    val s1 = sigs(1).toSeq.drop(1)
+    assert(s0 === s1)
+    assert(s0.forall(_ != null))
+  }
+}

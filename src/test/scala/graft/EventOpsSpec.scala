@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  private val events = Seq(
+    // user 7: value changes 1.0 → 2.0 → 2.0 (no change) → 3.0
+    (1L, ts(0), 7L, "click", 1.0),
+    (2L, ts(1), 7L, "click", 2.0),
+    (3L, ts(2), 7L, "view", 2.0),
+    (4L, ts(90), 7L, "view", 3.0),    // also starts a new session (gap>30m)
+    // user 8: constant
+    (5L, ts(0), 8L, "click", 5.0),
+    (6L, ts(5), 8L, "click", 5.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("changeCapture emits one row per observed change, in order") {
+    val out = EventOps.changeCapture(events).orderBy("user_id", "event_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("old_value"),
+        r.getAs[Double]("new_value")))
+    assert(out.toSeq === Seq((7L, 2L, 1.0, 2.0), (7L, 4L, 2.0, 3.0)))
+  }
+
+  test("sessionize splits on the 30-minute gap") {
+    val out = EventOps.sessionize(events).orderBy("user_id", "session_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id"), r.getAs[Long]("n_events")))
+    assert(out.toSeq === Seq((7L, 1L, 3L), (7L, 2L, 1L), (8L, 1L, 2L)))
+  }
+
+  test("tumblingCounts aggregates per hour × event_type") {
+    val out = EventOps.tumblingCounts(events)
+      .orderBy("window_start_ms", "event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+                 r.getAs[Double]("total_value")))
+    // hour 1: clicks (1.0+2.0+5.0+5.0), views (2.0); hour 2: view (3.0)
+    assert(out.toSeq === Seq(("click", 4L, 13.0), ("view", 1L, 2.0),
+                             ("view", 1L, 3.0)))
+  }
+}

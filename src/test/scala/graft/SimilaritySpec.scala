@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),    // identical to query
+    (2L, Array(0.9f, 0.1f, 0.0f), 0),    // close
+    (3L, Array(0.0f, 1.0f, 0.0f), 1),    // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f), 1))   // opposite
+    .toDF("vec_id", "embedding", "label")
+
+  test("topK: exact cosine ordering against the query vector") {
+    val out = Similarity.topK(vecs, queryId = 0L, k = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out(0)._2 === 1.0)
+    assert(out(2)._2 === 0.0)
+    assert(out(3)._2 === -1.0)
+  }
+
+  test("lshNearDupPairs catches identical vectors, skips opposites") {
+    val pairs = Similarity.lshNearDupPairs(vecs, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 === 4L && p._1 === 0L))
+  }
+
+  test("lshTopK retrieves planted high-cosine neighbors from real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // Plant 5 slightly-perturbed copies of the query vector: cosine ≈ 1,
+    // which is the regime LSH bucketing is built for. (Unperturbed random
+    // 64-dim vectors have near-zero pairwise cosine — nothing to recall.)
+    val q = emb.where($"vec_id" === 0L).head()
+      .getSeq[Float](1).toArray
+    val planted = (1 to 5).map { i =>
+      val v = q.zipWithIndex.map { case (x, j) =>
+        x * (1.0f + 0.01f * ((i + j) % 3)) }
+      (10000L + i, v, 9)
+    }.toDF("vec_id", "embedding", "label")
+    val all = emb.unionByName(planted)
+
+    val exact = Similarity.topK(all, queryId = 0L, k = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(exact === (1 to 5).map(10000L + _).toSet) // sanity: they are top-5
+
+    val approx = Similarity.lshTopK(all, queryId = 0L, k = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low (got $approx)")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.StateStore
+
+class StateStoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newStore() =
+    new StateStore(spark, Files.createTempDirectory("graft_state").toString)
+
+  private def batch(rows: (String, String, Long)*) =
+    rows.map { case (id, addr, idx) =>
+      (id, s"name-$id", s"$id@x", "1990", addr, "100", idx) }
+      .toDF("customer_id", "name", "email", "dob", "address",
+            "created_date", "_row_idx")
+
+  test("upsert is last-writer-wins within a batch; CDC sees intra-batch mutations") {
+    val s = newStore()
+    // C1 appears twice with different addresses: 1 intra-batch change,
+    // final state = second address (mirrors the reference sample's
+    // duplicate-id behavior, app.py:110-123)
+    val n1 = s.applyCustomerBatch(
+      batch(("C1", "addr-A", 0), ("C2", "addr-X", 1), ("C1", "addr-B", 2)),
+      "t1", uploadId = 1)
+    assert(n1 === 1)
+    val state = s.customers.collect().map(r =>
+      r.getAs[String]("customer_id") -> r.getAs[String]("address")).toMap
+    assert(state === Map("C1" -> "addr-B", "C2" -> "addr-X"))
+
+    // replay the same batch: stored addr-B vs first occurrence addr-A →
+    // change; then A→B again → second change. 2 changes per replay.
+    val n2 = s.applyCustomerBatch(
+      batch(("C1", "addr-A", 0), ("C2", "addr-X", 1), ("C1", "addr-B", 2)),
+      "t2", uploadId = 2)
+    assert(n2 === 2)
+    assert(s.addressChanges.count() === 3)
+    // ids dense in file order
+    assert(s.addressChanges.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("old_address"),
+       r.getAs[String]("new_address"))).toSeq ===
+      Seq((1L, "addr-A", "addr-B"), (2L, "addr-B", "addr-A"),
+          (3L, "addr-A", "addr-B")))
+  }
+
+  test("no change rows for brand-new customers or unchanged addresses") {
+    val s = newStore()
+    assert(s.applyCustomerBatch(batch(("C1", "a", 0)), "t1", 1) === 0)
+    assert(s.applyCustomerBatch(batch(("C1", "a", 0)), "t2", 2) === 0)
+    assert(s.applyCustomerBatch(batch(("C1", "b", 0)), "t3", 3) === 1)
+  }
+
+  test("recordUpload: dense driver-side sequence, ordered audit scan") {
+    val s = newStore()
+    assert(s.recordUpload("f1.xlsx", "2026-01-01T00:00:00", 10, 2, 3) === 1L)
+    assert(s.recordUpload("f2.xlsx", "2026-01-02T00:00:00", 11, 2, 3) === 2L)
+    assert(s.recordUpload("f3.xlsx", "2026-01-03T00:00:00", 12, 2, 3) === 3L)
+    assert(s.uploadsOrdered.select("filename").collect()
+      .map(_.getString(0)).toSeq === Seq("f3.xlsx", "f2.xlsx", "f1.xlsx"))
+  }
+
+  test("upsert retains prior upload_id only for untouched customers") {
+    val s = newStore()
+    s.applyCustomerBatch(batch(("C1", "a", 0), ("C2", "b", 1)), "t1", 1)
+    s.applyCustomerBatch(batch(("C2", "b2", 0)), "t2", 2)
+    val byId = s.customers.collect().map(r =>
+      r.getAs[String]("customer_id") -> r.getAs[Long]("upload_id")).toMap
+    assert(byId === Map("C1" -> 1L, "C2" -> 2L))
+  }
+}
