@@ -188,7 +188,17 @@ object SparkEntry {
     "quality_score" -> ((s, dir) =>
       TextOps.qualityScore(TextOps.tokenStats(docs(s, dir)))
         .select(col("doc_id"), col("quality_score"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
+
+    "multimodal_features" -> ((s, dir) => {  // rows-only check
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.extractFeatures(Multimodal.synthesize(s, n))
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          col("byte_entropy"), col("histogram"))
+        .orderBy("asset_id")
+    })
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------

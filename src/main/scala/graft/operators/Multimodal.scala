@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/
+  * video payloads ride as opaque `binary` columns with typed metadata, and
+  * per-asset compute happens in *batch-shaped* per-partition functions —
+  * the Scala analog of Python's `mapInPandas` (an iterator of rows in,
+  * an iterator of rows out, one partition at a time, no driver collect).
+  *
+  * The actual codec work is STUBBED deterministically (this container has
+  * no image/audio libraries — the builder contract says make the
+  * schema / partitioning / batch shape real and fake the decode): a real
+  * deployment swaps [[decodePartition]]'s body for JNI/codec calls; every
+  * signature, schema and plan stays identical.
+  */
+object Multimodal {
+
+  val metaType: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", metaType)))
+
+  /** Deterministic synthetic assets (stand-in for a binary-file scan):
+    * payload bytes derive from the asset id, metadata from the synthetic
+    * "header". Distributed via `spark.range` — no driver-side data.
+    */
+  def synthesize(spark: SparkSession, n: Long,
+                 payloadBytes: Int = 4096): DataFrame = {
+    val mods = Seq("image", "audio", "video")
+    val enc = org.apache.spark.sql.Encoders.row(assetSchema)
+    spark.range(n).select(col("id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = new Array[Byte](payloadBytes)
+        var x = id * 6364136223846793005L + 1442695040888963407L
+        var i = 0
+        while (i < payloadBytes) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          bytes(i) = (x >>> 56).toByte
+          i += 1
+        }
+        val m = mods((id % 3).toInt)
+        Row(id, m, bytes,
+          Row(64 + (id % 64).toInt, 64 + (id % 48).toInt,
+              if (m == "audio") 16000 else 0,
+              if (m == "video") 16 + (id % 16).toInt else 1))
+      }
+    }(enc)
+  }
+
+  private val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("n_bytes", LongType),
+    StructField("byte_entropy", DoubleType),
+    StructField("histogram", ArrayType(LongType))))
+
+  /** Batch-shaped "decode + feature extract" over the binary payload: a
+    * 16-bin byte histogram and entropy per asset, computed per partition.
+    * In production the histogram/entropy block is replaced by the real
+    * decoder (pixel stats, mel energies, …) — same signature and schema.
+    */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    assets.select("asset_id", "modality", "bytes").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val mod = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xF0) >>> 4) += 1
+          i += 1
+        }
+        val n = bytes.length.toDouble
+        var ent = 0.0
+        hist.foreach { h =>
+          if (h > 0) { val p = h / n; ent -= p * math.log(p) / math.log(2) }
+        }
+        Row(id, mod, bytes.length.toLong, ent, hist.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video assets — pure Catalyst (posexplode over a
+    * stride sequence + binary substring), no per-row closures: the frame
+    * *selection* is relational work even when decode is not.
+    */
+  def sampleFrames(assets: DataFrame, stride: Int = 4,
+                   frameBytes: Int = 256): DataFrame =
+    assets
+      .where(col("modality") === "video")
+      .select(col("asset_id"), col("meta.n_frames").as("n_frames"),
+        posexplode(sequence(lit(0), col("meta.n_frames") - 1,
+          lit(stride))).as(Seq("pos", "frame_no")),
+        col("bytes"))
+      .select(col("asset_id"), col("frame_no"),
+        // 1-based binary substring; frames laid out contiguously
+        expr(s"substring(bytes, frame_no * $frameBytes + 1, $frameBytes)")
+          .as("frame_bytes"))
+
+  /** "Resize" stub: deterministic downsample of the payload (every k-th
+    * byte) — stands in for a real resample/resize kernel; keeps the
+    * binary-in/binary-out plumbing honest.
+    */
+  def resizeStub(assets: DataFrame, factor: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "bytes").mapPartitions { it =>
+      it.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), b.indices.collect {
+          case i if i % factor == 0 => b(i) }.toArray)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.Pipeline
+
+/** Streaming mode (SURVEY.md §2.8): the reference's upload loop *is* a
+  * micro-batch stream — each workbook is one batch against persistent
+  * state. Two streaming surfaces:
+  *
+  *  1. [[eventStream]]/[[windowedCounts]]: a real Structured Streaming
+  *     source over event files with watermarked event-time tumbling
+  *     windows — the incremental form of
+  *     [[graft.operators.EventOps.tumblingCounts]] (same plan shape;
+  *     state store bounded by the watermark).
+  *  2. [[workbookStream]]: a file source over a landing directory of
+  *     workbooks, with `foreachBatch` driving the stateful
+  *     [[graft.Pipeline]] per file — upsert + CDC exactly as in batch
+  *     mode (state lives in parquet tables, queryable at rest, so
+  *     `mapGroupsWithState` is deliberately not used — SURVEY.md §2.8).
+  */
+object StreamingPipeline {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Unbounded event source: parquet files landing in `sourceDir`. */
+  def eventStream(spark: SparkSession, sourceDir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 16)   // bounded per micro-batch
+      .parquet(sourceDir)
+
+  /** Watermarked tumbling-window aggregate — works on both streaming and
+    * batch frames. Late events beyond `lateness` are dropped and window
+    * state is evicted past the watermark, so state size is O(windows in
+    * flight), not O(stream length).
+    */
+  def windowedCounts(events: DataFrame, width: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value").cast("decimal(18,4)")), 2)
+             .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Run the windowed aggregate to a parquet sink (append mode — only
+    * watermark-finalized windows are emitted).
+    */
+  def runEventAggregate(spark: SparkSession, sourceDir: String,
+                        outDir: String, checkpointDir: String)
+      : StreamingQuery =
+    windowedCounts(eventStream(spark, sourceDir)).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** The reference's upload flow as a stream: watch a landing directory
+    * for workbooks, run each through the stateful batch pipeline.
+    * `foreachBatch` gives exactly-once-per-file semantics via the
+    * checkpoint; state mutation is the same code path as batch mode.
+    */
+  def workbookStream(spark: SparkSession, landingDir: String,
+                     stateDir: String, processedDir: String,
+                     checkpointDir: String): StreamingQuery = {
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")   // S3: extension filter
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(landingDir)
+      .select("path", "modificationTime")
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pipeline = new Pipeline(spark, stateDir, processedDir)
+        batch.select("path").orderBy("path").collect().foreach { r =>
+          val p = r.getString(0).stripPrefix("file:")
+          pipeline.runBatch(p)
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingPipeline
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("watermarked windowed aggregate over a file-source stream") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val src = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // batch 1 lands before the stream starts
+    Seq((1L, ts(0), 7L, "click", 1.0), (2L, ts(5), 7L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+
+    val q = StreamingPipeline.windowedCounts(
+        StreamingPipeline.eventStream(spark, src),
+        width = "1 hour", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 lands mid-stream (same + next hour)
+      Seq((3L, ts(10), 8L, "view", 5.0), (4L, ts(70), 8L, "view", 7.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+
+      val rows = spark.table("win_counts")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+                   r.getAs[Double]("total_value")))
+      assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0),
+                                ("view", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("workbook landing stream drives the stateful pipeline via foreachBatch") {
+    val sample = "/root/reference/uploads/Txn_Details.xlsx"
+    assume(Files.exists(java.nio.file.Paths.get(sample)))
+    val dir = Files.createTempDirectory("graft_wbstream").toString
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    Files.copy(java.nio.file.Paths.get(sample),
+      java.nio.file.Paths.get(s"$landing/Txn_Details.xlsx"))
+
+    val q = StreamingPipeline.workbookStream(spark, landing,
+      s"$dir/state", s"$dir/processed", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      val store = new graft.state.StateStore(spark, s"$dir/state")
+      assert(store.uploads.count() === 1L)
+      assert(store.customers.count() === 100L)
+      assert(store.addressChanges.count() === 4L)
+      // restart-safety: nothing reprocessed on an empty trigger
+      q.processAllAvailable()
+      assert(store.uploads.count() === 1L)
+    } finally q.stop()
+  }
+}
