@@ -21,8 +21,12 @@ object Similarity {
   /** Exact float→double upcast of a vector column. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Codegen'd native dot product (see [[graft.functions.ArrayDotProduct]]);
+    * summation order identical to the `aggregate(zip_with(...))` HOF fold
+    * it replaces, so oracle results are unchanged bit-for-bit.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct.dot(a, b)
 
   /** cosine = dot/sqrt(|a|²·|b|²) — written exactly this way so an oracle
     * using `x/sqrt(inner(a,a)*inner(b,b))` reproduces it bit-for-bit.
@@ -59,13 +63,15 @@ object Similarity {
 
   /** Sign-random-projection bucket key: `planes` sign bits packed into a
     * long. Vectors with high cosine land in the same bucket with
-    * probability (1 - θ/π)^planes.
+    * probability (1 - θ/π)^planes. `salt` decorrelates hash tables: each
+    * table must draw *disjoint* hyperplanes, or the tables are nested
+    * refinements of each other and multi-table recall collapses.
     */
-  def lshBucket(v: Column, planes: Int = 12): Column =
+  def lshBucket(v: Column, planes: Int = 12, salt: Int = 0): Column =
     (0 until planes).map { i =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-                 (x, j) => x * planeComponent(i, j)),
+                 (x, j) => x * planeComponent(salt * 1024 + i, j)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -81,7 +87,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val banded = vecs.select(col("vec_id"), col("v"), explode(array(
       (0 until tables).map(t => struct(lit(t).as("tbl"),
-        lshBucket(col("v"), planes = planes + t).as("bucket"))): _*))
+        lshBucket(col("v"), planes, salt = t).as("bucket"))): _*))
       .as("b"))
       .select(col("vec_id"), col("v"), col("b.tbl"), col("b.bucket"))
     banded.as("a").join(banded.as("b"),
@@ -107,7 +113,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val banded = vecs.select(col("vec_id"), col("label"), col("v"),
       explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
-        lshBucket(col("v"), planes = planes + t).as("bucket"))): _*)).as("b"))
+        lshBucket(col("v"), planes, salt = t).as("bucket"))): _*)).as("b"))
       .select(col("vec_id"), col("label"), col("v"),
               col("b.tbl"), col("b.bucket"))
     val qBuckets = banded.where(col("vec_id") === queryId)
