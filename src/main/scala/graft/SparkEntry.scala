@@ -173,6 +173,7 @@ object SparkEntry {
       TextOps.tokenStats(docs(s, dir))
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("n_tokens").cast("long").as("n_tokens"),
+          col("n_word_pieces").cast("long").as("n_word_pieces"),
           col("n_distinct").cast("long").as("n_distinct"),
           col("avg_token_len"), col("stopword_ratio"), col("distinct_ratio"))
         .orderBy("doc_id")),
@@ -388,6 +389,8 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+         |    AS BIGINT) AS n_word_pieces,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
          |    AS avg_token_len,

@@ -36,6 +36,13 @@ object TextOps {
   def minhash(shingleSet: Column, salt: Int): Column =
     array_min(transform(shingleSet, s => md5(concat(lit(s"$salt:"), s))))
 
+  /** GPT-2-style pre-tokenizer approximation: word pieces are letter
+    * runs, digit runs, or punctuation runs — the "BPE-ish regex" count
+    * that tracks model-token counts far better than whitespace splits on
+    * punctuation-heavy text.
+    */
+  val WordPiecePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
   /** Per-document token statistics + quality signals
     * (length, distinct-token ratio, mean token length, stopword ratio).
     * All ratios are single IEEE divisions of integer counts —
@@ -47,6 +54,7 @@ object TextOps {
       col("doc_id"),
       length(col(textCol)).as("n_chars"),
       size(toks).as("n_tokens"),
+      regexp_count(col(textCol), lit(WordPiecePattern)).as("n_word_pieces"),
       size(array_distinct(toks)).as("n_distinct"),
       (length(regexp_replace(col(textCol), " ", "")).cast("double") /
         size(toks)).as("avg_token_len"),

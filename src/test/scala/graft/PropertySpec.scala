@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.state.StateStore
+
+/** Seeded randomized property tests (SURVEY.md §5.3) — each property runs
+  * over one generated batch so Spark jobs stay O(1) per property.
+  */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  private def randField(): String = {
+    val chars = "abcdefghijklmnop qrstuvwxyz0123456789.-@#"
+    val n = 1 + rnd.nextInt(12)
+    // fields may contain anything except the record syntax: _ { } |
+    (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString.trim
+      .padTo(1, 'x').mkString
+  }
+
+  test("property: parser round-trips arbitrary well-formed records") {
+    val records = (0 until 200).map { i =>
+      (i, Seq(s"C$i", randField(), randField(), randField(), randField(),
+              randField()))
+    }
+    val packed = records
+      .map { case (i, f) => (i.toLong, f.mkString("{", "_", "}")) }
+      .toDF("_row_idx", "line")
+    val parsed = Relational.parseCustomers(packed, "line",
+        passthrough = Seq("_row_idx"))
+      .orderBy("_row_idx").collect()
+    assert(parsed.length === records.length)
+    records.zip(parsed).foreach { case ((_, fields), row) =>
+      assert(row.toSeq.drop(1) === fields)
+    }
+  }
+
+  test("property: dense rank is permutation-invariant and gapless") {
+    val totals = (0 until 300).map { i =>
+      (s"C$i", s"N$i", "X", math.round(rnd.nextDouble() * 500) / 10.0)
+    }
+    val a = totals.toDF("customer_id", "name", "category", "amount")
+    val b = rnd.shuffle(totals).toDF("customer_id", "name", "category", "amount")
+    val ra = Relational.summaryRanked(a).collect()
+      .map(r => (r.getString(0), r.getInt(3)))
+    val rb = Relational.summaryRanked(b).collect()
+      .map(r => (r.getString(0), r.getInt(3)))
+    assert(ra.toSeq === rb.toSeq)
+    val ranks = ra.map(_._2).distinct.sorted
+    assert(ranks.toSeq === (1 to ranks.length))  // dense: 1..K no gaps
+  }
+
+  test("property: upsert is idempotent on duplicate-free batches") {
+    val store = new StateStore(spark,
+      Files.createTempDirectory("graft_prop").toString)
+    val batch = (0 until 100).map { i =>
+      (s"C$i", s"n$i", s"e$i", "1990", s"addr-$i", "100", i.toLong)
+    }.toDF("customer_id", "name", "email", "dob", "address",
+           "created_date", "_row_idx")
+    assert(store.applyCustomerBatch(batch, "t1", 1) === 0)
+    val s1 = store.customers.orderBy("customer_id").collect().map(_.toSeq.take(6))
+    assert(store.applyCustomerBatch(batch, "t2", 2) === 0)  // replay: no CDC
+    val s2 = store.customers.orderBy("customer_id").collect().map(_.toSeq.take(6))
+    assert(s1.toSeq === s2.toSeq)
+    assert(store.customers.count() === 100)
+  }
+
+  test("property: totals are invariant under join input order") {
+    val txns = (0 until 500).map { i =>
+      (s"T$i", s"C${rnd.nextInt(40)}", s"P${rnd.nextInt(6)}",
+       (rnd.nextInt(100000) / 100.0).toString)
+    }.toDF("transaction_id", "customer_id", "product_code", "amount")
+    val products = (0 until 6).map(i => (s"P$i", s"prod$i", s"cat${i % 3}"))
+      .toDF("product_code", "product_name", "category")
+    val customers = (0 until 40).map(i => (s"C$i", s"name$i"))
+      .toDF("customer_id", "name")
+
+    val viaEnrich = Relational.summaryRanked(Relational.categoryTotals(
+      Relational.castAmount(Relational.enrich(txns, products, customers))))
+    // opposite join order: customers first, then products
+    val alt = Relational.castAmount(
+      txns.join(customers, Seq("customer_id"))
+          .join(broadcast(products), Seq("product_code")))
+    val viaAlt = Relational.summaryRanked(Relational.categoryTotals(alt))
+    assert(viaEnrich.collect().map(_.toSeq).toSeq ===
+           viaAlt.collect().map(_.toSeq).toSeq)
+  }
+
+  test("property: sql surface exposes array_dot after registration") {
+    org.apache.spark.sql.graftext.GraftFunctionRegistry.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) v")
+      .head().getDouble(0)
+    assert(r === 32.0)
+  }
+}
