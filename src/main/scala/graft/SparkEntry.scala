@@ -163,6 +163,9 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, dir) =>    // approximate path: rows-only check
       Similarity.lshTopK(emb(s, dir), queryId = 0L)),
 
+    "ann_topk_ivf" -> ((s, dir) =>    // IVF cell-probe path: rows-only check
+      Similarity.ivfTopK(emb(s, dir), queryId = 0L)),
+
     "embedding_neardup_lsh" -> ((s, dir) =>  // rows-only check
       Similarity.lshNearDupPairs(emb(s, dir), threshold = 0.9)
         .orderBy("vec_a", "vec_b")),

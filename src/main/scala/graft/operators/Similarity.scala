@@ -101,6 +101,60 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** IVF-style approximate top-k: a small coarse codebook of `nCells`
+    * centroids partitions the corpus; a query searches only its `nProbe`
+    * closest cells. The inverted-file architecture at scale: assignment
+    * happens once at ingest (here inline for self-containment), the
+    * centroid codebook is tiny and broadcast as literals, and per-query
+    * work drops from O(corpus) to O(corpus × nProbe / nCells).
+    *
+    * Centroids are a deterministic sample (lowest `nCells` vec_ids) —
+    * a real deployment would k-means them; the plan shape is identical.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+
+    // Tiny coarse codebook → driver, then into the plan as literals so
+    // cell assignment is one codegen'd projection, no join.
+    val centroids: Array[(Int, Array[Double])] =
+      vecs.orderBy("vec_id").limit(nCells).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
+
+    def cellOf(v: Column): Column =
+      array_max(array(centroids.map { case (cid, cv) =>
+        struct(cosine(v, typedLit(cv.toSeq)).as("cos"),
+               lit(cid).as("cell"))
+      }: _*)).getField("cell")
+
+    val assigned = vecs.withColumn("cell", cellOf(col("v")))
+
+    val qRow = vecs.where(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probeCells = centroids
+      .map { case (cid, cv) =>
+        var dotQ = 0.0; var nq = 0.0; var nc = 0.0
+        var i = 0
+        while (i < math.min(qRow.length, cv.length)) {
+          dotQ += qRow(i) * cv(i); nq += qRow(i) * qRow(i)
+          nc += cv(i) * cv(i); i += 1
+        }
+        (cid, dotQ / math.sqrt(nq * nc))
+      }
+      .sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+
+    val query = vecs.where(col("vec_id") === queryId).select(col("v").as("qv"))
+    assigned
+      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*) &&
+             col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+              bround(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Bucketed approximate top-k for one query: search only the query's LSH
     * bucket (plus same-bucket rows across `tables` hash tables) instead of
     * the full corpus — the scale path when the corpus is too large for a

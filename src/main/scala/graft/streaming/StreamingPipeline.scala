@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 import graft.Pipeline
@@ -64,6 +64,39 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
+
+  /** Streaming exact dedup with *custom keyed state*
+    * (`flatMapGroupsWithState`): the first document per content
+    * fingerprint ever seen on the stream passes; every later copy — in
+    * the same micro-batch or any future one — is dropped. State per key
+    * is one boolean in the checkpointed state store, so memory is
+    * O(distinct fingerprints), the canonical streaming-ingest dedup for
+    * a training-data pipeline.
+    *
+    * Input must carry (doc_id, fingerprint) — see
+    * [[graft.operators.TextOps.fingerprint]].
+    */
+  def streamingExactDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed: Dataset[(Long, String)] = docs
+      .select(col("doc_id").cast("long"), col("fingerprint").cast("string"))
+      .as[(Long, String)]
+    typed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[(Long, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // min doc_id within the batch = deterministic representative
+            Iterator(rows.minBy(_._1))
+          }
+      }
+      .toDF("doc_id", "fingerprint")
+  }
 
   /** The reference's upload flow as a stream: watch a landing directory
     * for workbooks, run each through the stateful batch pipeline.

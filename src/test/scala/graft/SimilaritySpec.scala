@@ -54,5 +54,10 @@ class SimilaritySpec extends AnyFunSuite {
       .map(_.getAs[Long]("vec_id")).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low (got $approx)")
+
+    val ivf = Similarity.ivfTopK(all, queryId = 0L, k = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall too low (got $ivf)")
   }
 }

@@ -45,6 +45,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops repeats across micro-batches via keyed state") {
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    val src = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    Seq((1L, "fp-a"), (2L, "fp-b"), (3L, "fp-a"))   // intra-batch dup
+      .toDF("doc_id", "fingerprint")
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, fingerprint STRING")
+      .parquet(src)
+    val q = graft.streaming.StreamingPipeline.streamingExactDedup(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // cross-batch dups of fp-a/fp-b must be dropped; fp-c passes
+      Seq((4L, "fp-a"), (5L, "fp-c"), (6L, "fp-b"))
+        .toDF("doc_id", "fingerprint")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "fp-a"), (2L, "fp-b"), (5L, "fp-c")))
+    } finally q.stop()
+  }
+
   test("workbook landing stream drives the stateful pipeline via foreachBatch") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
     assume(Files.exists(java.nio.file.Paths.get(sample)))
