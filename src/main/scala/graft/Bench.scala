@@ -37,6 +37,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Nudge the ContextCleaner between queries so one query's
+      // accumulated broadcasts/shuffle files don't GC-pause the next.
+      System.gc()
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
