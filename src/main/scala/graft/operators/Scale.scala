@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities the flat reference never needed but a 100 TB
+  * deployment does: skew-salted joins and bucketed (pre-shuffled) tables
+  * for co-located joins. Both are plan-shape tools — the operator
+  * semantics above them are unchanged.
+  */
+object Scale {
+
+  /** Skew-salted inner equi-join: the fact side gets a random-but-
+    * deterministic salt in [0, `salts`), the dimension side is replicated
+    * `salts` times, and the join key becomes (key, salt) — so one hot key
+    * spreads over `salts` reducers instead of melting a single task.
+    *
+    * Use when a handful of keys dominate (power-law joins) and the dim
+    * side is too large to broadcast outright; AQE's skew-join handles
+    * sort-merge cases, but salting also covers aggregations-after-join
+    * and pre-AQE shuffles.
+    *
+    * The salt is `pmod(hash(fact rowid-ish cols), salts)` — deterministic
+    * given the row, so retries/replays produce identical partitioning.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    require(salts > 0)
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt"), "inner")
+      .drop("_salt")
+  }
+
+  /** Write a table bucketed (and sorted) by `keys` into the session
+    * catalog: a join of two tables bucketed the same way needs **no
+    * shuffle at all** — the co-location was paid once at write time,
+    * which is the right trade for fact-to-fact joins repeated across a
+    * 100 TB pipeline's runs. Verified shuffle-free in ScaleSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the property bucketed joins buy.
+    */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows under skew") {
+    // 90% of fact rows hit one hot key
+    val fact = (0 until 2000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", s"payload$i")
+    }.toDF("key", "payload")
+    val dim = (Seq("hot") ++ (0 until 7).map(i => s"k$i"))
+      .map(k => (k, s"dim-$k")).toDF("key", "dim_value")
+
+    val plain = fact.join(dim, Seq("key")).orderBy("payload")
+      .collect().map(_.toSeq)
+    val salted = Scale.saltedJoin(fact, dim, "key").orderBy("payload")
+      .select("key", "payload", "dim_value")
+      .collect().map(_.toSeq)
+    assert(salted.toSeq === plain.toSeq)
+    // and the salt actually spreads the hot key over multiple values
+    val spread = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col): _*), lit(8)))
+      .where($"key" === "hot").select("_salt").distinct().count()
+    assert(spread > 1)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val left = (0 until 1000).map(i => (i.toLong, s"l$i"))
+      .toDF("k", "lv")
+    val right = (0 until 1000).map(i => (i.toLong, s"r$i"))
+      .toDF("k", "rv")
+    Scale.writeBucketed(left, "bucketed_left", Seq("k"), 4)
+    Scale.writeBucketed(right, "bucketed_right", Seq("k"), 4)
+    // Disable broadcast: with a tiny table the planner would broadcast
+    // (an Exchange) and never exercise the bucketing; the property under
+    // test is the big-big case where bucketing is the only shuffle-free
+    // plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_left")
+        .join(spark.table("bucketed_right"), Seq("k"))
+      assert(joined.count() === 1000)
+      assert(Scale.isShuffleFree(joined),
+        s"expected shuffle-free bucketed join:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+      // contrast: the same join on plain (unbucketed) frames must shuffle
+      val plain = left.join(right, Seq("k"))
+      assert(!Scale.isShuffleFree(plain))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
