@@ -139,6 +139,27 @@ object SparkEntry {
     "sessionize" -> ((s, dir) =>
       EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
 
+    // Full J3 algebra against persistent state, simulated by splitting the
+    // event log at max(event_id)/2: first half folds into per-key state
+    // (last value wins), second half is the incoming batch.
+    "cdc_state_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val thr = ev.agg(max("event_id")).head().getLong(0) / 2
+      val ms = expr("ts div 1000000")
+      val lastWins = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc_nulls_last("_ms"), desc("event_id"))
+      val state = ev.where(col("event_id") <= thr)
+        .withColumn("_ms", ms)
+        .withColumn("_rn", row_number().over(lastWins))
+        .where(col("_rn") === 1)
+        .select(col("user_id"), col("value"))
+      val batch = ev.where(col("event_id") > thr).withColumn("_ms", ms)
+      EventOps.statefulChangeCapture(batch, state, "user_id", "value",
+          orderCols = Seq(col("_ms"), col("event_id")),
+          carryCols = Seq("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- Dedup family ---------------------------------------------------
 
     "exact_dedup" -> ((s, dir) =>
@@ -146,6 +167,12 @@ object SparkEntry {
 
     "prefix_dedup" -> ((s, dir) =>
       Dedup.prefixDedup(docs(s, dir)).orderBy("fingerprint")),
+
+    "dedup_keep_longest" -> ((s, dir) =>
+      Dedup.dedupKeepLongest(docs(s, dir))
+        .select(col("fingerprint"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("n_copies"))
+        .orderBy("fingerprint")),
 
     "minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
@@ -192,6 +219,26 @@ object SparkEntry {
     "quality_score" -> ((s, dir) =>
       TextOps.qualityScore(TextOps.tokenStats(docs(s, dir)))
         .select(col("doc_id"), col("quality_score"))
+        .orderBy("doc_id")),
+
+    // Multi-level aggregation (ROLLUP): corpus stats per (lang, source),
+    // per lang, and grand total in one partial-aggregated pass.
+    "docs_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          grouping_id().as("level"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_chars").cast("long").as("total_chars"),
+          col("level").cast("long").as("level"))
+        .orderBy(col("level"), asc_nulls_first("lang"),
+          asc_nulls_first("source"))),
+
+    // Deterministic stratified downsampling (data mixing): 1/2 of English
+    // docs, 1/4 of everything else.
+    "stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), Map("en" -> 2), defaultRate = 4)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
         .orderBy("doc_id")),
 
     // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
@@ -324,6 +371,47 @@ object SparkEntry {
         |SELECT user_id, session_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) AS session_end_ms, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_state_join" ->
+      """WITH thr AS (SELECT MAX(event_id) // 2 AS t FROM events),
+        |e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+        |      FROM events),
+        |state AS (SELECT user_id, value FROM (
+        |  SELECT e.user_id, e.value, ROW_NUMBER() OVER (
+        |    PARTITION BY e.user_id ORDER BY e.ms DESC, e.event_id DESC)
+        |    AS rn
+        |  FROM e, thr WHERE e.event_id <= thr.t) WHERE rn = 1),
+        |batch AS (SELECT e.* FROM e, thr WHERE e.event_id > thr.t),
+        |x AS (SELECT b.user_id, b.event_id, COALESCE(
+        |    LAG(b.value) OVER (PARTITION BY b.user_id
+        |      ORDER BY b.ms, b.event_id), s.value) AS old_value,
+        |    b.value AS new_value
+        |  FROM batch b LEFT JOIN state s ON b.user_id = s.user_id)
+        |SELECT user_id, event_id, old_value, new_value FROM x
+        |WHERE old_value IS NOT NULL AND old_value <> new_value
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "dedup_keep_longest" ->
+      """WITH k AS (SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
+        |  doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |w AS (SELECT fingerprint, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY fingerprint
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies FROM k)
+        |SELECT fingerprint, doc_id, n_chars, n_copies FROM w
+        |WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
+
+    "docs_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS level
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY level, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS doc_id,

@@ -57,6 +57,32 @@ object EventOps {
               col(valueCol).as("new_value"))
   }
 
+  /** The full J3 algebra (SURVEY.md §2.3): change capture for a batch
+    * against *persistent keyed state*, where the "old" value for the k-th
+    * in-batch occurrence of a key is the (k-1)-th occurrence's value, or
+    * the stored state for k=1 — `coalesce(lag over batch order, stored)`.
+    * Identical composition to [[graft.state.StateStore.applyCustomerBatch]],
+    * exposed generically so the algebra itself is oracle-checkable.
+    *
+    * @param batch rows carrying `keyCol`, `valueCol`, `orderCol`, and
+    *              `carryCols` to pass through
+    * @param state one row per key: (`keyCol`, `valueCol`)
+    */
+  def statefulChangeCapture(batch: DataFrame, state: DataFrame,
+                            keyCol: String, valueCol: String,
+                            orderCols: Seq[org.apache.spark.sql.Column],
+                            carryCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    batch
+      .join(state.select(col(keyCol), col(valueCol).as("_stored")),
+            Seq(keyCol), "left")
+      .withColumn("_old",
+        coalesce(lag(col(valueCol), 1).over(w), col("_stored")))
+      .where(col("_old").isNotNull && col("_old") =!= col(valueCol))
+      .select(col(keyCol) +: carryCols.map(col) :+
+        col("_old").as("old_value") :+ col(valueCol).as("new_value"): _*)
+  }
+
   /** Tumbling event-time windows via `window()` — the same plan Structured
     * Streaming uses; aggregates are exact-DECIMAL summed then rounded
     * (deterministic at any partition count).

@@ -101,6 +101,22 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Deterministic stratified downsampling for data mixing: keep one in
+    * `rates(stratum)` documents per stratum (default `defaultRate`),
+    * selected by id residue — reproducible across runs and engines. At
+    * scale, swap the residue for `pmod(xxhash64(id), rate)` to decorrelate
+    * from id assignment; the plan (a pushed-down filter, no shuffle) is
+    * identical.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       defaultRate: Int, stratumCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.where(pmod(col(idCol), rate) === 0)
+  }
+
   /** 64-bit SimHash from token hashes, built entirely from higher-order
     * functions: per-token xxhash64 → ±1 per bit → summed bit counts →
     * sign bits reassembled into a long. No UDF, no shuffle.
