@@ -426,24 +426,31 @@ object SparkEntry {
     "minhash_signatures" ->
       s"""$shinglesSql
          |SELECT doc_id,
-         |  list_min(list_transform(shingles, s -> md5('0:' || s))) AS sig_0,
-         |  list_min(list_transform(shingles, s -> md5('1:' || s))) AS sig_1,
-         |  list_min(list_transform(shingles, s -> md5('2:' || s))) AS sig_2,
-         |  list_min(list_transform(shingles, s -> md5('3:' || s))) AS sig_3
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+         |    AS sig_0,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
+         |    AS sig_1,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+         |    AS sig_2,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
+         |    AS sig_3
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "neardup_pairs" ->
       s"""$shinglesSql,
          |bands AS (
          |  SELECT doc_id, 0 AS band,
-         |    list_min(list_transform(shingles, s -> md5('0:' || s))) AS sig
-         |  FROM sh
+         |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+         |    AS sig FROM sh
          |  UNION ALL SELECT doc_id, 1,
-         |    list_min(list_transform(shingles, s -> md5('1:' || s))) FROM sh
+         |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
+         |    FROM sh
          |  UNION ALL SELECT doc_id, 2,
-         |    list_min(list_transform(shingles, s -> md5('2:' || s))) FROM sh
+         |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+         |    FROM sh
          |  UNION ALL SELECT doc_id, 3,
-         |    list_min(list_transform(shingles, s -> md5('3:' || s))) FROM sh),
+         |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
+         |    FROM sh),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),

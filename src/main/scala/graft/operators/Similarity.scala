@@ -53,13 +53,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component (plane i, dim j) in
-    * [-0.5, 0.5): integer mixing only — no RNG, identical on every engine
-    * and every run.
+  /** Deterministic pseudo-random hyperplane (plane i over `dim`
+    * components) in [-0.5, 0.5): integer mixing only — no RNG, identical
+    * on every run. Materialized once as a literal vector so the
+    * projection is one codegen'd [[graft.functions.ArrayDotProduct]].
     */
-  private def planeComponent(i: Int, j: Column): Column =
-    (pmod(lit(i.toLong * 2654435761L) + j * 40503L + (j * j) * 69069L,
-          lit(1048576L)).cast("double") / 1048576.0) - 0.5
+  private def planeVec(i: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val m = (i.toLong * 2654435761L + j.toLong * 40503L +
+               j.toLong * j * 69069L) % 1048576L
+      (m.toDouble / 1048576.0) - 0.5
+    }
 
   /** Sign-random-projection bucket key: `planes` sign bits packed into a
     * long. Vectors with high cosine land in the same bucket with
@@ -67,14 +71,15 @@ object Similarity {
     * table must draw *disjoint* hyperplanes, or the tables are nested
     * refinements of each other and multi-table recall collapses.
     */
-  def lshBucket(v: Column, planes: Int = 12, salt: Int = 0): Column =
+  def lshBucket(v: Column, planes: Int, salt: Int, dim: Int): Column =
     (0 until planes).map { i =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-                 (x, j) => x * planeComponent(salt * 1024 + i, j)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, typedLit(planeVec(salt * 1024 + i, dim)))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Vector width, read once from the data (embeddings are fixed-width). */
+  private def dimOf(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head().getInt(0)
 
   /** All-pairs near-duplicate search over embeddings via LSH buckets:
     * candidates = pairs sharing a bucket in at least one of `tables`
@@ -83,11 +88,12 @@ object Similarity {
     */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
                       planes: Int = 12, tables: Int = 3): DataFrame = {
+    val dim = dimOf(embeddings)
     val vecs = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val banded = vecs.select(col("vec_id"), col("v"), explode(array(
       (0 until tables).map(t => struct(lit(t).as("tbl"),
-        lshBucket(col("v"), planes, salt = t).as("bucket"))): _*))
+        lshBucket(col("v"), planes, salt = t, dim).as("bucket"))): _*))
       .as("b"))
       .select(col("vec_id"), col("v"), col("b.tbl"), col("b.bucket"))
     banded.as("a").join(banded.as("b"),
@@ -163,11 +169,12 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
               planes: Int = 8, tables: Int = 3): DataFrame = {
+    val dim = dimOf(embeddings)
     val vecs = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val banded = vecs.select(col("vec_id"), col("label"), col("v"),
       explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
-        lshBucket(col("v"), planes, salt = t).as("bucket"))): _*)).as("b"))
+        lshBucket(col("v"), planes, salt = t, dim).as("bucket"))): _*)).as("b"))
       .select(col("vec_id"), col("label"), col("v"),
               col("b.tbl"), col("b.bucket"))
     val qBuckets = banded.where(col("vec_id") === queryId)

@@ -29,12 +29,16 @@ object TextOps {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** One MinHash signature: min over shingles of a salted md5. md5 is used
-    * (rather than xxhash64) because its hex form is engine-portable — the
-    * DuckDB oracle computes the identical signature.
+  /** One MinHash signature: min over shingles of the `band`-th 32-bit
+    * slice of the shingle's md5 (hex; fixed width, so lexicographic min =
+    * numeric min). md5 is used (rather than xxhash64) because its hex
+    * form is engine-portable — the DuckDB oracle computes the identical
+    * signature. Column-expression form of
+    * [[Dedup.minhashSignatures]]'s aggregate.
     */
-  def minhash(shingleSet: Column, salt: Int): Column =
-    array_min(transform(shingleSet, s => md5(concat(lit(s"$salt:"), s))))
+  def minhash(shingleSet: Column, band: Int): Column =
+    array_min(transform(shingleSet, s =>
+      substring(md5(s), band * 8 + 1, 8)))
 
   /** GPT-2-style pre-tokenizer approximation: word pieces are letter
     * runs, digit runs, or punctuation runs — the "BPE-ish regex" count
