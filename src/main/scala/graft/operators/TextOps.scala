@@ -17,17 +17,23 @@ object TextOps {
   /** Whitespace tokens of the raw text. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (distinct), the unit of near-dup similarity.
-    * Documents shorter than `n` tokens yield an empty set.
+  /** Word n-gram shingles in document order (with repeats). Documents
+    * shorter than `n` tokens yield an empty list. Use for min-aggregates
+    * where duplicates are harmless; [[shingles]] for set semantics.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shinglesRaw(text: Column, n: Int = 3): Column = {
     val toks = tokens(lower(text))
     val count = size(toks) - (n - 1)
     val grams = transform(sequence(lit(1), count), i =>
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(size(toks) >= n, grams)
-      .otherwise(array().cast("array<string>")))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingle *set* (distinct), the unit of near-dup
+    * similarity (Jaccard needs set semantics).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(shinglesRaw(text, n))
 
   /** One MinHash signature: min over shingles of the `band`-th 32-bit
     * slice of the shingle's md5 (hex; fixed width, so lexicographic min =

@@ -83,6 +83,24 @@ class GoldenPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rejects workbooks without the required sheets (S2) and bad extensions (S3)") {
+    val tmp = Files.createTempDirectory("graft_badwb").toString
+    val p = new Pipeline(spark, s"$tmp/state", s"$tmp/processed")
+    // wrong extension
+    assertThrows[IllegalArgumentException] {
+      p.runBatch(s"$tmp/data.csv")
+    }
+    // xlsx missing required sheets
+    import spark.implicits._
+    val wb = s"$tmp/partial.xlsx"
+    graft.sources.Xlsx.write(wb,
+      Seq("Transactions" -> Seq(("a", "b")).toDF("c1", "c2")))
+    val e = intercept[IllegalArgumentException] { p.runBatch(wb) }
+    assert(e.getMessage.contains("must contain"))
+    // nothing was recorded against state on the failed batches
+    assert(p.store.uploads.count() === 0)
+  }
+
   test("golden: processed xlsx export round-trips the rank table") {
     assume(Files.exists(Paths.get(sample)), s"sample workbook missing")
     val tmp = Files.createTempDirectory("graft_golden_x").toString
