@@ -160,6 +160,62 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // As-of join: attach the latest prior (or simultaneous) purchase per
+    // user to every click — checked against DuckDB's native ASOF JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val ms = expr("ts div 1000000")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), ms.as("_ms"))
+      val lastPerMs = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "_ms").orderBy(desc("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), ms.as("_ms"), col("value"), col("event_id"))
+        .withColumn("_rn", row_number().over(lastPerMs))
+        .where(col("_rn") === 1)
+        .select(col("user_id"), col("_ms"), col("value"))
+      EventOps.asofJoin(clicks, purchases, "user_id", "_ms", "value",
+          outCol = "last_purchase")
+        .select(col("user_id"), col("event_id"), col("last_purchase"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- Wider star-schema analytics -----------------------------------
+
+    // Revenue rollup through the full snowflake: lineitem→orders→customer
+    // →nation→region (exercises every dimension table).
+    "nation_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(18,4)").as("amount"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum("amount"), 2).cast("double").as("revenue"))
+        .orderBy("region", "nation")
+    }),
+
+    // Top-3 spenders per category (top-k per group via ranked window).
+    "topk_per_category" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("category")
+        .orderBy(desc("amount"), asc("customer_id"))
+      Relational.categoryTotals(merged(s, dir))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("category"), col("rk"), col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"))
+        .orderBy("category", "rk")
+    }),
+
     // ---- Dedup family ---------------------------------------------------
 
     "exact_dedup" -> ((s, dir) =>
@@ -371,6 +427,40 @@ object SparkEntry {
         |SELECT user_id, session_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) AS session_end_ms, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, epoch_ms(ts) AS ms, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |    ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |purch AS (SELECT user_id, ms, value FROM p0 WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, p.value AS last_purchase
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ms >= p.ms
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "nation_revenue" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  COUNT(*) AS n_lineitems,
+        |  CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "topk_per_category" ->
+      s"""WITH ct AS ($ctSql),
+         |r AS (SELECT category, customer_id, name, amount,
+         |  ROW_NUMBER() OVER (PARTITION BY category
+         |    ORDER BY amount DESC, customer_id ASC) AS rk FROM ct)
+         |SELECT category, CAST(rk AS BIGINT) AS rk, customer_id, name,
+         |  CAST(amount AS DOUBLE) AS amount
+         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
 
     "cdc_state_join" ->
       """WITH thr AS (SELECT MAX(event_id) // 2 AS t FROM events),

@@ -95,6 +95,32 @@ object EventOps {
       .select(unix_millis(col("window.start")).as("window_start_ms"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** As-of join — an operator Spark's built-ins lack: attach to each left
+    * row the latest right value with `right.msCol <= left.msCol` within
+    * the key (inclusive). Composed scalably as union-tag + one window
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding): a single
+    * shuffle on the key, no range-condition join explosion, fully
+    * codegen'd — the plan survives arbitrarily long histories.
+    *
+    * Right rows must be unique per (key, msCol); pre-aggregate ties
+    * (e.g. keep the last by a sequence column) before calling.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               msCol: String, valueCol: String,
+               outCol: String = "asof_value"): DataFrame = {
+    val lt = left.withColumn("_side", lit(1))
+    val rt = right.select(col(keyCol), col(msCol),
+      col(valueCol).as("_rv"), lit(0).as("_side"))
+    val all = lt.unionByName(rt, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(msCol), col("_side"))   // right sorts before left on ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn(outCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .drop("_side", "_rv")
+  }
+
   /** Gap-based sessionization (30-min default): classic lag → new-session
     * flag → running sum = session index → per-session aggregate. Two
     * shuffles total (both on `user_id`), no global sort.

@@ -38,6 +38,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((7L, 1L, 3L), (7L, 2L, 1L), (8L, 1L, 2L)))
   }
 
+  test("asofJoin: latest right value at or before each left row, per key") {
+    val clicks = Seq((7L, 10L, 100L), (7L, 20L, 300L), (7L, 30L, 250L),
+                     (8L, 40L, 100L))
+      .toDF("user_id", "click_id", "_ms")
+    val purchases = Seq((7L, 100L, 1.0), (7L, 250L, 2.0), (9L, 50L, 9.0))
+      .toDF("user_id", "_ms", "value")
+    val out = EventOps.asofJoin(clicks, purchases, "user_id", "_ms", "value")
+      .orderBy("user_id", "click_id")
+      .collect().map(r => (r.getAs[Long]("click_id"),
+        Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)))
+    assert(out.toSeq === Seq(
+      (10L, Some(1.0)),   // ms 100 == purchase ms 100: inclusive
+      (20L, Some(2.0)),   // ms 300: latest purchase at/before is ms 250
+      (30L, Some(2.0)),   // ms 250 == purchase ms 250: inclusive
+      (40L, None)))       // user 8 has no purchases
+  }
+
   test("tumblingCounts aggregates per hour × event_type") {
     val out = EventOps.tumblingCounts(events)
       .orderBy("window_start_ms", "event_type").collect()
