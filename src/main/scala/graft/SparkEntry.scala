@@ -216,6 +216,49 @@ object SparkEntry {
         .orderBy("category", "rk")
     }),
 
+    // Running total per customer over order history (window frame).
+    "running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so this cast
+        // gives the same epoch millis DuckDB's epoch_ms computes.
+        .orderBy(unix_millis(col("o_orderdate").cast("timestamp")),
+          col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,4)").as("p"))
+        .withColumn("running_spend", sum("p").over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Distinct-count aggregation per category.
+    "category_customers" -> ((s, dir) =>
+      merged(s, dir).groupBy("category")
+        .agg(countDistinct("customer_id").as("n_customers"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("category")),
+
+    // Anti join: customers that never ordered, per market segment.
+    "customers_without_orders" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("segment")),
+
+    // Pivot: per-user event-type counts as columns.
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // ---- Dedup family ---------------------------------------------------
 
     "exact_dedup" -> ((s, dir) =>
@@ -427,6 +470,38 @@ object SparkEntry {
         |SELECT user_id, session_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) AS session_end_ms, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY epoch_ms(o_orderdate), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "category_customers" ->
+      s"""SELECT p.p_brand AS category,
+         |  COUNT(DISTINCT o.o_custkey) AS n_customers,
+         |  COUNT(*) AS n_lineitems
+         |$mergedSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "customers_without_orders" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
