@@ -59,14 +59,14 @@ object Relational {
     */
   def promoteHeader(df: DataFrame, idxCol: String = "_row_idx"): DataFrame = {
     val dataCols = df.columns.filter(_ != idxCol)
-    val hdr = df.orderBy(col(idxCol)).select(dataCols.map(col): _*).head()
+    val hdr = df.orderBy(col(idxCol)).select(dataCols.toSeq.map(col): _*).head()
     val names = dataCols.indices.map { i =>
       Option(hdr.get(i)).map(_.toString.toLowerCase).getOrElse(s"_c$i")
     }
     val minIdx = df.agg(min(col(idxCol))).head().getLong(0)
     df.where(col(idxCol) =!= minIdx)
-      .select(dataCols.zip(names).map { case (c, n) => col(c).as(n) } :+
-              col(idxCol): _*)
+      .select(dataCols.toSeq.zip(names).map { case (c, n) =>
+        col(c).as(n) } :+ col(idxCol): _*)
   }
 
   /** J1 + J2 (app.py:131-132): transactions ⋈ products (m:1 — the dim is

@@ -27,7 +27,7 @@ object Scale {
                  salts: Int = 8): DataFrame = {
     require(salts > 0)
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(fact.columns.toSeq.map(col): _*), lit(salts)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt"), "inner")

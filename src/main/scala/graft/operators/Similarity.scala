@@ -129,7 +129,7 @@ object Similarity {
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
 
     def cellOf(v: Column): Column =
-      array_max(array(centroids.map { case (cid, cv) =>
+      array_max(array(centroids.toSeq.map { case (cid, cv) =>
         struct(cosine(v, typedLit(cv.toSeq)).as("cos"),
                lit(cid).as("cell"))
       }: _*)).getField("cell")
@@ -152,7 +152,7 @@ object Similarity {
 
     val query = vecs.where(col("vec_id") === queryId).select(col("v").as("qv"))
     assigned
-      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*) &&
+      .where(col("cell").isin(probeCells.toSeq.map(Integer.valueOf): _*) &&
              col("vec_id") =!= queryId)
       .crossJoin(broadcast(query))
       .select(col("vec_id"), col("label"),

@@ -112,7 +112,7 @@ class StateStore(spark: SparkSession, dir: String) {
     val idd = changes.withColumn("id",
         (lit(maxId) + row_number().over(Window.orderBy("_row_idx")))
           .cast("long"))
-      .select(Tables.addressChangesSchema.fieldNames.map(col): _*)
+      .select(Tables.addressChangesSchema.fieldNames.toSeq.map(col): _*)
 
     val nChanges = idd.count()
     if (nChanges > 0)
