@@ -340,6 +340,13 @@ object SparkEntry {
           col("n_chars"))
         .orderBy("doc_id")),
 
+    // Winnowing-style rolling-hash fingerprint (custom codegen'd
+    // expression; Long arithmetic not portable to the oracle: rows-only).
+    "rolling_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextOps.rollingMinFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
     // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
 
     "multimodal_features" -> ((s, dir) => {  // rows-only check

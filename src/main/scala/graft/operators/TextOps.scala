@@ -111,6 +111,17 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Winnowing-style rolling-hash fingerprint: the minimum Rabin-Karp
+    * window hash over the normalized text (one codegen'd O(n) pass — see
+    * [[graft.functions.RollingHashWindows]]). Near-identical documents
+    * that share any `window`-byte run can collide on it, which is the
+    * point: it is a locality-sensitive single-long signature, cheaper
+    * than MinHash when one band suffices. Null for docs shorter than
+    * `window` bytes.
+    */
+  def rollingMinFingerprint(text: Column, window: Int = 32): Column =
+    array_min(graft.functions.RollingHashWindows(lower(trim(text)), window))
+
   /** Deterministic stratified downsampling for data mixing: keep one in
     * `rates(stratum)` documents per stratum (default `defaultRate`),
     * selected by id residue — reproducible across runs and engines. At
