@@ -203,6 +203,14 @@ object SparkEntry {
         .orderBy("region", "nation")
     }),
 
+    // Top-3 per category via the bounded-heap typed Aggregator — the
+    // O(n log k) partial-aggregated scale path (no full partition sort).
+    "topk_per_category_agg" -> ((s, dir) =>
+      graft.functions.TopKAggregator.topKPerGroup(
+          Relational.categoryTotals(merged(s, dir)),
+          "category", "amount", "customer_id", k = 3)
+        .orderBy("category", "rk")),
+
     // Top-3 spenders per category (top-k per group via ranked window).
     "topk_per_category" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -534,6 +542,17 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "topk_per_category_agg" ->
+      s"""WITH ct AS ($ctSql),
+         |r AS (SELECT category, CAST(customer_id AS VARCHAR) AS cid,
+         |  CAST(amount AS DOUBLE) AS amt,
+         |  ROW_NUMBER() OVER (PARTITION BY category
+         |    ORDER BY CAST(amount AS DOUBLE) DESC,
+         |             CAST(customer_id AS VARCHAR) ASC) AS rk FROM ct)
+         |SELECT category, CAST(rk AS BIGINT) AS rk, cid AS customer_id,
+         |  amt AS amount
+         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
 
     "topk_per_category" ->
       s"""WITH ct AS ($ctSql),
