@@ -258,6 +258,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("segment")),
 
+    // Exact interpolated percentiles of event values per type.
+    "event_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(bround(expr("percentile(value, 0.5)"), 4).as("p50"),
+          bround(expr("percentile(value, 0.95)"), 4).as("p95"),
+          bround(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")),
+
     // Pivot: per-user event-type counts as columns.
     "events_pivot" -> ((s, dir) =>
       events(s, dir).groupBy("user_id")
@@ -508,6 +516,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "event_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_pivot" ->
       """SELECT user_id,

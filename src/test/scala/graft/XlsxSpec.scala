@@ -40,6 +40,32 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(2))
   }
 
+  test("survives a 20k-row workbook end-to-end through the pipeline") {
+    val dir = Files.createTempDirectory("graft_bigwb").toString
+    val n = 20000
+    val rnd = new scala.util.Random(11)
+    val txRows = (1 to n).map(i => (s"TXN$i", s"C${rnd.nextInt(500)}",
+      (45000 + rnd.nextInt(300)).toString, s"P${rnd.nextInt(8)}",
+      (rnd.nextInt(100000) / 100.0).toString, "Cash"))
+      .toDF("transaction_id", "customer_id", "transaction_date",
+        "product_code", "amount", "payment_type")
+    val custRows = (0 until 500)
+      .map(i => s"{C${i}_Name ${i}_n${i}@x_1990-01-01_Addr ${i}_43899.5}")
+      .map(Tuple1(_)).toDF("customer_id-name-email-dob-address-created-date")
+    val prodRows = (0 until 8).map(i =>
+      (s"P$i", s"Prod $i", s"Cat${i % 4}", "10")).toDF(
+      "product_code", "product_name", "category", "unit_price")
+    val wb = s"$dir/big.xlsx"
+    Xlsx.write(wb, Seq("Transactions" -> txRows, "Customers" -> custRows,
+                       "Products" -> prodRows))
+
+    val p = new graft.Pipeline(spark, s"$dir/state", s"$dir/processed")
+    val r = p.runBatch(wb, timestamp = "2026-01-01T00:00:00")
+    assert(r.merged.count() === n)         // every txn matches 1:1
+    assert(p.store.customers.count() === 500)
+    assert(r.summary.count() === 500)
+  }
+
   test("reads the reference sample workbook shape") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
     assume(Files.exists(java.nio.file.Paths.get(sample)))
