@@ -266,6 +266,15 @@ object SparkEntry {
           bround(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy("event_type")),
 
+    // HLL sketch: approximate distinct users per event type (rows-only —
+    // sketch internals are engine-specific; accuracy asserted vs the
+    // exact count in PropertySpec).
+    "approx_users_per_type" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type")),
+
     // Pivot: per-user event-type counts as columns.
     "events_pivot" -> ((s, dir) =>
       events(s, dir).groupBy("user_id")

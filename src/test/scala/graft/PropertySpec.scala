@@ -95,6 +95,17 @@ class PropertySpec extends AnyFunSuite {
            viaAlt.collect().map(_.toSeq).toSeq)
   }
 
+  test("property: HLL approx distinct stays within 5% of exact") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rows = events.groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("a"),
+        countDistinct("user_id").as("e")).collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("property: sql surface exposes array_dot after registration") {
     org.apache.spark.sql.graftext.GraftFunctionRegistry.register(spark)
     val r = spark.sql(

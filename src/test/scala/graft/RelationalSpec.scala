@@ -22,6 +22,11 @@ class RelationalSpec extends AnyFunSuite {
     val byId = out.map(r => r.getString(0) -> r.toSeq).toMap
 
     assert(out.length === 4)
+    // null lines are dropped like any non-brace line (reference: str(nan)
+    // fails the brace predicate, app.py:96-97)
+    assert(Relational.parseCustomers(
+      Seq(Option.empty[String], Some("{A_b_c_d_e_f}")).toDF("line"), "line")
+      .count() === 1)
     assert(byId("C1") === Seq("C1", "Ann", "a@x", "1990", "12 Main St", "100.5"))
     assert(byId("C2") === Seq("C2", "Bob", "b@x", "1991", "3 Oak Ave", "101"))
     // maxsplit keeps the remainder in the last field (Python split("_", 5))
