@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver's own smoke check: `SparkEntry.entry` must return
+  * rows on sf0.001, and every declared query must at least build a plan
+  * against sf0.001 (catches wiring typos before the round gate does).
+  */
+class EntrySmokeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("entry() returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query declares a resolvable plan on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      withClue(s"query $name: ") {
+        fn(spark, dir).schema  // forces analysis
+      }
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}
