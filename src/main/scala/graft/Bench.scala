@@ -38,14 +38,23 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Nudge the ContextCleaner between queries so one query's
-      // accumulated broadcasts/shuffle files don't GC-pause the next.
+      // accumulated broadcasts/shuffle files don't GC-pause the next, and
+      // drop persisted frames some operators cache internally (e.g. the
+      // near-dup shingle sets) so repeated runs don't accumulate blocks.
+      spark.catalog.clearCache()
       System.gc()
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stdout gets drowned in sbt log noise; also write the line to a file
+    // the driver can parse reliably.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -528,9 +528,9 @@ object SparkEntry {
 
     "event_quantiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.95), 4) AS p95,
-        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |  roundbankers(quantile_cont(value, 0.5), 4) AS p50,
+        |  roundbankers(quantile_cont(value, 0.95), 4) AS p95,
+        |  roundbankers(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_pivot" ->
@@ -692,7 +692,7 @@ object SparkEntry {
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id, label,
-        |  round(list_inner_product(v, qv) /
+        |  roundbankers(list_inner_product(v, qv) /
         |    sqrt(list_inner_product(v, v) * list_inner_product(qv, qv)), 6)
         |    AS sim
         |FROM c, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,

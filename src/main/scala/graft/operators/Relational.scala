@@ -99,32 +99,67 @@ object Relational {
     * rounding to 2dp, global dense rank (desc) on the *rounded* value, sort
     * by rank.
     *
-    * Scale note: the rank window is unpartitioned — a single-task sort.
-    * That is safe here because its input is already one row per customer
-    * (post-aggregation), but at 100 TB swap in
-    * [[Relational.twoPhaseDenseRank]] (same signature, range-partitioned).
+    * Default path is the scale-safe [[twoPhaseDenseRank]] (no unpartitioned
+    * window anywhere); [[summaryRankedWindow]] keeps the direct W1 window
+    * form — both are oracle-checked against the same SQL and
+    * equality-tested in RelationalSpec.
     */
   def summaryRanked(categoryTotals: DataFrame): DataFrame =
+    twoPhaseDenseRank(
+        categoryTotals.groupBy("customer_id", "name")
+          .agg(bround(sum("amount"), 2).as("amount")))
+      .select(col("customer_id"), col("name"), col("amount"), col("rank"))
+      .orderBy("rank", "customer_id")
+
+  /** The literal W1 mapping (app.py:141): one global `dense_rank` window.
+    * Correct at any scale but a single sorted task — fine while the input
+    * is one row per customer, a cliff at 100 TB customer dimensions.
+    */
+  def summaryRankedWindow(categoryTotals: DataFrame): DataFrame =
     categoryTotals.groupBy("customer_id", "name")
       .agg(bround(sum("amount"), 2).as("amount"))
       .withColumn("rank",
         dense_rank().over(Window.orderBy(desc("amount"))).cast(IntegerType))
       .orderBy("rank", "customer_id")
 
-  /** Scale-path replacement for the unpartitioned W1 window: dense rank via
-    * an aggregate over *distinct* rounded amounts (tiny relation) joined
-    * back — no single-task global sort over the full input.
+  /** Scale-path dense rank with NO unpartitioned window (SURVEY.md §7.4.8:
+    * range-partitioned sort + cumulative offsets).
     *
-    * dense_rank(v) = count(distinct amounts > v) + 1, computed by ranking
-    * only the distinct values (≤ #distinct totals rows, trivially
-    * parallel) and broadcasting the result.
+    * Phase 1 ranks only the *distinct* values: range-partition them by
+    * descending value, `row_number` within each range partition (a
+    * partitioned window — distinct values make row_number ≡ dense_rank),
+    * then add each partition's cumulative offset. The offsets are a prefix
+    * sum over per-partition counts — ≤ `partitions` numbers, bounded by
+    * cluster configuration rather than data size, so the driver-side scan
+    * is scale-safe. Phase 2 broadcast-joins the small (value → rank)
+    * relation back onto the totals.
+    *
+    * Re-execution of the shared subtree is deterministic: RangePartitioner
+    * samples with a fixed per-partition seed over a deterministic input,
+    * so partition ids and counts agree across the count job and the
+    * join-back job.
     */
   def twoPhaseDenseRank(totals: DataFrame, valueCol: String = "amount",
-                        rankCol: String = "rank"): DataFrame = {
-    val distinctVals = totals.select(valueCol).distinct()
-      .withColumn(rankCol,
-        dense_rank().over(Window.orderBy(desc(valueCol))).cast(IntegerType))
-    totals.join(broadcast(distinctVals), Seq(valueCol))
+                        rankCol: String = "rank",
+                        partitions: Int = 32): DataFrame = {
+    val ranked = totals.select(valueCol).distinct()
+      .repartitionByRange(partitions, desc(valueCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid").orderBy(desc(valueCol))))
+    val counts = ranked.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; (pid, off)
+    }
+    val offExpr = offsets.foldLeft(lit(0L): Column) { case (e, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(e)
+    }
+    val lookup = ranked
+      .withColumn(rankCol, (col("_lrn") + offExpr).cast(IntegerType))
+      .select(col(valueCol), col(rankCol))
+    totals.join(broadcast(lookup), Seq(valueCol))
   }
 
   /** A3 (app.py:145-146): top spender per category. The reference's
@@ -144,14 +179,17 @@ object Relational {
   }
 
   /** A4 (app.py:149-151): per-customer nested category detail —
-    * `customer_id → list[{customer_id, name, category, amount}]`, amounts
-    * rounded, list ordered by category (pandas preserves A1's key-sorted
-    * order; `sort_array` pins the same order distributively).
+    * `customer_id → list[{name, category, amount}]`, amounts rounded.
+    * pandas preserves A1's (customer_id, name, category) key-sorted order,
+    * so within one customer_id the record order is (name, category) — the
+    * struct leads with `name` so `sort_array` reproduces that order
+    * distributively, including for duplicate customer ids with differing
+    * names.
     */
   def nestDetails(categoryTotals: DataFrame): DataFrame =
     categoryTotals
       .withColumn("amount", bround(col("amount"), 2))
       .groupBy("customer_id")
       .agg(sort_array(collect_list(struct(
-        col("category"), col("name"), col("amount")))).as("details"))
+        col("name"), col("category"), col("amount")))).as("details"))
 }

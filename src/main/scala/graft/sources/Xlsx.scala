@@ -240,6 +240,11 @@ object Xlsx {
     var inV = false
     var inIsT = false
     val text = new StringBuilder
+    // Inline strings (<is>) may carry multiple rich-text runs
+    // (<r><t>..</t></r>…): runs accumulate here and the cell is set once
+    // at </c>, mirroring parseSharedStrings' run concatenation.
+    val inlineBuf = new StringBuilder
+    var sawInline = false
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
@@ -252,6 +257,8 @@ object Xlsx {
               val ref = r.getAttributeValue(null, "r")
               curCol = if (ref != null) colIndex(ref) else curCol + 1
               cellType = r.getAttributeValue(null, "t")
+              inlineBuf.setLength(0)
+              sawInline = false
             case "v" => inV = true; text.setLength(0)
             case "t" => inIsT = true; text.setLength(0)
             case _ => ()
@@ -271,8 +278,13 @@ object Xlsx {
               setCell(rows, curRow, curCol, value)
             case "t" if inIsT =>
               inIsT = false
-              if (cellType == "inlineStr")
-                setCell(rows, curRow, curCol, text.toString)
+              if (cellType == "inlineStr") {
+                inlineBuf.append(text)
+                sawInline = true
+              }
+            case "c" =>
+              if (sawInline)
+                setCell(rows, curRow, curCol, inlineBuf.toString)
             case _ => ()
           }
         case _ => ()

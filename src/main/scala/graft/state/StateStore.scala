@@ -40,7 +40,11 @@ class StateStore(spark: SparkSession, dir: String) {
                           schema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     val p = sub(name)
-    if (Files.exists(p) && Files.list(p).findFirst().isPresent)
+    val nonEmpty = Files.exists(p) && {
+      val s = Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (nonEmpty)
       spark.read.schema(schema).parquet(p.toString)
     else
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
@@ -147,7 +151,10 @@ class StateStore(spark: SparkSession, dir: String) {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

@@ -116,13 +116,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("C1", 1), ("C2", 2), ("C3", 1), ("C4", 3)))
   }
 
-  test("nestDetails: per-customer sorted category lists") {
+  test("summaryRanked (two-phase default) ≡ summaryRankedWindow (W1 form)") {
+    val ct = (1 to 200).map { i =>
+      (s"C$i", s"N$i", if (i % 2 == 0) "A" else "B", (i % 17) * 10.0 + 0.004)
+    }.toDF("customer_id", "name", "category", "amount")
+    val a = Relational.summaryRanked(ct).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val b = Relational.summaryRankedWindow(ct).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(a.sortBy(x => (x._4, x._1)).toSeq === b.sortBy(x => (x._4, x._1)).toSeq)
+  }
+
+  test("nestDetails: per-customer lists ordered by (name, category)") {
     val ct = Seq(
-      ("C1", "A", "Zoo", 2.0), ("C1", "A", "Art", 1.0), ("C2", "B", "Art", 3.0))
+      ("C1", "A", "Zoo", 2.0), ("C1", "A", "Art", 1.0), ("C2", "B", "Art", 3.0),
+      // duplicate customer id with differing names: pandas' A1 key order
+      // puts name "A" rows before "B" rows regardless of category
+      ("C3", "B", "Aaa", 1.0), ("C3", "A", "Zzz", 2.0))
       .toDF("customer_id", "name", "category", "amount")
     val nested = Relational.nestDetails(ct).orderBy("customer_id").collect()
-    assert(nested.length === 2)
+    assert(nested.length === 3)
     val c1 = nested(0).getSeq[org.apache.spark.sql.Row](1)
-    assert(c1.map(_.getString(0)) === Seq("Art", "Zoo"))
+    assert(c1.map(r => (r.getString(0), r.getString(1))) ===
+      Seq(("A", "Art"), ("A", "Zoo")))
+    val c3 = nested(2).getSeq[org.apache.spark.sql.Row](1)
+    assert(c3.map(r => (r.getString(0), r.getString(1))) ===
+      Seq(("A", "Zzz"), ("B", "Aaa")))
   }
 }
