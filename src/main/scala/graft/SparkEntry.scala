@@ -86,6 +86,41 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("flagship_rank")(spark, "/root/testdata/sf0.001")
 
+  /** Deterministic two-batch state build for the S10/S11 audit scans: the
+    * customer table becomes two synthetic customer batches (batch 2 changes
+    * the address of every custkey % 3 == 0 row), run through the real
+    * [[graft.state.StateStore]] CDC + upsert machinery into a fresh temp
+    * state directory — so `uploads`/`address_changes` and their ordered
+    * scans are reproducible from the parquet inputs alone, and the DuckDB
+    * oracle can recompute them (/root/reference/app.py:193-203).
+    */
+  private def buildAuditState(s: SparkSession, dir: String)
+      : graft.state.StateStore = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val store = new graft.state.StateStore(s, tmp)
+    val cust = t(s, dir, "customer")
+    def batch(addr: Column) = cust.select(
+      col("c_custkey").cast("string").as("customer_id"),
+      col("c_name").as("name"),
+      concat(lower(col("c_mktsegment")), lit("@example.com")).as("email"),
+      col("c_nationkey").cast("string").as("dob"),
+      addr.as("address"),
+      (col("c_custkey") * 7).cast("string").as("created_date"),
+      col("c_custkey").as("_row_idx"))
+    val baseAddr = concat(col("c_mktsegment"), lit(" St "),
+      col("c_nationkey").cast("string"))
+    val n = cust.count()
+    val id1 = store.recordUpload("batch_1.xlsx", "2026-01-01T00:00:00",
+      0L, n, 0L)
+    store.applyCustomerBatch(batch(baseAddr), "2026-01-01T00:00:00", id1)
+    val id2 = store.recordUpload("batch_2.xlsx", "2026-01-02T00:00:00",
+      0L, n, 0L)
+    val changed = when(col("c_custkey") % 3 === 0,
+      concat(baseAddr, lit("B"))).otherwise(baseAddr)
+    store.applyCustomerBatch(batch(changed), "2026-01-02T00:00:00", id2)
+    store
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Flagship relational chain (J1,J2,P12,A1,A2,A3,F8,W1,F10,O1) ----
@@ -115,11 +150,25 @@ object SparkEntry {
           col("amount").cast("double").as("amount"))
         .orderBy("category")),
 
-    "nested_details" -> ((s, dir) =>   // A4 — nested output: rows-only check
-      Relational.nestDetails(
-          Relational.categoryTotals(merged(s, dir))
-            .withColumn("amount", col("amount").cast("double")))
+    // A4 via Relational.nestDetails, with the nested list serialized to a
+    // flat string (name|category|amount records joined by ';') — array
+    // columns crash the driver's pandas comparator, and the decimal(18,2)
+    // string rendering is identical in both engines.
+    "nested_details" -> ((s, dir) =>
+      Relational.nestDetails(Relational.categoryTotals(merged(s, dir)))
+        .select(col("customer_id"),
+          array_join(transform(col("details"), d =>
+            concat_ws("|", d.getField("name"), d.getField("category"),
+              d.getField("amount").cast("decimal(18,2)").cast("string"))),
+            ";").as("details"))
         .orderBy("customer_id")),
+
+    "flagship_rank_window" -> ((s, dir) =>   // W1 literal single-window form
+      Relational.summaryRankedWindow(
+          Relational.categoryTotals(merged(s, dir)))
+        .select(col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"), col("rank"))
+        .orderBy("rank", "customer_id")),
 
     // ---- Customer packed-record parser (P1-P9, F1-F6) -------------------
 
@@ -266,13 +315,20 @@ object SparkEntry {
           bround(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy("event_type")),
 
+    // Exact distinct users per event type — the oracle-checked half of the
+    // distinct-count pair.
+    "users_per_type" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
     // HLL sketch: approximate distinct users per event type (rows-only —
     // sketch internals are engine-specific; accuracy asserted vs the
     // exact count in PropertySpec).
     "approx_users_per_type" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"),
-          countDistinct("user_id").as("exact_users"))
+        .agg(approx_count_distinct("user_id").as("approx_users"))
         .orderBy("event_type")),
 
     // Pivot: per-user event-type counts as columns.
@@ -306,6 +362,9 @@ object SparkEntry {
 
     "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    "simhash_pairs_md5" -> ((s, dir) =>   // md5-sliced portable variant
+      Dedup.simhashPairsPortable(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
     // ---- Similarity search ----------------------------------------------
 
@@ -378,16 +437,59 @@ object SparkEntry {
       val n = Tables.load(s, dir, "documents").count()
       Multimodal.extractFeatures(Multimodal.synthesize(s, n))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          col("byte_entropy"), col("histogram"))
+          col("byte_entropy"),
+          // serialized: array columns crash the driver's comparator
+          to_json(col("histogram")).as("histogram"))
         .orderBy("asset_id")
-    })
+    }),
+
+    // Frame sampling (pure Catalyst: posexplode over a stride sequence +
+    // binary substring). Frame selection and byte counts are arithmetic
+    // over the synthetic asset layout, so DuckDB can recompute them.
+    "sample_frames" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.sampleFrames(Multimodal.synthesize(s, n))
+        .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
+          length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
+        .orderBy("asset_id", "frame_no")
+    }),
+
+    // ---- Scale tooling ---------------------------------------------------
+
+    // Skew-salted join ≡ plain join: revenue per supplier through the
+    // salted path, oracle-checked against the unsalted SQL join — proving
+    // the skew tool is semantics-preserving.
+    "salted_join_agg" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("suppkey"),
+        col("l_extendedprice").cast("decimal(18,4)").as("amount"))
+      val dim = t(s, dir, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_name").as("supplier"))
+      Scale.saltedJoin(fact, dim, "suppkey")
+        .groupBy("supplier")
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum("amount"), 2).cast("double").as("revenue"))
+        .orderBy("supplier")
+    }),
+
+    // ---- State audit scans (S10/S11, app.py:193-203) --------------------
+
+    "audit_uploads" -> ((s, dir) =>
+      buildAuditState(s, dir).uploadsOrdered),
+
+    "audit_address_changes" -> ((s, dir) =>
+      buildAuditState(s, dir).addressChangesOrdered)
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------
-  // Omitted for: nested_details (nested list output), simhash_pairs
-  // (xxhash64 is not portable), ann_topk_lsh / embedding_neardup_lsh
-  // (approximate paths — verified against the exact operators in ScalaTest
-  // instead). Those get the driver's rows-only check.
+  // Omitted (rows-only check) for: simhash_pairs (xxhash64 is not
+  // portable — the md5-sliced simhash_pairs_md5 variant IS oracle-checked),
+  // approx_users_per_type (HLL sketch; ≤5% error vs exact asserted in
+  // PropertySpec), rolling_fingerprint (Long-overflow Rabin-Karp
+  // arithmetic), multimodal_features (synthetic binary payloads; the
+  // arithmetic-only sample_frames IS oracle-checked), and ann_topk_lsh /
+  // ann_topk_ivf / embedding_neardup_lsh (approximate paths — recall
+  // verified against the exact operators in SimilaritySpec).
 
   private val mergedSql =
     """FROM lineitem l
@@ -413,6 +515,55 @@ object SparkEntry {
       |    ELSE [] END) AS shingles
       |  FROM t)""".stripMargin
 
+  // One SQL for both rank-path variants: flagship_rank (two-phase scale
+  // path) and flagship_rank_window (literal W1 window) must produce the
+  // identical relation.
+  private val flagshipSql =
+    s"""WITH ct AS ($ctSql),
+       |s AS (SELECT customer_id, name, roundbankers(SUM(amount), 2) AS amt
+       |      FROM ct GROUP BY 1, 2)
+       |SELECT customer_id, name, CAST(amt AS DOUBLE) AS amount,
+       |  CAST(DENSE_RANK() OVER (ORDER BY amt DESC) AS INT) AS "rank"
+       |FROM s ORDER BY "rank", customer_id""".stripMargin
+
+  /** Generated oracle for the portable md5-nibble SimHash: 32 per-bit ±1
+    * sums from the first 8 hex nibbles of each distinct token's md5,
+    * packed into four 8-bit band keys, banded pair join, Hamming via
+    * bit_count(xor). Mirrors [[graft.operators.Dedup.simhashPairsPortable]]
+    * integer-for-integer.
+    */
+  private val simhashMd5Sql: String = {
+    val nibDefs = (0 until 8).map(k =>
+      s"strpos('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1 AS nib$k")
+      .mkString(", ")
+    val bitSums = (0 until 32).map { i =>
+      s"SUM(CASE WHEN (nib${i / 4} & ${1 << (i % 4)}) != 0 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(", ")
+    val chunkDefs = (0 until 4).map { c =>
+      (0 until 8).map(j =>
+        s"(CASE WHEN b${c * 8 + j} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ") + s" AS chunk_$c"
+    }.mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, chunk_0, chunk_1, chunk_2, chunk_3, $b AS band, chunk_$b AS bkey FROM sig")
+      .mkString(" UNION ALL ")
+    val ham = (0 until 4).map(c =>
+      s"bit_count(xor(a.chunk_$c, b.chunk_$c))").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  FROM documents),
+       |n AS (SELECT doc_id, $nibDefs FROM t),
+       |b AS (SELECT doc_id, $bitSums FROM n GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $chunkDefs FROM b),
+       |banded AS ($bands),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val enList = "('the','a','of','and','to','in','is','it')"
   private val deList = "('der','die','das','und','ist','mit','ein','zu')"
   private val frList = "('le','la','les','et','est','une','dans','que')"
@@ -433,13 +584,71 @@ object SparkEntry {
          |SELECT customer_id, name, category, CAST(amount AS DOUBLE) AS amount
          |FROM ct ORDER BY customer_id, name, category""".stripMargin,
 
-    "flagship_rank" ->
+    "flagship_rank" -> flagshipSql,
+
+    "flagship_rank_window" -> flagshipSql,
+
+    "nested_details" ->
       s"""WITH ct AS ($ctSql),
-         |s AS (SELECT customer_id, name, roundbankers(SUM(amount), 2) AS amt
-         |      FROM ct GROUP BY 1, 2)
-         |SELECT customer_id, name, CAST(amt AS DOUBLE) AS amount,
-         |  CAST(DENSE_RANK() OVER (ORDER BY amt DESC) AS INT) AS "rank"
-         |FROM s ORDER BY "rank", customer_id""".stripMargin,
+         |r AS (SELECT customer_id, name, category,
+         |  CAST(CAST(roundbankers(amount, 2) AS DECIMAL(18,2)) AS VARCHAR)
+         |    AS amt
+         |  FROM ct)
+         |SELECT customer_id,
+         |  string_agg(name || '|' || category || '|' || amt, ';'
+         |    ORDER BY name, category) AS details
+         |FROM r GROUP BY customer_id ORDER BY customer_id""".stripMargin,
+
+    "users_per_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "simhash_pairs_md5" -> simhashMd5Sql,
+
+    "sample_frames" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM documents),
+        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
+        |vids AS (SELECT id, 16 + (id % 16) AS n_frames FROM ids
+        |         WHERE id % 3 = 2),
+        |fr AS (SELECT id AS asset_id,
+        |  unnest(range(0, n_frames, 4)) AS frame_no FROM vids)
+        |SELECT asset_id, frame_no,
+        |  GREATEST(0, LEAST(256, 4096 - frame_no * 256)) AS n_frame_bytes
+        |FROM fr ORDER BY asset_id, frame_no""".stripMargin,
+
+    "salted_join_agg" ->
+      """SELECT s.s_name AS supplier, COUNT(*) AS n_lineitems,
+        |  CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "audit_uploads" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS id, 'batch_2.xlsx' AS filename,
+        |    '2026-01-02T00:00:00' AS "timestamp",
+        |    CAST(0 AS BIGINT) AS transactions_rows,
+        |    (SELECT COUNT(*) FROM customer) AS customers_rows,
+        |    CAST(0 AS BIGINT) AS products_rows
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'batch_1.xlsx', '2026-01-01T00:00:00',
+        |    CAST(0 AS BIGINT), (SELECT COUNT(*) FROM customer),
+        |    CAST(0 AS BIGINT))
+        |ORDER BY "timestamp" DESC, id DESC""".stripMargin,
+
+    "audit_address_changes" ->
+      """WITH ch AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS id,
+        |    CAST(c_custkey AS VARCHAR) AS customer_id,
+        |    c_mktsegment || ' St ' || c_nationkey AS old_address,
+        |    c_mktsegment || ' St ' || c_nationkey || 'B' AS new_address,
+        |    '2026-01-02T00:00:00' AS change_timestamp,
+        |    CAST(2 AS BIGINT) AS upload_id
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT id, customer_id, old_address, new_address, change_timestamp,
+        |  upload_id
+        |FROM ch ORDER BY change_timestamp DESC, id DESC""".stripMargin,
 
     "top_spenders" ->
       s"""WITH ct AS ($ctSql),

@@ -57,6 +57,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!byPair.contains((0L, 3L)) && !byPair.contains((3L, 4L)))
   }
 
+  test("simhashPairsPortable: identical docs at hamming 0; unrelated apart") {
+    val pairs = Dedup.simhashPairsPortable(docs, maxHamming = 6).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Long]("hamming")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) === 0L)
+    // near-dup of 0 shares almost all distinct tokens → small distance
+    assert(byPair.get((0L, 2L)).forall(_ <= 6L))
+    assert(!byPair.contains((0L, 3L)))
+  }
+
+  test("portable simhash chunks pack the same sign bits as the ±1 sums") {
+    // doc 0 vs doc 1 are identical → identical chunk keys; chunk values
+    // stay within 8 bits
+    val sigs = Dedup.simhashSignaturesPortable(docs).orderBy("doc_id")
+      .collect()
+    assert(sigs(0).toSeq.drop(1) === sigs(1).toSeq.drop(1))
+    sigs.foreach(r => (1 to 4).foreach { c =>
+      val v = r.getLong(c)
+      assert(v >= 0L && v <= 255L)
+    })
+  }
+
   test("minhashSignatures: identical docs share all bands") {
     val sigs = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
     val s0 = sigs(0).toSeq.drop(1)

@@ -83,6 +83,28 @@ class GoldenPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("golden: 39-upload replay reproduces the reference's end state") {
+    // The reference ships upload_logs.db materialized after 39 uploads of
+    // the sample workbook: 39 upload rows (1000/104/8 each), 100 customers,
+    // 308 address_changes (4 on the first batch, 8 per repeat — SURVEY §5).
+    assume(Files.exists(Paths.get(sample)), s"sample workbook missing")
+    withPipeline { p =>
+      val changes = (1 to 39).map { i =>
+        p.runBatch(sample, timestamp = f"2026-01-01T00:00:$i%02d").nChanges
+      }
+      assert(changes.head === 4L)
+      assert(changes.tail.forall(_ === 8L))
+      assert(p.store.uploads.count() === 39L)
+      assert(p.store.customers.count() === 100L)
+      assert(p.store.addressChanges.count() === 308L)  // 4 + 38×8
+      // dense id sequences survive the replay
+      assert(p.store.uploads.select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq === (1L to 39L))
+      assert(p.store.addressChanges.select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq === (1L to 308L))
+    }
+  }
+
   test("rejects workbooks without the required sheets (S2) and bad extensions (S3)") {
     val tmp = Files.createTempDirectory("graft_badwb").toString
     val p = new Pipeline(spark, s"$tmp/state", s"$tmp/processed")
