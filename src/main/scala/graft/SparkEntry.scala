@@ -370,13 +370,13 @@ object SparkEntry {
 
     "ann_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L)),
 
-    "ann_topk_lsh" -> ((s, dir) =>    // approximate path: rows-only check
+    "ann_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), queryId = 0L)),
 
-    "ann_topk_ivf" -> ((s, dir) =>    // IVF cell-probe path: rows-only check
+    "ann_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), queryId = 0L)),
 
-    "embedding_neardup_lsh" -> ((s, dir) =>  // rows-only check
+    "embedding_neardup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(emb(s, dir), threshold = 0.9)
         .orderBy("vec_a", "vec_b")),
 
@@ -486,10 +486,11 @@ object SparkEntry {
   // portable — the md5-sliced simhash_pairs_md5 variant IS oracle-checked),
   // approx_users_per_type (HLL sketch; ≤5% error vs exact asserted in
   // PropertySpec), rolling_fingerprint (Long-overflow Rabin-Karp
-  // arithmetic), multimodal_features (synthetic binary payloads; the
-  // arithmetic-only sample_frames IS oracle-checked), and ann_topk_lsh /
-  // ann_topk_ivf / embedding_neardup_lsh (approximate paths — recall
-  // verified against the exact operators in SimilaritySpec).
+  // arithmetic), and multimodal_features (synthetic binary payloads; the
+  // arithmetic-only sample_frames IS oracle-checked). The approximate ANN
+  // paths (ann_topk_lsh / ann_topk_ivf / embedding_neardup_lsh) ARE
+  // oracle-checked: their hyperplanes/centroids are deterministic, inlined
+  // into generated SQL above.
 
   private val mergedSql =
     """FROM lineitem l
@@ -564,6 +565,93 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- Generated LSH / IVF oracles ------------------------------------
+  // The sign-random-projection hyperplanes are deterministic integer-mixed
+  // doubles (Similarity.planeVec); they are inlined as SQL literals so
+  // DuckDB computes the identical buckets. Embeddings are 64-wide at every
+  // testdata SF. Shortest-round-trip double rendering parses back to the
+  // same binary double (DECIMAL literal → DOUBLE cast is a correct
+  // round-trip for ≤17 significant digits).
+  private val EmbDim = 64
+
+  private def planeSqlLit(salt: Int, i: Int): String =
+    "CAST([" + Similarity.planeVec(salt * 1024 + i, EmbDim).mkString(", ") +
+      "] AS DOUBLE[])"
+
+  /** Σ 2^i over planes whose projection of `vExpr` is ≥ 0 — the SQL twin
+    * of [[graft.operators.Similarity.lshBucket]].
+    */
+  private def bucketSql(vExpr: String, planes: Int, salt: Int): String =
+    (0 until planes).map { i =>
+      s"(CASE WHEN list_inner_product($vExpr, ${planeSqlLit(salt, i)}) >= 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"list_inner_product($a, $b) / " +
+      s"sqrt(list_inner_product($a, $a) * list_inner_product($b, $b))"
+
+  private val vecsSql =
+    """vecs AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private def bandedSql(planes: Int, tables: Int): String =
+    "banded AS (" + (0 until tables).map { t =>
+      s"SELECT vec_id, label, v, $t AS tbl, " +
+        bucketSql("v", planes, salt = t) + " AS bucket FROM vecs"
+    }.mkString(" UNION ALL ") + ")"
+
+  private val annLshSql =
+    s"""WITH $vecsSql,
+       |${bandedSql(planes = 8, tables = 3)},
+       |qb AS (SELECT tbl, bucket, v AS qv FROM banded WHERE vec_id = 0),
+       |sims AS (SELECT b.vec_id, b.label,
+       |  roundbankers(${cosSql("b.v", "q.qv")}, 6) AS sim
+       |  FROM banded b JOIN qb q ON b.tbl = q.tbl AND b.bucket = q.bucket
+       |  WHERE b.vec_id <> 0)
+       |SELECT DISTINCT vec_id, label, sim FROM sims
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  private val embNearDupSql =
+    s"""WITH $vecsSql,
+       |${bandedSql(planes = 12, tables = 3)},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |sims AS (SELECT c.vec_a, c.vec_b,
+       |  roundbankers(${cosSql("x.v", "y.v")}, 6) AS sim
+       |  FROM cand c JOIN vecs x ON c.vec_a = x.vec_id
+       |  JOIN vecs y ON c.vec_b = y.vec_id)
+       |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.9
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** IVF cell-probe twin: centroids are the 16 lowest vec_ids (cell = rank
+    * in that order), assignment is argmax cosine with ties to the higher
+    * cell, probing takes the 4 query-closest cells with ties to the lower
+    * cell — exactly [[graft.operators.Similarity.ivfTopK]]'s rules.
+    */
+  private val annIvfSql =
+    s"""WITH $vecsSql,
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+       |  v AS cv FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
+       |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+       |asg AS (SELECT vec_id, label, v, cell FROM (
+       |  SELECT vecs.vec_id, vecs.label, vecs.v, cent.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |      ORDER BY ${cosSql("vecs.v", "cent.cv")} DESC, cent.cell DESC)
+       |      AS rn
+       |  FROM vecs, cent) WHERE rn = 1),
+       |probe AS (SELECT cell FROM (
+       |  SELECT cent.cell, ROW_NUMBER() OVER (
+       |    ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cell ASC) AS rn
+       |  FROM cent, q) WHERE rn <= 4)
+       |SELECT a.vec_id, a.label,
+       |  roundbankers(${cosSql("a.v", "q.qv")}, 6) AS sim
+       |FROM asg a JOIN probe p ON a.cell = p.cell, q
+       |WHERE a.vec_id <> 0
+       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+
   private val enList = "('the','a','of','and','to','in','is','it')"
   private val deList = "('der','die','das','und','ist','mit','ein','zu')"
   private val frList = "('le','la','les','et','est','une','dans','que')"
@@ -603,6 +691,12 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ann_topk_lsh" -> annLshSql,
+
+    "ann_topk_ivf" -> annIvfSql,
+
+    "embedding_neardup_lsh" -> embNearDupSql,
 
     "simhash_pairs_md5" -> simhashMd5Sql,
 

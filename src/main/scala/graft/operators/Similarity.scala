@@ -58,7 +58,7 @@ object Similarity {
     * on every run. Materialized once as a literal vector so the
     * projection is one codegen'd [[graft.functions.ArrayDotProduct]].
     */
-  private def planeVec(i: Int, dim: Int): Seq[Double] =
+  private[graft] def planeVec(i: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
       val m = (i.toLong * 2654435761L + j.toLong * 40503L +
                j.toLong * j * 69069L) % 1048576L
