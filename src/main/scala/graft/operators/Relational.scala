@@ -139,25 +139,39 @@ object Relational {
     * so partition ids and counts agree across the count job and the
     * join-back job.
     */
-  def twoPhaseDenseRank(totals: DataFrame, valueCol: String = "amount",
+  def twoPhaseDenseRank(totals0: DataFrame, valueCol: String = "amount",
                         rankCol: String = "rank",
                         partitions: Int = 32): DataFrame = {
-    val ranked = totals.select(valueCol).distinct()
+    // The totals are small (one row per group key) but carry the full
+    // upstream pipeline as lineage, and this rank references them four
+    // times (probe, distinct, both offset sides). Persisting collapses
+    // those into one materialization — the same contract as
+    // Dedup.nearDupPairs' shingle frame: the caller clears the session
+    // cache after materializing when invoking in a loop (Bench/Verify do).
+    // At cluster scale this is precisely the relation you'd materialize
+    // before ranking.
+    val totals = totals0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = totals.select(valueCol).distinct()
       .repartitionByRange(partitions, desc(valueCol))
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrn", row_number().over(
         Window.partitionBy("_pid").orderBy(desc(valueCol))))
-    val counts = ranked.groupBy("_pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) =>
-      val off = acc; acc += c; (pid, off)
-    }
-    val offExpr = offsets.foldLeft(lit(0L): Column) { case (e, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(e)
-    }
-    val lookup = ranked
-      .withColumn(rankCol, (col("_lrn") + offExpr).cast(IntegerType))
+    // Prefix offsets over the ≤ `partitions` per-partition counts, as a
+    // triangular self-join (offset(p) = Σ counts of earlier partitions).
+    // The broadcast nested-loop join touches ≤ partitions² ≈ 1k tuples —
+    // deliberately chosen over an unpartitioned window or a driver
+    // collect: the whole rank stays ONE lazy plan, so the expensive
+    // upstream pipeline is executed once (exchange reuse), never
+    // re-derived for a side job.
+    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"),
+        "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
+    val lookup = local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankCol, (col("_lrn") + col("_off")).cast(IntegerType))
       .select(col(valueCol), col(rankCol))
     totals.join(broadcast(lookup), Seq(valueCol))
   }
