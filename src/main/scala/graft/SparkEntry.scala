@@ -527,22 +527,22 @@ object SparkEntry {
        |  CAST(DENSE_RANK() OVER (ORDER BY amt DESC) AS INT) AS "rank"
        |FROM s ORDER BY "rank", customer_id""".stripMargin
 
-  /** Generated oracle for the portable md5-nibble SimHash: 32 per-bit ±1
-    * sums from the first 8 hex nibbles of each distinct token's md5,
-    * packed into four 8-bit band keys, banded pair join, Hamming via
+  /** Generated oracle for the portable md5-nibble SimHash: 64 per-bit ±1
+    * sums from the first 16 hex nibbles of each distinct token's md5,
+    * packed into four 16-bit band keys, banded pair join, Hamming via
     * bit_count(xor). Mirrors [[graft.operators.Dedup.simhashPairsPortable]]
     * integer-for-integer.
     */
   private val simhashMd5Sql: String = {
-    val nibDefs = (0 until 8).map(k =>
+    val nibDefs = (0 until 16).map(k =>
       s"strpos('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1 AS nib$k")
       .mkString(", ")
-    val bitSums = (0 until 32).map { i =>
+    val bitSums = (0 until 64).map { i =>
       s"SUM(CASE WHEN (nib${i / 4} & ${1 << (i % 4)}) != 0 THEN 1 ELSE -1 END) AS b$i"
     }.mkString(", ")
     val chunkDefs = (0 until 4).map { c =>
-      (0 until 8).map(j =>
-        s"(CASE WHEN b${c * 8 + j} > 0 THEN ${1L << j} ELSE 0 END)")
+      (0 until 16).map(j =>
+        s"(CASE WHEN b${c * 16 + j} > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ") + s" AS chunk_$c"
     }.mkString(", ")
     val bands = (0 until 4).map(b =>

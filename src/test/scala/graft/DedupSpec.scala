@@ -70,13 +70,13 @@ class DedupSpec extends AnyFunSuite {
 
   test("portable simhash chunks pack the same sign bits as the ±1 sums") {
     // doc 0 vs doc 1 are identical → identical chunk keys; chunk values
-    // stay within 8 bits
+    // stay within 16 bits
     val sigs = Dedup.simhashSignaturesPortable(docs).orderBy("doc_id")
       .collect()
     assert(sigs(0).toSeq.drop(1) === sigs(1).toSeq.drop(1))
     sigs.foreach(r => (1 to 4).foreach { c =>
       val v = r.getLong(c)
-      assert(v >= 0L && v <= 255L)
+      assert(v >= 0L && v <= 65535L)
     })
   }
 
