@@ -454,6 +454,17 @@ object SparkEntry {
         .orderBy("asset_id", "frame_no")
     }),
 
+    // Resize/resample plumbing: deterministic byte-decimation stub over
+    // the binary payload; output sizes are pure arithmetic, so DuckDB can
+    // recompute them even though the bytes are synthetic.
+    "resize_assets" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.resizeStub(Multimodal.synthesize(s, n), factor = 4)
+        .select(col("asset_id"),
+          length(col("bytes")).cast("long").as("n_bytes"))
+        .orderBy("asset_id")
+    }),
+
     // ---- Scale tooling ---------------------------------------------------
 
     // Skew-salted join ≡ plain join: revenue per supplier through the
@@ -699,6 +710,12 @@ object SparkEntry {
     "embedding_neardup_lsh" -> embNearDupSql,
 
     "simhash_pairs_md5" -> simhashMd5Sql,
+
+    "resize_assets" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM documents)
+        |SELECT unnest(range((SELECT c FROM n))) AS asset_id,
+        |  CAST(1024 AS BIGINT) AS n_bytes
+        |ORDER BY asset_id""".stripMargin,
 
     "sample_frames" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM documents),
