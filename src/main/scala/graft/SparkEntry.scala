@@ -376,6 +376,15 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), queryId = 0L)),
 
+    "ann_topk_lsh_mp" -> ((s, dir) =>   // multi-probe: flips low-margin bits
+      Similarity.lshTopKMultiProbe(emb(s, dir), queryId = 0L)),
+
+    "ann_topk_ivf_kmeans" -> ((s, dir) => {  // rows-only: trained codebook
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, queryId = 0L,
+        codebook = Some(Similarity.kmeansCodebook(e, nCells = 16, iters = 2)))
+    }),
+
     "embedding_neardup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(emb(s, dir), threshold = 0.9)
         .orderBy("vec_a", "vec_b")),
@@ -624,6 +633,37 @@ object SparkEntry {
        |SELECT DISTINCT vec_id, label, sim FROM sims
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Multi-probe twin of [[annLshSql]]: the probe set (query bucket plus
+    * the `probes` single-bit flips with the smallest |projection| margin,
+    * plane-index tiebreak) is recomputed in SQL from the same hyperplane
+    * literals.
+    */
+  private val annLshMultiProbeSql: String = {
+    val projBranches = (for { t <- 0 until 3; i <- 0 until 8 } yield
+      s"SELECT $t AS tbl, $i AS plane, ${1L << i} AS bit, " +
+        s"list_inner_product(q.qv, ${planeSqlLit(t, i)}) AS proj FROM q")
+      .mkString(" UNION ALL ")
+    s"""WITH $vecsSql,
+       |${bandedSql(planes = 8, tables = 3)},
+       |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+       |projs AS ($projBranches),
+       |base AS (SELECT tbl, SUM(CASE WHEN proj >= 0 THEN bit ELSE 0 END)
+       |  AS b FROM projs GROUP BY tbl),
+       |flips AS (SELECT tbl, bit FROM (
+       |  SELECT tbl, bit, ROW_NUMBER() OVER (PARTITION BY tbl
+       |    ORDER BY abs(proj), plane) AS rn FROM projs) WHERE rn <= 3),
+       |probe AS (SELECT tbl, b AS bucket FROM base
+       |  UNION ALL SELECT f.tbl, xor(b.b, f.bit) FROM flips f
+       |  JOIN base b ON f.tbl = b.tbl),
+       |sims AS (SELECT bd.vec_id, bd.label,
+       |  roundbankers(${cosSql("bd.v", "q.qv")}, 6) AS sim
+       |  FROM banded bd
+       |  JOIN probe p ON bd.tbl = p.tbl AND bd.bucket = p.bucket, q
+       |  WHERE bd.vec_id <> 0)
+       |SELECT DISTINCT vec_id, label, sim FROM sims
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   private val embNearDupSql =
     s"""WITH $vecsSql,
        |${bandedSql(planes = 12, tables = 3)},
@@ -704,6 +744,8 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_topk_lsh" -> annLshSql,
+
+    "ann_topk_lsh_mp" -> annLshMultiProbeSql,
 
     "ann_topk_ivf" -> annIvfSql,
 

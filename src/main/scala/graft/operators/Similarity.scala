@@ -117,24 +117,69 @@ object Similarity {
     * Centroids are a deterministic sample (lowest `nCells` vec_ids) —
     * a real deployment would k-means them; the plan shape is identical.
     */
+  /** Cell of `v`: argmax cosine over the codebook, ties to the higher
+    * cell id (lexicographic max of (cos, cell)). One codegen'd projection,
+    * no join — the codebook rides as literals.
+    */
+  private def cellOf(v: Column,
+                     centroids: Array[(Int, Array[Double])]): Column =
+    array_max(array(centroids.toSeq.map { case (cid, cv) =>
+      struct(cosine(v, typedLit(cv.toSeq)).as("cos"),
+             lit(cid).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Lloyd-iteration k-means codebook over the embeddings: deterministic
+    * init (lowest `nCells` vec_ids), cosine assignment, per-cell per-
+    * position mean via one explode + hash aggregate per iteration (the
+    * only driver traffic is the nCells × dim means). Empty cells keep
+    * their previous centroid. The trained codebook drops into [[ivfTopK]]
+    * unchanged — at ingest scale this is the once-per-corpus-version
+    * training job.
+    */
+  def kmeansCodebook(embeddings: DataFrame, nCells: Int = 16,
+                     iters: Int = 3): Array[Array[Double]] = {
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var centroids: Array[Array[Double]] =
+      vecs.orderBy("vec_id").limit(nCells).collect()
+        .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val withIdx = centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
+      val means = vecs
+        .withColumn("cell", cellOf(col("v"), withIdx))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c).map { rows =>
+          val arr = centroids(c).clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(centroids(c))
+      }.toArray
+    }
+    centroids
+  }
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
 
     // Tiny coarse codebook → driver, then into the plan as literals so
-    // cell assignment is one codegen'd projection, no join.
-    val centroids: Array[(Int, Array[Double])] =
-      vecs.orderBy("vec_id").limit(nCells).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
+    // cell assignment is one codegen'd projection, no join. Supplied
+    // codebook (e.g. [[kmeansCodebook]]) wins; default is the
+    // deterministic lowest-id sample.
+    val centroids: Array[(Int, Array[Double])] = codebook match {
+      case Some(cb) => cb.zipWithIndex.map { case (cv, i) => (i, cv) }
+      case None =>
+        vecs.orderBy("vec_id").limit(nCells).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
+    }
 
-    def cellOf(v: Column): Column =
-      array_max(array(centroids.toSeq.map { case (cid, cv) =>
-        struct(cosine(v, typedLit(cv.toSeq)).as("cos"),
-               lit(cid).as("cell"))
-      }: _*)).getField("cell")
-
-    val assigned = vecs.withColumn("cell", cellOf(col("v")))
+    val assigned = vecs.withColumn("cell", cellOf(col("v"), centroids))
 
     val qRow = vecs.where(col("vec_id") === queryId)
       .select(col("v")).head().getSeq[Double](0).toArray
@@ -157,6 +202,53 @@ object Similarity {
       .crossJoin(broadcast(query))
       .select(col("vec_id"), col("label"),
               bround(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each table also probes
+    * the `probes` buckets obtained by flipping the sign bits with the
+    * smallest projection margin — the standard way to raise recall without
+    * adding hash tables (more tables cost memory corpus-wide; extra probes
+    * cost only per-query work). The probe set is computed from the 1-row
+    * query on the driver (≤ tables × planes dot products) and broadcast.
+    * Deterministic: margin ties break on plane index.
+    */
+  def lshTopKMultiProbe(embeddings: DataFrame, queryId: Long, k: Int = 10,
+                        planes: Int = 8, tables: Int = 3,
+                        probes: Int = 3): DataFrame = {
+    val dim = dimOf(embeddings)
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val banded = vecs.select(col("vec_id"), col("label"), col("v"),
+      explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+        lshBucket(col("v"), planes, salt = t, dim).as("bucket"))): _*)).as("b"))
+      .select(col("vec_id"), col("label"), col("v"),
+              col("b.tbl"), col("b.bucket"))
+    val qv = vecs.where(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probeRows = (0 until tables).flatMap { t =>
+      val projs = (0 until planes).map { i =>
+        val p = planeVec(t * 1024 + i, dim)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += qv(j) * p(j); j += 1 }
+        (i, acc)
+      }
+      val base = projs.map { case (i, pr) =>
+        if (pr >= 0) 1L << i else 0L }.reduce(_ | _)
+      val flips = projs.sortBy { case (i, pr) => (math.abs(pr), i) }
+        .take(probes).map(_._1)
+      (base +: flips.map(i => base ^ (1L << i))).map(b => (t, b))
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probe = probeRows.toDF("tbl", "bucket")
+    banded.where(col("vec_id") =!= queryId)
+      .join(broadcast(probe), Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("label"),
+              bround(cosine(col("v"), typedLit(qv.toSeq)), 6).as("sim"))
+      .distinct()
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }

@@ -59,5 +59,22 @@ class SimilaritySpec extends AnyFunSuite {
       .map(_.getAs[Long]("vec_id")).toSet
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall too low (got $ivf)")
+
+    // Multi-probe probes a superset of the single-probe buckets, so its
+    // candidate set — and recall — can only grow.
+    val mp = Similarity.lshTopKMultiProbe(all, queryId = 0L, k = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val mpRecall = (exact & mp).size.toDouble / exact.size
+    assert(mpRecall >= recall,
+      s"multi-probe recall $mpRecall below single-probe $recall")
+
+    // A trained codebook must not lose the planted neighbors either.
+    val cb = Similarity.kmeansCodebook(all, nCells = 8, iters = 2)
+    assert(cb.length === 8)
+    val ivfKm = Similarity.ivfTopK(all, queryId = 0L, k = 5, nCells = 8,
+        codebook = Some(cb)).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val kmRecall = (exact & ivfKm).size.toDouble / exact.size
+    assert(kmRecall >= 0.6, s"k-means IVF recall $kmRecall (got $ivfKm)")
   }
 }
