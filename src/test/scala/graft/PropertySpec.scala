@@ -95,6 +95,35 @@ class PropertySpec extends AnyFunSuite {
            viaAlt.collect().map(_.toSeq).toSeq)
   }
 
+  test("property: salted join equals plain join on skewed random data") {
+    // 80% of fact rows hit one hot key — the regime salting exists for.
+    val fact = (0 until 400).map { i =>
+      val k = if (rnd.nextInt(5) < 4) 0 else rnd.nextInt(20)
+      (s"K$k", i.toLong)
+    }.toDF("k", "payload")
+    val dim = (0 until 20).map(i => (s"K$i", s"attr$i")).toDF("k", "attr")
+    val salted = graft.operators.Scale.saltedJoin(fact, dim, "k")
+      .select("k", "payload", "attr").collect().map(_.toSeq).sortBy(_.toString)
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "payload", "attr").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("property: two-phase dense rank equals window dense rank on randoms") {
+    val totals = (0 until 500).map { i =>
+      (s"C$i", math.round(rnd.nextDouble() * 300) / 10.0)
+    }.toDF("customer_id", "amount")
+    val viaTwoPhase = Relational.twoPhaseDenseRank(totals)
+      .select("customer_id", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("amount"))
+    val viaWindow = totals.withColumn("rank",
+        dense_rank().over(w).cast("int"))
+      .select("customer_id", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(viaTwoPhase.toSeq === viaWindow.toSeq)
+  }
+
   test("property: HLL approx distinct stays within 5% of exact") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val rows = events.groupBy("event_type")
