@@ -80,6 +80,41 @@ object Xlsx {
       name -> spark.createDataFrame(data, schema)
     }.toMap
 
+  /** Distributed multi-workbook scan — the S1 scale path when the landing
+    * zone holds MANY workbooks rather than one big one (each workbook is
+    * already bounded by Excel's own [[MaxRows]]): the file list is
+    * distributed and each executor parses its workbooks locally with the
+    * same StAX codec, so ingest parallelism scales with file count and
+    * nothing but the path list touches the driver. Paths must be visible
+    * from executors (shared/distributed filesystem — true wherever a real
+    * cluster would land uploads).
+    *
+    * Output: `_source` (path), `_row_idx` within its workbook, and
+    * `_c0.._c{width-1}` raw strings — the same shape `promoteHeader`
+    * consumes, plus provenance.
+    */
+  def readSheetAcrossWorkbooks(spark: SparkSession, paths: Seq[String],
+                               sheet: String, width: Int): DataFrame = {
+    val schema = StructType(
+      StructField("_source", StringType, nullable = false) +:
+      StructField("_row_idx", LongType, nullable = false) +:
+      (0 until width).map(i => StructField(s"_c$i", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    import spark.implicits._
+    spark.createDataset(paths)
+      .repartition(math.max(1, math.min(paths.size, 64)))
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          read(p).collectFirst { case (n, rows) if n == sheet => rows }
+            .getOrElse(Vector.empty)
+            .zipWithIndex.map { case (r, i) =>
+              Row.fromSeq(p +: (i.toLong +: (0 until width).map(j =>
+                if (j < r.length) r(j) else null)))
+            }
+        }
+      }(enc)
+  }
+
   /** Write DataFrames as one xlsx, one sheet each, headers from column
     * names (the reference's `to_excel(index=False)`, app.py:159-161).
     * Collects on the driver — guarded by [[MaxRows]]; shard sheets before

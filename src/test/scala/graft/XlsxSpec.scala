@@ -40,6 +40,29 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(2))
   }
 
+  test("readSheetAcrossWorkbooks: executors parse many workbooks in parallel") {
+    val dir = Files.createTempDirectory("graft_multiwb")
+    val paths = (1 to 3).map { i =>
+      val p = dir.resolve(s"wb$i.xlsx").toString
+      val df = Seq((s"a$i", s"b$i"), (s"c$i", s"d$i")).toDF("h1", "h2")
+      Xlsx.write(p, Seq("Data" -> df, "Other" -> Seq(("z", "z")).toDF("x", "y")))
+      p
+    }
+    val got = Xlsx.readSheetAcrossWorkbooks(spark, paths, "Data", width = 2)
+    assert(got.columns.toSeq === Seq("_source", "_row_idx", "_c0", "_c1"))
+    // 3 workbooks × (header + 2 data rows)
+    assert(got.count() === 9L)
+    val byFile = got.collect().groupBy(_.getString(0))
+    assert(byFile.size === 3)
+    paths.zipWithIndex.foreach { case (p, i) =>
+      val rows = byFile(p).sortBy(_.getLong(1)).map(_.toSeq.drop(2))
+      assert(rows.toSeq === Seq(Seq("h1", "h2"),
+        Seq(s"a${i + 1}", s"b${i + 1}"), Seq(s"c${i + 1}", s"d${i + 1}")))
+    }
+    // a sheet name absent from every workbook yields no rows, not a crash
+    assert(Xlsx.readSheetAcrossWorkbooks(spark, paths, "Nope", 2).count() === 0L)
+  }
+
   test("survives a 20k-row workbook end-to-end through the pipeline") {
     val dir = Files.createTempDirectory("graft_bigwb").toString
     val n = 20000
