@@ -120,7 +120,39 @@ object Xlsx {
     * Collects on the driver — guarded by [[MaxRows]]; shard sheets before
     * calling this at larger sizes.
     */
-  def write(path: String, sheets: Seq[(String, DataFrame)]): Unit = {
+  def write(path: String, sheets: Seq[(String, DataFrame)]): Unit =
+    writeParts(path, sheets.map { case (name, df) =>
+      (name, df.columns.toSeq,
+        df.collect().iterator.map(_.toSeq).to(Iterable))
+    })
+
+  /** Executor-side sharded export — the S12 scale path when one workbook
+    * can no longer hold (or one driver can no longer collect) the result:
+    * every partition writes its own single-sheet workbook shard with the
+    * shared header, executor-locally, and only the shard paths return to
+    * the driver. Pair with `repartitionByRange` upstream when shard order
+    * must follow a sort key. Each shard stays under Excel's own
+    * [[MaxRows]].
+    */
+  def writeSharded(df: DataFrame, dir: String,
+                   sheet: String = "Data"): Seq[String] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val header = df.columns.toSeq
+    df.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val rows = it.map(_.toSeq).toVector
+        require(rows.length + 1 <= MaxRows,
+          s"shard $i exceeds $MaxRows rows; repartition finer")
+        val path = s"$dir/part-${"%05d".format(i)}.xlsx"
+        writeParts(path, Seq((sheet, header, rows)))
+        Iterator.single(path)
+      }
+    }.collect().toSeq.sorted
+  }
+
+  private def writeParts(path: String,
+      sheets: Seq[(String, Seq[String], Iterable[Seq[Any]])]): Unit = {
     val out = new ZipOutputStream(new FileOutputStream(path))
     try {
       def put(name: String, content: String): Unit = {
@@ -146,7 +178,7 @@ object Xlsx {
       put("xl/workbook.xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
-        sheets.zipWithIndex.map { case ((name, _), i) =>
+        sheets.zipWithIndex.map { case ((name, _, _), i) =>
           s"""<sheet name="${escape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
         }.mkString + "</sheets></workbook>")
       put("xl/_rels/workbook.xml.rels",
@@ -156,11 +188,7 @@ object Xlsx {
           s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>"""
         ).mkString + "</Relationships>")
 
-      sheets.zipWithIndex.foreach { case ((_, df), i) =>
-        val header = df.columns.toSeq
-        val rows = df.collect()
-        require(rows.length + 1 <= MaxRows,
-          s"sheet ${i + 1} exceeds $MaxRows rows; shard sheets instead")
+      sheets.zipWithIndex.foreach { case ((_, header, rows), i) =>
         val sb = new StringBuilder
         sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
         sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
@@ -180,7 +208,13 @@ object Xlsx {
           sb.append("</row>")
         }
         rowXml(0, header)
-        rows.zipWithIndex.foreach { case (r, k) => rowXml(k + 1, r.toSeq) }
+        var k = 0
+        rows.iterator.foreach { r =>
+          k += 1
+          require(k + 1 <= MaxRows,
+            s"sheet ${i + 1} exceeds $MaxRows rows; shard sheets instead")
+          rowXml(k, r)
+        }
         sb.append("</sheetData></worksheet>")
         put(s"xl/worksheets/sheet${i + 1}.xml", sb.toString)
       }

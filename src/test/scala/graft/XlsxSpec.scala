@@ -63,6 +63,22 @@ class XlsxSpec extends AnyFunSuite {
     assert(Xlsx.readSheetAcrossWorkbooks(spark, paths, "Nope", 2).count() === 0L)
   }
 
+  test("writeSharded: one shard per partition, union equals the frame") {
+    val dir = Files.createTempDirectory("graft_shardwb").resolve("out").toString
+    val df = (1 to 100).map(i => (s"id$i", i.toLong))
+      .toDF("k", "v").repartition(4)
+    val shards = Xlsx.writeSharded(df, dir, sheet = "S")
+    assert(shards.nonEmpty && shards.size <= 4)
+    val all = shards.flatMap { p =>
+      val rows = Xlsx.read(p)
+      assert(rows.map(_._1) === Seq("S"))
+      assert(rows.head._2.head === Vector("k", "v"))
+      rows.head._2.drop(1)   // strip per-shard header
+    }
+    assert(all.size === 100)
+    assert(all.map(_(0)).toSet === (1 to 100).map(i => s"id$i").toSet)
+  }
+
   test("survives a 20k-row workbook end-to-end through the pipeline") {
     val dir = Files.createTempDirectory("graft_bigwb").toString
     val n = 20000
