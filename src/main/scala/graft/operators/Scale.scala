@@ -49,9 +49,33 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write a table with a pruning-friendly physical layout: hive-style
+    * partition directories on `partitionCols` (so predicate on those
+    * columns prunes whole directories at planning time) and a
+    * `sortWithinPartitions` on `sortCols` (so parquet row-group min/max
+    * stats skip pages within files). The once-at-write cost that makes
+    * every later selective scan read a fraction of a 100 TB table.
+    */
+  def writeLayout(df: DataFrame, dir: String, partitionCols: Seq[String],
+                  sortCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed joins buy.
     */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Number of files the scan of `df` will actually read after partition
+    * pruning — the observable data-skipping effect of [[writeLayout]].
+    */
+  def scannedFiles(df: DataFrame): Long =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
 }

@@ -30,6 +30,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(spread > 1)
   }
 
+  test("writeLayout: partition pruning reads only the predicate's files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout")
+      .resolve("docs").toString
+    val df = (0 until 1000).map { i =>
+      (i.toLong, Seq("en", "de", "fr", "es")(i % 4), s"text $i")
+    }.toDF("doc_id", "lang", "text")
+    Scale.writeLayout(df, dir, partitionCols = Seq("lang"),
+      sortCols = Seq("doc_id"))
+
+    val all = spark.read.parquet(dir)
+    val pruned = all.where($"lang" === "en")
+    assert(pruned.count() === 250)
+    val prunedFiles = Scale.scannedFiles(pruned)
+    val totalFiles = Scale.scannedFiles(all)
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"expected pruning: $prunedFiles of $totalFiles files")
+    // the partition predicate must be resolved at planning, not as a
+    // post-scan filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (0 until 1000).map(i => (i.toLong, s"l$i"))
       .toDF("k", "lv")
