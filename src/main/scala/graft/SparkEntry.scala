@@ -185,6 +185,10 @@ object SparkEntry {
       EventOps.tumblingCounts(events(s, dir))
         .orderBy("window_start_ms", "event_type")),
 
+    "event_windows_hopping" -> ((s, dir) =>
+      EventOps.hoppingCounts(events(s, dir))
+        .orderBy("window_start_ms", "event_type")),
+
     "sessionize" -> ((s, dir) =>
       EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
 
@@ -850,6 +854,21 @@ object SparkEntry {
         |  CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Width 1h = 2 slides of 30min → every event lands in exactly the
+    // window starting at its latest 30-min boundary and the one before.
+    "event_windows_hopping" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT (ms // 1800000) * 1800000 AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT (ms // 1800000) * 1800000 - 1800000, event_type, value
+        |  FROM e)
+        |SELECT ws AS window_start_ms, event_type, COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

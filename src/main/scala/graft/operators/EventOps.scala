@@ -95,6 +95,21 @@ object EventOps {
       .select(unix_millis(col("window.start")).as("window_start_ms"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) event-time windows: width `width`, slide `slide`
+    * — each event contributes to width/slide overlapping windows. Same
+    * plan Structured Streaming runs incrementally; aggregation stays a
+    * partial-combined hash aggregate (the explode into per-window rows
+    * happens map-side, before the shuffle).
+    */
+  def hoppingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(eventTs(events), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           cast2dp(sum(col("value").cast("decimal(18,4)"))).as("total_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+              col("event_type"), col("n_events"), col("total_value"))
+
   /** As-of join — an operator Spark's built-ins lack: attach to each left
     * row the latest right value with `right.msCol <= left.msCol` within
     * the key (inclusive). Composed scalably as union-tag + one window

@@ -64,4 +64,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("click", 4L, 13.0), ("view", 1L, 2.0),
                              ("view", 1L, 3.0)))
   }
+
+  test("hoppingCounts: every event lands in exactly width/slide windows") {
+    val hop = EventOps.hoppingCounts(events)   // 1h width, 30m slide
+    val total = hop.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .head().getLong(0)
+    assert(total === events.count() * 2)       // 2 overlapping windows each
+    // consecutive window starts differ by the slide, not the width
+    val starts = hop.select("window_start_ms").distinct()
+      .orderBy("window_start_ms").collect().map(_.getLong(0))
+    assert(starts.sliding(2).forall {
+      case Array(a, b) => (b - a) % 1800000L === 0L
+      case _ => true
+    })
+  }
 }
