@@ -65,6 +65,22 @@ object StreamingPipeline {
       .outputMode("append")
       .start()
 
+  /** Watermarked gap-based session windows via native `session_window` —
+    * the incremental form of [[graft.operators.EventOps.sessionize]]
+    * (same gap semantics): sessions merge as events arrive and emit once
+    * the watermark passes session end + gap, so state is O(open
+    * sessions), not O(stream length).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
   /** Streaming exact dedup with *custom keyed state*
     * (`flatMapGroupsWithState`): the first document per content
     * fingerprint ever seen on the stream passes; every later copy — in

@@ -45,6 +45,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window stream matches the batch sessionize gap semantics") {
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val src = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // user 7: events at 0,5 then a >30min gap then 90 → two sessions;
+    // user 8: one session
+    Seq((1L, ts(0), 7L, "click", 1.0), (2L, ts(5), 7L, "click", 1.0),
+        (3L, ts(90), 7L, "view", 1.0), (4L, ts(2), 8L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+
+    val q = StreamingPipeline.sessionCounts(
+        StreamingPipeline.eventStream(spark, src))
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_counts")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(got.toSeq === Seq((7L, 2L), (7L, 1L), (8L, 1L)))
+
+      // batch operator agrees on the same events
+      val batch = graft.operators.EventOps.sessionize(
+        spark.read.parquet(src)).orderBy("user_id", "session_id").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeats across micro-batches via keyed state") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     val src = s"$dir/src"
