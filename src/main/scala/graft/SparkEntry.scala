@@ -335,6 +335,18 @@ object SparkEntry {
         .agg(approx_count_distinct("user_id").as("approx_users"))
         .orderBy("event_type")),
 
+    // KLL-style quantile sketch (rows-only — sketch, engine-specific;
+    // rank-error bound vs the exact percentiles asserted in PropertySpec).
+    "approx_event_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
+          .as("quantiles"))
+        .select(col("event_type"),
+          bround(element_at(col("quantiles"), 1), 4).as("p50"),
+          bround(element_at(col("quantiles"), 2), 4).as("p95"),
+          bround(element_at(col("quantiles"), 3), 4).as("p99"))
+        .orderBy("event_type")),
+
     // Pivot: per-user event-type counts as columns.
     "events_pivot" -> ((s, dir) =>
       events(s, dir).groupBy("user_id")

@@ -135,6 +135,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: approx_percentile stays within rank tolerance of exact") {
+    // The sketch guarantees RANK error (≤ 1/accuracy), not value error —
+    // so check the achieved rank of each approximate quantile.
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_type", "value")
+    val rows = events.groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("a"),
+        count(lit(1)).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val approx = r.getSeq[Double](1)
+      val n = r.getLong(2).toDouble
+      Seq(0.5, 0.95).zip(approx).foreach { case (p, a) =>
+        val rank = events
+          .where($"event_type" === et && $"value" <= a).count() / n
+        val tol = math.max(0.01, 2.0 / n)
+        assert(rank >= p - tol && rank <= p + tol + 1.0 / n,
+          s"$et p$p: approx $a has rank $rank (n=$n)")
+      }
+    }
+  }
+
   test("property: sql surface exposes array_dot after registration") {
     org.apache.spark.sql.graftext.GraftFunctionRegistry.register(spark)
     val r = spark.sql(
