@@ -172,8 +172,12 @@ object Relational {
       .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
     val lookup = local.join(broadcast(offsets), Seq("_pid"))
       .withColumn(rankCol, (col("_lrn") + col("_off")).cast(IntegerType))
-      .select(col(valueCol), col(rankCol))
-    totals.join(broadcast(lookup), Seq(valueCol))
+      .select(col(valueCol).as("_v"), col(rankCol))
+    // Null-safe equality: a null total (all inputs unparseable) must keep
+    // its row and rank last, exactly like the dense_rank window form
+    // (desc sorts nulls last in both places).
+    totals.join(broadcast(lookup), col(valueCol) <=> col("_v"))
+      .drop("_v")
   }
 
   /** A3 (app.py:145-146): top spender per category. The reference's

@@ -117,14 +117,17 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("summaryRanked (two-phase default) ≡ summaryRankedWindow (W1 form)") {
-    val ct = (1 to 200).map { i =>
-      (s"C$i", s"N$i", if (i % 2 == 0) "A" else "B", (i % 17) * 10.0 + 0.004)
-    }.toDF("customer_id", "name", "category", "amount")
+    val ct = ((1 to 200).map { i =>
+      (s"C$i", s"N$i", if (i % 2 == 0) "A" else "B",
+        Some((i % 17) * 10.0 + 0.004))
+    } :+ (("C999", "N999", "A", Option.empty[Double])))  // all-null total
+      .toDF("customer_id", "name", "category", "amount")
     val a = Relational.summaryRanked(ct).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)), r.getInt(3)))
     val b = Relational.summaryRankedWindow(ct).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)), r.getInt(3)))
     assert(a.sortBy(x => (x._4, x._1)).toSeq === b.sortBy(x => (x._4, x._1)).toSeq)
+    assert(a.exists(x => x._1 == "C999" && x._3.isEmpty))  // null row kept
   }
 
   test("nestDetails: per-customer lists ordered by (name, category)") {
