@@ -36,14 +36,19 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Nudge the ContextCleaner between queries so one query's
-      // accumulated broadcasts/shuffle files don't GC-pause the next, and
-      // drop persisted frames some operators cache internally (e.g. the
-      // near-dup shingle sets) so repeated runs don't accumulate blocks.
+    // Cold-cache before EVERY timed run, not just per query pair: some
+    // operators persist frames internally (two-phase rank totals, near-dup
+    // shingle sets), and a second run hitting the first's InMemoryRelation
+    // would time only the tail of the plan — an unfair min-of-2.
+    def timeCold(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) =>
+                     org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
       System.gc()
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      timeOnce(name, fn)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(timeCold(name, fn), timeCold(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -91,9 +91,14 @@ class Pipeline(spark: SparkSession, stateDir: String, processedDir: String) {
         "product_code", "amount", "payment_type", "product_name", "category",
         "unit_price", "name", "email", "dob", "address", "created_date")
 
-    // A1 → A2/W1 + A3 + A4.
+    // A1 → A2/W1 + A3 + A4. The parity path uses the literal W1 window
+    // form: its input is one row per customer (bounded by the workbook),
+    // and unlike the two-phase scale path it caches nothing — a
+    // long-lived ingestion service must not accumulate persisted frames
+    // per batch. The scale path is the SparkEntry flagship default and
+    // is equality-tested against this form in RelationalSpec.
     val categoryTotals = Relational.categoryTotals(merged)
-    val summary = Relational.summaryRanked(categoryTotals)
+    val summary = Relational.summaryRankedWindow(categoryTotals)
     val top = Relational.topSpenders(categoryTotals)
     val nested = Relational.nestDetails(categoryTotals)
 

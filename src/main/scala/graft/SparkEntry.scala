@@ -97,16 +97,19 @@ object SparkEntry {
   // The audit queries measure the S10/S11 ordered SCANS; the two-batch
   // state build is deterministic setup, so it is memoized per (session,
   // sf dir) — a repeated invocation (Bench's min-of-2) re-times the scan,
-  // not the build. State lives in parquet on disk; nothing stale survives
-  // a new session.
+  // not the build. Keys hold the session reference itself (identity
+  // equality — no hash aliasing), and entries of stopped sessions are
+  // purged on each access so dead sessions/stores are not pinned.
   private val auditStates =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       graft.state.StateStore]()
 
   private def auditState(s: SparkSession, dir: String)
-      : graft.state.StateStore =
-    auditStates.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => buildAuditState(s, dir))
+      : graft.state.StateStore = {
+    auditStates.keySet.removeIf(_._1.sparkContext.isStopped)
+    auditStates.computeIfAbsent((s, dir),
+      k => buildAuditState(k._1, k._2))
+  }
 
   private def buildAuditState(s: SparkSession, dir: String)
       : graft.state.StateStore = {
@@ -171,9 +174,14 @@ object SparkEntry {
     "nested_details" -> ((s, dir) =>
       Relational.nestDetails(Relational.categoryTotals(merged(s, dir)))
         .select(col("customer_id"),
+          // coalesce each field: concat_ws SKIPS nulls while SQL '||'
+          // null-propagates — pinning '' keeps both sides identical even
+          // for all-null-amount groups
           array_join(transform(col("details"), d =>
-            concat_ws("|", d.getField("name"), d.getField("category"),
-              d.getField("amount").cast("decimal(18,2)").cast("string"))),
+            concat_ws("|", coalesce(d.getField("name"), lit("")),
+              coalesce(d.getField("category"), lit("")),
+              coalesce(d.getField("amount").cast("decimal(18,2)")
+                .cast("string"), lit("")))),
             ";").as("details"))
         .orderBy("customer_id")),
 
@@ -760,12 +768,13 @@ object SparkEntry {
     "nested_details" ->
       s"""WITH ct AS ($ctSql),
          |r AS (SELECT customer_id, name, category,
-         |  CAST(CAST(roundbankers(amount, 2) AS DECIMAL(18,2)) AS VARCHAR)
-         |    AS amt
+         |  COALESCE(CAST(CAST(roundbankers(amount, 2) AS DECIMAL(18,2))
+         |    AS VARCHAR), '') AS amt
          |  FROM ct)
          |SELECT customer_id,
-         |  string_agg(name || '|' || category || '|' || amt, ';'
-         |    ORDER BY name, category) AS details
+         |  string_agg(COALESCE(name, '') || '|' || COALESCE(category, '')
+         |      || '|' || amt, ';'
+         |    ORDER BY name NULLS FIRST, category NULLS FIRST) AS details
          |FROM r GROUP BY customer_id ORDER BY customer_id""".stripMargin,
 
     "users_per_type" ->

@@ -72,10 +72,20 @@ object Scale {
 
   /** Number of files the scan of `df` will actually read after partition
     * pruning — the observable data-skipping effect of [[writeLayout]].
+    * Descends into AQE-wrapped plans (AdaptiveSparkPlanExec is a leaf of
+    * the outer plan, so a plain collectLeaves would find no scans).
     */
-  def scannedFiles(df: DataFrame): Long =
-    df.queryExecution.executedPlan.collectLeaves().collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.selectedPartitions.totalNumberOfFiles
-    }.sum
+  def scannedFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
 }

@@ -32,10 +32,13 @@ object Xlsx {
   /** Excel's hard sheet capacity; also our collect() guard. */
   val MaxRows: Int = 1048576
 
-  /** Read all sheets: name → dense row-major cells (null = empty cell),
-    * in workbook sheet order.
+  /** Read all sheets (or just `wanted`): name → dense row-major cells
+    * (null = empty cell), in workbook sheet order. Restricting to one
+    * sheet skips the XML parse of every other worksheet — what the
+    * distributed many-workbook scan wants.
     */
-  def read(path: String): Seq[(String, Vector[Vector[String]])] = {
+  def read(path: String, wanted: Option[String] = None)
+      : Seq[(String, Vector[Vector[String]])] = {
     val zip = new ZipFile(path)
     try {
       def entryBytes(name: String): Option[Array[Byte]] =
@@ -44,12 +47,13 @@ object Xlsx {
           try in.readAllBytes() finally in.close()
         }
 
-      val shared = entryBytes("xl/sharedStrings.xml")
-        .map(parseSharedStrings).getOrElse(Vector.empty)
       val rels = entryBytes("xl/_rels/workbook.xml.rels")
         .map(parseRels).getOrElse(Map.empty)
       val sheets = entryBytes("xl/workbook.xml")
         .map(parseWorkbook).getOrElse(Vector.empty)
+        .filter { case (name, _) => wanted.forall(_ == name) }
+      lazy val shared = entryBytes("xl/sharedStrings.xml")
+        .map(parseSharedStrings).getOrElse(Vector.empty)
 
       sheets.flatMap { case (name, rid) =>
         rels.get(rid).map { target =>
@@ -105,7 +109,7 @@ object Xlsx {
       .repartition(math.max(1, math.min(paths.size, 64)))
       .mapPartitions { it =>
         it.flatMap { p =>
-          read(p).collectFirst { case (n, rows) if n == sheet => rows }
+          read(p, wanted = Some(sheet)).headOption.map(_._2)
             .getOrElse(Vector.empty)
             .zipWithIndex.map { case (r, i) =>
               Row.fromSeq(p +: (i.toLong +: (0 until width).map(j =>
@@ -121,9 +125,11 @@ object Xlsx {
     * calling this at larger sizes.
     */
   def write(path: String, sheets: Seq[(String, DataFrame)]): Unit =
+    // thunks: each sheet is collected only when its zip entry is being
+    // written, so driver peak memory is one sheet, not their sum
     writeParts(path, sheets.map { case (name, df) =>
       (name, df.columns.toSeq,
-        df.collect().iterator.map(_.toSeq).to(Iterable))
+        () => df.collect().iterator.map(_.toSeq).to(Iterable))
     })
 
   /** Executor-side sharded export — the S12 scale path when one workbook
@@ -145,14 +151,14 @@ object Xlsx {
         require(rows.length + 1 <= MaxRows,
           s"shard $i exceeds $MaxRows rows; repartition finer")
         val path = s"$dir/part-${"%05d".format(i)}.xlsx"
-        writeParts(path, Seq((sheet, header, rows)))
+        writeParts(path, Seq((sheet, header, () => rows)))
         Iterator.single(path)
       }
     }.collect().toSeq.sorted
   }
 
   private def writeParts(path: String,
-      sheets: Seq[(String, Seq[String], Iterable[Seq[Any]])]): Unit = {
+      sheets: Seq[(String, Seq[String], () => Iterable[Seq[Any]])]): Unit = {
     val out = new ZipOutputStream(new FileOutputStream(path))
     try {
       def put(name: String, content: String): Unit = {
@@ -209,7 +215,7 @@ object Xlsx {
         }
         rowXml(0, header)
         var k = 0
-        rows.iterator.foreach { r =>
+        rows().iterator.foreach { r =>
           k += 1
           require(k + 1 <= MaxRows,
             s"sheet ${i + 1} exceeds $MaxRows rows; shard sheets instead")
