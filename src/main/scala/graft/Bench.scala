@@ -47,9 +47,14 @@ object Bench {
       System.gc()
       timeOnce(name, fn)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeCold(name, fn), timeCold(name, fn))
-    }
+    // Optional comma-separated filter for quick single-query experiments.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> math.min(timeCold(name, fn), timeCold(name, fn))
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
