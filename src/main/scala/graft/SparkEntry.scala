@@ -102,18 +102,40 @@ object SparkEntry {
   // purged on each access so dead sessions/stores are not pinned.
   private val auditStates =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      graft.state.StateStore]()
+      (graft.state.StateStore, java.nio.file.Path)]()
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+
+  // Temp state dirs die with the JVM even if their session never stops.
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    auditStates.values.forEach { case (_, p) =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }))
 
   private def auditState(s: SparkSession, dir: String)
       : graft.state.StateStore = {
-    auditStates.keySet.removeIf(_._1.sparkContext.isStopped)
-    auditStates.computeIfAbsent((s, dir),
-      k => buildAuditState(k._1, k._2))
+    val it = auditStates.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        try deleteTree(e.getValue._2) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    auditStates.computeIfAbsent((s, dir), k => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_audit")
+      (buildAuditState(k._1, k._2, tmp.toString), tmp)
+    })._1
   }
 
-  private def buildAuditState(s: SparkSession, dir: String)
+  private def buildAuditState(s: SparkSession, dir: String, tmp: String)
       : graft.state.StateStore = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_audit").toString
     val store = new graft.state.StateStore(s, tmp)
     val cust = t(s, dir, "customer")
     def batch(addr: Column) = cust.select(

@@ -59,7 +59,10 @@ object Scale {
   def writeLayout(df: DataFrame, dir: String, partitionCols: Seq[String],
                   sortCols: Seq[String]): Unit =
     df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+      // partitionCols lead the sort: the dynamic-partition writer requires
+      // an ordering on them and would insert its own (order-scrambling)
+      // sort otherwise, defeating the sortCols clustering
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(dir)

@@ -96,6 +96,11 @@ object Xlsx {
     * Output: `_source` (path), `_row_idx` within its workbook, and
     * `_c0.._c{width-1}` raw strings — the same shape `promoteHeader`
     * consumes, plus provenance.
+    *
+    * Deliberately lenient: a workbook missing `sheet` contributes zero
+    * rows rather than failing the whole many-file scan (XlsxSpec pins
+    * this); validate sheet names upstream if absence means
+    * misconfiguration rather than heterogeneity.
     */
   def readSheetAcrossWorkbooks(spark: SparkSession, paths: Seq[String],
                                sheet: String, width: Int): DataFrame = {
@@ -126,10 +131,11 @@ object Xlsx {
     */
   def write(path: String, sheets: Seq[(String, DataFrame)]): Unit =
     // thunks: each sheet is collected only when its zip entry is being
-    // written, so driver peak memory is one sheet, not their sum
+    // written, so driver peak memory is one sheet (the collected rows;
+    // the Seq conversion streams), not the sum of all sheets
     writeParts(path, sheets.map { case (name, df) =>
       (name, df.columns.toSeq,
-        () => df.collect().iterator.map(_.toSeq).to(Iterable))
+        () => df.collect().iterator.map(_.toSeq))
     })
 
   /** Executor-side sharded export — the S12 scale path when one workbook
@@ -151,14 +157,14 @@ object Xlsx {
         require(rows.length + 1 <= MaxRows,
           s"shard $i exceeds $MaxRows rows; repartition finer")
         val path = s"$dir/part-${"%05d".format(i)}.xlsx"
-        writeParts(path, Seq((sheet, header, () => rows)))
+        writeParts(path, Seq((sheet, header, () => rows.iterator)))
         Iterator.single(path)
       }
     }.collect().toSeq.sorted
   }
 
   private def writeParts(path: String,
-      sheets: Seq[(String, Seq[String], () => Iterable[Seq[Any]])]): Unit = {
+      sheets: Seq[(String, Seq[String], () => Iterator[Seq[Any]])]): Unit = {
     val out = new ZipOutputStream(new FileOutputStream(path))
     try {
       def put(name: String, content: String): Unit = {
@@ -215,7 +221,7 @@ object Xlsx {
         }
         rowXml(0, header)
         var k = 0
-        rows().iterator.foreach { r =>
+        rows().foreach { r =>
           k += 1
           require(k + 1 <= MaxRows,
             s"sheet ${i + 1} exceeds $MaxRows rows; shard sheets instead")
@@ -328,6 +334,7 @@ object Xlsx {
               curRow = Option(r.getAttributeValue(null, "r"))
                 .map(_.toInt - 1).getOrElse(curRow + 1)
               maxRow = math.max(maxRow, curRow)
+              curCol = -1   // unreferenced cells restart at column 0 per row
             case "c" =>
               val ref = r.getAttributeValue(null, "r")
               curCol = if (ref != null) colIndex(ref) else curCol + 1
