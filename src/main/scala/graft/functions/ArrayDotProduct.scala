@@ -31,28 +31,52 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null on length mismatch or any null element (see nullSafeEval), even
+  // when both children are non-nullable.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "array_dot"
 
+  /** Mismatched lengths or a null element yield NULL — matching the
+    * `aggregate(zip_with(...))` fold this replaces (zip_with null-pads the
+    * shorter side and the fold propagates null) and surfacing truncated/
+    * corrupt embeddings instead of silently scoring a partial product.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per call site: two array_dot calls can share one
+      // generated scope when their children are non-nullable, and fixed
+      // variable names would fail Janino compilation (silent interpreted
+      // fallback for the whole stage).
+      val n = ctx.freshName("adpN")
+      val acc = ctx.freshName("adpAcc")
+      val i = ctx.freshName("adpI")
+      val ok = ctx.freshName("adpOk")
       s"""
-         |int n$$ = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc$$ = 0.0;
-         |for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |  acc$$ += $a.getDouble(i$$) * $b.getDouble(i$$);
+         |int $n = $a.numElements();
+         |boolean $ok = $n == $b.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $ok && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $ok = false; }
+         |  else { $acc += $a.getDouble($i) * $b.getDouble($i); }
          |}
-         |${ev.value} = acc$$;
+         |if ($ok) { ${ev.value} = $acc; } else { ${ev.isNull} = true; }
        """.stripMargin
     })
 

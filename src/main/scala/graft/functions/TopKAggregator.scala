@@ -28,8 +28,15 @@ class TopKAggregator(k: Int)
 
   override def zero: TopKBuf = TopKBuf(Nil)
 
-  override def reduce(buf: TopKBuf, in: (Double, String)): TopKBuf =
-    TopKBuf((TopKEntry(in._1, in._2) +: buf.items).sorted(ord).take(k))
+  // buf.items is kept sorted by `ord`; when the buffer is full, a row
+  // that cannot beat the current k-th entry is rejected in O(1) — the
+  // guard that makes the aggregate O(n + hits·k log k) instead of
+  // re-sorting the buffer for every input row.
+  override def reduce(buf: TopKBuf, in: (Double, String)): TopKBuf = {
+    val e = TopKEntry(in._1, in._2)
+    if (buf.items.length >= k && ord.gteq(e, buf.items.last)) buf
+    else TopKBuf((e +: buf.items).sorted(ord).take(k))
+  }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
     TopKBuf((a.items ++ b.items).sorted(ord).take(k))
@@ -44,7 +51,9 @@ class TopKAggregator(k: Int)
 object TopKAggregator {
 
   /** Top-k rows per group over a DataFrame: returns
-    * (group, rk 1..k, score, payload).
+    * (group, rk 1..k, score, payload). Rows whose score is null (or
+    * fails the double cast) are excluded — a null score cannot rank, and
+    * the primitive decoder would otherwise fail the job.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    payloadCol: String, k: Int): DataFrame = {
@@ -54,6 +63,7 @@ object TopKAggregator {
     df.select(col(groupCol).cast("string").as("_g"),
         col(scoreCol).cast("double").as("_s"),
         col(payloadCol).cast("string").as("_p"))
+      .where(col("_s").isNotNull)
       .as[(String, Double, String)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))

@@ -33,8 +33,27 @@ class StateStore(spark: SparkSession, dir: String) {
 
   private val root = Paths.get(dir)
   Files.createDirectories(root)
+  Seq("customers", "uploads", "address_changes").foreach(recoverSwap)
 
   private def sub(name: String): Path = root.resolve(name)
+
+  /** Crash recovery for [[swapWrite]]'s rename sequence: if the live dir
+    * is gone but a fully-committed temp exists (Spark's `_SUCCESS`
+    * marker), the crash hit between the two renames — finish the swap;
+    * any other leftover temp/old dir is stale and removed. Runs once at
+    * construction, before any read.
+    */
+  private def recoverSwap(name: String): Unit = {
+    val live = sub(name)
+    val tmp = sub(s"${name}__tmp")
+    val old = sub(s"${name}__old")
+    if (!Files.exists(live) && Files.exists(tmp.resolve("_SUCCESS")))
+      Files.move(tmp, live)
+    if (Files.exists(live)) {
+      deleteRecursively(tmp)
+      deleteRecursively(old)
+    }
+  }
 
   private def readOrEmpty(name: String,
                           schema: org.apache.spark.sql.types.StructType)
@@ -92,8 +111,20 @@ class StateStore(spark: SparkSession, dir: String) {
     * @param batch parsed customer rows carrying `_row_idx` (file order)
     * @return number of change rows captured
     */
-  def applyCustomerBatch(batch: DataFrame, timestamp: String,
+  def applyCustomerBatch(batch0: DataFrame, timestamp: String,
                          uploadId: Long): Long = {
+    // The batch lineage usually reaches back through the workbook parse;
+    // this method materializes it three times (change count, change
+    // write, upsert write), so cache it for the call and drop the cache
+    // before returning — all three jobs run inside this method.
+    val batch = batch0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyCustomerBatchImpl(batch, timestamp, uploadId)
+    finally batch.unpersist(blocking = false)
+  }
+
+  private def applyCustomerBatchImpl(batch: DataFrame, timestamp: String,
+                                     uploadId: Long): Long = {
     val occ = Window.partitionBy("customer_id").orderBy("_row_idx")
     val stored = customers.select(col("customer_id"),
       col("address").as("_stored_address"))
@@ -138,16 +169,23 @@ class StateStore(spark: SparkSession, dir: String) {
     nChanges
   }
 
-  /** Materialize `df` into `<name>__tmp`, then atomically swap it in for
-    * the current table directory.
+  /** Materialize `df` into `<name>__tmp`, then swap it in with two
+    * same-directory renames (live → old, tmp → live) — never a
+    * delete-then-move, so every crash point leaves either the old state
+    * intact or a committed temp that [[recoverSwap]] finishes; the table
+    * is never lost. The rename starts only after the parquet commit
+    * protocol has written `_SUCCESS`.
     */
   private def swapWrite(name: String, df: DataFrame): Unit = {
     val tmp = sub(s"${name}__tmp")
-    deleteRecursively(tmp)
-    df.write.mode("overwrite").parquet(tmp.toString)
     val live = sub(name)
-    deleteRecursively(live)
+    val old = sub(s"${name}__old")
+    deleteRecursively(tmp)
+    deleteRecursively(old)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(live)) Files.move(live, old)
     Files.move(tmp, live)
+    deleteRecursively(old)
   }
 
   private def deleteRecursively(p: Path): Unit =

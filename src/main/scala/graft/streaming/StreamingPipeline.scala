@@ -95,8 +95,12 @@ object StreamingPipeline {
   def streamingExactDedup(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Null ids/fingerprints are dropped: a null key cannot dedup, and the
+    // primitive Long decoder would otherwise kill the streaming query on
+    // one bad record.
     val typed: Dataset[(Long, String)] = docs
       .select(col("doc_id").cast("long"), col("fingerprint").cast("string"))
+      .where(col("doc_id").isNotNull && col("fingerprint").isNotNull)
       .as[(Long, String)]
     typed
       .groupByKey(_._2)
@@ -116,15 +120,20 @@ object StreamingPipeline {
 
   /** The reference's upload flow as a stream: watch a landing directory
     * for workbooks, run each through the stateful batch pipeline.
-    * `foreachBatch` gives exactly-once-per-file semantics via the
-    * checkpoint; state mutation is the same code path as batch mode.
+    *
+    * Delivery: `foreachBatch` is at-least-once (a failed micro-batch
+    * replays whole), and runBatch is deliberately non-idempotent
+    * (reference semantics) — so a per-file ledger in the state dir
+    * narrows any replay to the single file that was in flight at the
+    * crash: completed files are skipped on the retried batch. The glob
+    * is case-insensitive like the batch path's extension check.
     */
   def workbookStream(spark: SparkSession, landingDir: String,
                      stateDir: String, processedDir: String,
                      checkpointDir: String): StreamingQuery = {
     val files = spark.readStream
       .format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx")   // S3: extension filter
+      .option("pathGlobFilter", "*.[xX][lL][sS][xX]")  // S3: ext filter
       .schema(StructType(Seq(
         StructField("path", StringType),
         StructField("modificationTime", TimestampType),
@@ -136,9 +145,20 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val pipeline = new Pipeline(spark, stateDir, processedDir)
+        val ledger = java.nio.file.Paths.get(stateDir, "processed_paths.txt")
+        val done: Set[String] =
+          if (java.nio.file.Files.exists(ledger))
+            scala.jdk.CollectionConverters.ListHasAsScala(
+              java.nio.file.Files.readAllLines(ledger)).asScala.toSet
+          else Set.empty
         batch.select("path").orderBy("path").collect().foreach { r =>
-          val p = r.getString(0).stripPrefix("file:")
-          pipeline.runBatch(p)
+          val raw = r.getString(0)
+          if (!done.contains(raw)) {
+            pipeline.runBatch(raw.stripPrefix("file:"))
+            java.nio.file.Files.writeString(ledger, raw + "\n",
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+          }
         }
       }
       .start()

@@ -19,6 +19,34 @@ class StateStoreSpec extends AnyFunSuite {
       .toDF("customer_id", "name", "email", "dob", "address",
             "created_date", "_row_idx")
 
+  test("swap recovery: a crash between the two renames loses no state") {
+    val dir = Files.createTempDirectory("graft_state_rec")
+    val s = new StateStore(spark, dir.toString)
+    s.applyCustomerBatch(batch(("C1", "addr-1", 1L)), "t1", 1)
+    assert(s.customers.count() === 1)
+
+    // Simulate the crash window of swapWrite: the new state sits fully
+    // committed in __tmp, the live dir was renamed away, the JVM died
+    // before tmp -> live.
+    val live = dir.resolve("customers")
+    val tmp = dir.resolve("customers__tmp")
+    val old = dir.resolve("customers__old")
+    java.nio.file.Files.move(live, tmp)
+    java.nio.file.Files.createDirectories(old)
+
+    val reopened = new StateStore(spark, dir.toString)
+    assert(reopened.customers.count() === 1)   // recovered, not empty
+    assert(!java.nio.file.Files.exists(tmp))
+    assert(!java.nio.file.Files.exists(old))
+
+    // A stale, uncommitted tmp (no _SUCCESS) next to a live dir is
+    // discarded, not swapped in.
+    java.nio.file.Files.createDirectories(tmp)
+    val again = new StateStore(spark, dir.toString)
+    assert(again.customers.count() === 1)
+    assert(!java.nio.file.Files.exists(tmp))
+  }
+
   test("upsert is last-writer-wins within a batch; CDC sees intra-batch mutations") {
     val s = newStore()
     // C1 appears twice with different addresses: 1 intra-batch change,
