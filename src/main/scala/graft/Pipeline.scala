@@ -68,9 +68,20 @@ class Pipeline(spark: SparkSession, stateDir: String, processedDir: String) {
       txRaw.count() - 1, custRaw.count() - 1, prodRaw.count() - 1)
 
     // P1-P9: skip header row, parse packed records, keep file order.
+    // Cached for the batch: the CDC/upsert layer and the analytics chain
+    // materialize it several times; the cache is dropped before returning
+    // (post-return re-reads of the BatchResult frames re-derive lazily).
     val parsed = Relational.parseCustomers(
-      custRaw.where(col("_row_idx") > 0), "_c0", passthrough = Seq("_row_idx"))
+        custRaw.where(col("_row_idx") > 0), "_c0",
+        passthrough = Seq("_row_idx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runBatchImpl(parsed, txRaw, prodRaw, timestamp, uploadId)
+    finally parsed.unpersist(blocking = false)
+  }
 
+  private def runBatchImpl(parsed: DataFrame, txRaw: DataFrame,
+                           prodRaw: DataFrame, timestamp: String,
+                           uploadId: Long): BatchResult = {
     // J3 + S7 + S8: CDC capture + last-wins upsert.
     val nChanges = store.applyCustomerBatch(parsed, timestamp, uploadId)
 

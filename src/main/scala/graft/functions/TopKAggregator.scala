@@ -51,8 +51,9 @@ class TopKAggregator(k: Int)
 object TopKAggregator {
 
   /** Top-k rows per group over a DataFrame: returns
-    * (group, rk 1..k, score, payload). Rows whose score is null (or
-    * fails the double cast) are excluded — a null score cannot rank, and
+    * (group, rk 1..k, score, payload). Rows whose score or payload is
+    * null are excluded — a null score cannot rank, a null payload cannot
+    * tie-break (the Ordering would NPE on an equal-score comparison), and
     * the primitive decoder would otherwise fail the job.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
@@ -63,7 +64,7 @@ object TopKAggregator {
     df.select(col(groupCol).cast("string").as("_g"),
         col(scoreCol).cast("double").as("_s"),
         col(payloadCol).cast("string").as("_p"))
-      .where(col("_s").isNotNull)
+      .where(col("_s").isNotNull && col("_p").isNotNull)
       .as[(String, Double, String)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))

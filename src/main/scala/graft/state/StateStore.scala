@@ -33,15 +33,36 @@ class StateStore(spark: SparkSession, dir: String) {
 
   private val root = Paths.get(dir)
   Files.createDirectories(root)
-  Seq("customers", "uploads", "address_changes").foreach(recoverSwap)
+  recoverAll()
 
   private def sub(name: String): Path = root.resolve(name)
 
-  /** Crash recovery for [[swapWrite]]'s rename sequence: if the live dir
-    * is gone but a fully-committed temp exists (Spark's `_SUCCESS`
-    * marker), the crash hit between the two renames — finish the swap;
-    * any other leftover temp/old dir is stale and removed. Runs once at
-    * construction, before any read.
+  /** Find every table with a leftover `__tmp`/`__old` sibling (no
+    * hardcoded name list — any future swapWrite table is covered) and
+    * run its crash recovery. Runs once at construction, before any read.
+    */
+  private def recoverAll(): Unit = {
+    val s = Files.list(root)
+    val bases =
+      try {
+        val it = s.iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.endsWith("__tmp")) b += n.stripSuffix("__tmp")
+          else if (n.endsWith("__old")) b += n.stripSuffix("__old")
+        }
+        b.result()
+      } finally s.close()
+    bases.foreach(recoverSwap)
+  }
+
+  /** Crash recovery for [[swapWrite]]'s rename sequence. If the live dir
+    * is gone: a fully-committed temp (Spark's `_SUCCESS` marker) is the
+    * newer state — finish the swap; otherwise the renamed-away `__old`
+    * dir is the last good state — restore it (covers deployments where
+    * success markers are disabled). Any remaining temp/old dir is stale
+    * and removed.
     */
   private def recoverSwap(name: String): Unit = {
     val live = sub(name)
@@ -49,6 +70,8 @@ class StateStore(spark: SparkSession, dir: String) {
     val old = sub(s"${name}__old")
     if (!Files.exists(live) && Files.exists(tmp.resolve("_SUCCESS")))
       Files.move(tmp, live)
+    else if (!Files.exists(live) && Files.exists(old))
+      Files.move(old, live)
     if (Files.exists(live)) {
       deleteRecursively(tmp)
       deleteRecursively(old)
@@ -111,20 +134,15 @@ class StateStore(spark: SparkSession, dir: String) {
     * @param batch parsed customer rows carrying `_row_idx` (file order)
     * @return number of change rows captured
     */
-  def applyCustomerBatch(batch0: DataFrame, timestamp: String,
+  /** Note: this method materializes `batch` three times (change count,
+    * change write, upsert write) — callers whose batch lineage is
+    * expensive (e.g. a workbook parse) should persist it for the call
+    * and unpersist afterwards, as [[graft.Pipeline.runBatch]] does;
+    * caching is deliberately caller-owned so an already-cached frame is
+    * not clobbered here.
+    */
+  def applyCustomerBatch(batch: DataFrame, timestamp: String,
                          uploadId: Long): Long = {
-    // The batch lineage usually reaches back through the workbook parse;
-    // this method materializes it three times (change count, change
-    // write, upsert write), so cache it for the call and drop the cache
-    // before returning — all three jobs run inside this method.
-    val batch = batch0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applyCustomerBatchImpl(batch, timestamp, uploadId)
-    finally batch.unpersist(blocking = false)
-  }
-
-  private def applyCustomerBatchImpl(batch: DataFrame, timestamp: String,
-                                     uploadId: Long): Long = {
     val occ = Window.partitionBy("customer_id").orderBy("_row_idx")
     val stored = customers.select(col("customer_id"),
       col("address").as("_stored_address"))

@@ -123,10 +123,12 @@ object StreamingPipeline {
     *
     * Delivery: `foreachBatch` is at-least-once (a failed micro-batch
     * replays whole), and runBatch is deliberately non-idempotent
-    * (reference semantics) — so a per-file ledger in the state dir
-    * narrows any replay to the single file that was in flight at the
-    * crash: completed files are skipped on the retried batch. The glob
-    * is case-insensitive like the batch path's extension check.
+    * (reference semantics) — so a per-file ledger narrows any replay to
+    * the single file that was in flight at the crash: completed files
+    * are skipped on the retried batch. The ledger lives INSIDE the
+    * checkpoint directory, sharing its lifecycle: deleting the
+    * checkpoint to reprocess the landing dir resets the ledger with it.
+    * The glob is case-insensitive like the batch path's extension check.
     */
   def workbookStream(spark: SparkSession, landingDir: String,
                      stateDir: String, processedDir: String,
@@ -145,7 +147,8 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val pipeline = new Pipeline(spark, stateDir, processedDir)
-        val ledger = java.nio.file.Paths.get(stateDir, "processed_paths.txt")
+        val ledger =
+          java.nio.file.Paths.get(checkpointDir, "processed_paths.txt")
         val done: Set[String] =
           if (java.nio.file.Files.exists(ledger))
             scala.jdk.CollectionConverters.ListHasAsScala(
