@@ -66,10 +66,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Stdout gets drowned in sbt log noise; also write the line to a file
-    // the driver can parse reliably.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    // the driver can parse reliably, and echo it on stderr as the very
+    // last lines so a tail-reader finds it either way.
+    val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
+    java.nio.file.Files.writeString(outPath, json + "\n")
     println(json)
     spark.stop()
+    System.err.println(s"BENCH_JSON_FILE=$outPath")
+    System.err.println(json)
   }
 }

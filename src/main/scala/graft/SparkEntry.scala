@@ -177,11 +177,18 @@ object SparkEntry {
           col("amount").cast("double").as("amount"))
         .orderBy("customer_id", "name", "category")),
 
-    "flagship_rank" -> ((s, dir) =>
-      Relational.summaryRanked(Relational.categoryTotals(merged(s, dir)))
+    "flagship_rank" -> ((s, dir) => {
+      // Rank input is one row per customer; the customer dimension's
+      // parquet row count (a metadata-only job) bounds it, letting
+      // summaryRanked choose the single-window form at small scale and
+      // the two-phase no-unpartitioned-window form past the threshold.
+      val keys = t(s, dir, "customer").count()
+      Relational.summaryRanked(Relational.categoryTotals(merged(s, dir)),
+          estimatedKeys = Some(keys))
         .select(col("customer_id"), col("name"),
           col("amount").cast("double").as("amount"), col("rank"))
-        .orderBy("rank", "customer_id")),
+        .orderBy("rank", "customer_id")
+    }),
 
     "top_spenders" -> ((s, dir) =>
       Relational.topSpenders(Relational.categoryTotals(merged(s, dir)))
@@ -346,10 +353,15 @@ object SparkEntry {
           count(lit(1)).as("n_lineitems"))
         .orderBy("category")),
 
-    // Anti join: customers that never ordered, per market segment.
+    // Anti join: customers with no order since 2000-01-01, per market
+    // segment. Date-scoped deliberately — the unscoped anti-join is empty
+    // at every SF (testdata gives every customer an order), which made the
+    // oracle row vacuously green (VERDICT r3 wrong.1); the recency window
+    // leaves a real, SF-dependent non-empty result to hash-check.
     "customers_without_orders" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"),
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate").cast("date") >= lit("2000-01-01")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_customers"))
@@ -445,9 +457,23 @@ object SparkEntry {
         codebook = Some(Similarity.kmeansCodebook(e, nCells = 16, iters = 2)))
     }),
 
-    "embedding_neardup_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(emb(s, dir), threshold = 0.9)
-        .orderBy("vec_a", "vec_b")),
+    // The raw corpus has no cosine ≥ 0.9 pairs at small SFs, which made
+    // this oracle row vacuously green (VERDICT r3 wrong.1). Deterministic
+    // perturbed copies of the first 8 vectors are unioned in (new id =
+    // vec_id + 10^7, first component +0.01 — a single double add after the
+    // upcast, bit-identical in the SQL oracle) so the banding + verify
+    // path must recover real planted pairs.
+    "embedding_neardup_lsh" -> ((s, dir) => {
+      val vecs = emb(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val planted = vecs.where(col("vec_id") < 8)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          concat(array(element_at(col("v"), 1) + lit(0.01)),
+            slice(col("v"), 2, EmbDim - 1)).as("v"))
+      Similarity.lshNearDupPairsFromVecs(vecs.unionAll(planted),
+          threshold = 0.9, planes = 12, tables = 3)
+        .orderBy("vec_a", "vec_b")
+    }),
 
     // ---- Text analysis --------------------------------------------------
 
@@ -568,9 +594,10 @@ object SparkEntry {
   // PropertySpec), rolling_fingerprint (Long-overflow Rabin-Karp
   // arithmetic), and multimodal_features (synthetic binary payloads; the
   // arithmetic-only sample_frames IS oracle-checked). The approximate ANN
-  // paths (ann_topk_lsh / ann_topk_ivf / embedding_neardup_lsh) ARE
-  // oracle-checked: their hyperplanes/centroids are deterministic, inlined
-  // into generated SQL above.
+  // paths (ann_topk_lsh / ann_topk_ivf / ann_topk_ivf_kmeans /
+  // embedding_neardup_lsh) ARE oracle-checked: their hyperplanes/centroids
+  // are deterministic (k-means trains with order-free DECIMAL means), so
+  // the generated SQL below reproduces them bit-for-bit.
 
   private val mergedSql =
     """FROM lineitem l
@@ -724,18 +751,34 @@ object SparkEntry {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  private val embNearDupSql =
-    s"""WITH $vecsSql,
-       |${bandedSql(planes = 12, tables = 3)},
+  /** Near-dup pair oracle over the corpus PLUS the deterministic planted
+    * perturbations (first 8 vectors, first component +0.01 in double space
+    * — one double add on identical operands, so bit-identical to the Spark
+    * side's `element_at(v,1) + 0.01`).
+    */
+  private val embNearDupSql = {
+    val banded = "banded AS (" + (0 until 3).map { t =>
+      s"SELECT vec_id, v, $t AS tbl, " +
+        bucketSql("v", planes = 12, salt = t) + " AS bucket FROM pvecs"
+    }.mkString(" UNION ALL ") + ")"
+    s"""WITH vecs0 AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pvecs AS (SELECT vec_id, v FROM vecs0
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, [v[1] + 0.01] || v[2:] FROM vecs0
+       |  WHERE vec_id < 8),
+       |$banded,
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM banded a JOIN banded b
        |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |sims AS (SELECT c.vec_a, c.vec_b,
        |  roundbankers(${cosSql("x.v", "y.v")}, 6) AS sim
-       |  FROM cand c JOIN vecs x ON c.vec_a = x.vec_id
-       |  JOIN vecs y ON c.vec_b = y.vec_id)
+       |  FROM cand c JOIN pvecs x ON c.vec_a = x.vec_id
+       |  JOIN pvecs y ON c.vec_b = y.vec_id)
        |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.9
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** IVF cell-probe twin: centroids are the 16 lowest vec_ids (cell = rank
     * in that order), assignment is argmax cosine with ties to the higher
@@ -762,6 +805,51 @@ object SparkEntry {
        |FROM asg a JOIN probe p ON a.cell = p.cell, q
        |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+
+  /** Trained-codebook IVF twin: replays [[Similarity.kmeansCodebook]]'s
+    * two Lloyd iterations in SQL — same deterministic init (16 lowest
+    * vec_ids), same assignment rule (argmax cosine, ties to the higher
+    * cell), and the same exact-DECIMAL(28,14)-sum mean (order-free, so
+    * both engines train bit-identical centroids) — then probes like
+    * [[annIvfSql]].
+    */
+  private val annIvfKmeansSql: String = {
+    def lloyd(prev: String, n: Int): String =
+      s"""a$n AS (SELECT vec_id, v, cell FROM (
+         |  SELECT vecs.vec_id, vecs.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+         |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
+         |  FROM vecs, $prev c) WHERE rn = 1),
+         |m$n AS (SELECT cell, pos,
+         |  CAST(SUM(CAST(v[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+         |    AS m
+         |  FROM a$n, (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
+         |  GROUP BY cell, pos),
+         |g$n AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m$n
+         |  GROUP BY cell),
+         |cent$n AS (SELECT c.cell, COALESCE(g.mv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN g$n g ON c.cell = g.cell)"""
+    s"""WITH $vecsSql,
+       |cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+       |  v AS cv FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
+       |${lloyd("cent0", 1)},
+       |${lloyd("cent1", 2)},
+       |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+       |asg AS (SELECT vec_id, label, v, cell FROM (
+       |  SELECT vecs.vec_id, vecs.label, vecs.v, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM vecs, cent2 c) WHERE rn = 1),
+       |probe AS (SELECT cell FROM (
+       |  SELECT c.cell, ROW_NUMBER() OVER (
+       |    ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
+       |  FROM cent2 c, q) WHERE rn <= 4)
+       |SELECT a.vec_id, a.label,
+       |  roundbankers(${cosSql("a.v", "q.qv")}, 6) AS sim
+       |FROM asg a JOIN probe p ON a.cell = p.cell, q
+       |WHERE a.vec_id <> 0
+       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
 
   private val enList = "('the','a','of','and','to','in','is','it')"
   private val deList = "('der','die','das','und','ist','mit','ein','zu')"
@@ -809,6 +897,8 @@ object SparkEntry {
     "ann_topk_lsh_mp" -> annLshMultiProbeSql,
 
     "ann_topk_ivf" -> annIvfSql,
+
+    "ann_topk_ivf_kmeans" -> annIvfKmeansSql,
 
     "embedding_neardup_lsh" -> embNearDupSql,
 
@@ -961,7 +1051,9 @@ object SparkEntry {
       """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey = c.c_custkey)
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE)
+        |                          >= DATE '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "event_quantiles" ->

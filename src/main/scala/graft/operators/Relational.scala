@@ -99,17 +99,34 @@ object Relational {
     * rounding to 2dp, global dense rank (desc) on the *rounded* value, sort
     * by rank.
     *
-    * Default path is the scale-safe [[twoPhaseDenseRank]] (no unpartitioned
-    * window anywhere); [[summaryRankedWindow]] keeps the direct W1 window
-    * form — both are oracle-checked against the same SQL and
-    * equality-tested in RelationalSpec.
+    * Path selection: the scale-safe [[twoPhaseDenseRank]] (no unpartitioned
+    * window anywhere) is the default, but its extra machinery costs ~1.8×
+    * at small scale — so when the caller can bound the rank-input row count
+    * (one row per customer; e.g. the customer dimension's parquet row
+    * count) and it fits comfortably in one window task, the direct
+    * [[summaryRankedWindow]] W1 form is used instead. Both forms produce
+    * the identical relation (same oracle SQL; equality-tested in
+    * RelationalSpec).
+    *
+    * @param estimatedKeys upper bound on distinct (customer_id, name) rows
+    *                      entering the rank, if cheaply known; `None`
+    *                      (unknown) assumes large and takes the scale path.
     */
-  def summaryRanked(categoryTotals: DataFrame): DataFrame =
-    twoPhaseDenseRank(
-        categoryTotals.groupBy("customer_id", "name")
-          .agg(bround(sum("amount"), 2).as("amount")))
-      .select(col("customer_id"), col("name"), col("amount"), col("rank"))
-      .orderBy("rank", "customer_id")
+  def summaryRanked(categoryTotals: DataFrame,
+                    estimatedKeys: Option[Long] = None): DataFrame =
+    if (estimatedKeys.exists(_ <= WindowRankMaxRows))
+      summaryRankedWindow(categoryTotals)
+    else
+      twoPhaseDenseRank(
+          categoryTotals.groupBy("customer_id", "name")
+            .agg(bround(sum("amount"), 2).as("amount")))
+        .select(col("customer_id"), col("name"), col("amount"), col("rank"))
+        .orderBy("rank", "customer_id")
+
+  /** Above this many rank-input rows the single-task W1 window becomes the
+    * bottleneck and [[twoPhaseDenseRank]] takes over.
+    */
+  val WindowRankMaxRows: Long = 1000000L
 
   /** The literal W1 mapping (app.py:141): one global `dense_rank` window.
     * Correct at any scale but a single sorted task — fine while the input

@@ -87,23 +87,36 @@ object Similarity {
     * join), verified with exact cosine ≥ `threshold`.
     */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
-                      planes: Int = 12, tables: Int = 3): DataFrame = {
-    val dim = dimOf(embeddings)
-    val vecs = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val banded = vecs.select(col("vec_id"), col("v"), explode(array(
+                      planes: Int = 12, tables: Int = 3): DataFrame =
+    lshNearDupPairsFromVecs(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      threshold, planes, tables)
+
+  /** [[lshNearDupPairs]] over a prepared `(vec_id, v: array<double>)` frame
+    * — lets callers union in extra vectors (planted perturbations, multiple
+    * corpora) before the pair search.
+    */
+  def lshNearDupPairsFromVecs(vecs: DataFrame, threshold: Double = 0.9,
+                              planes: Int = 12, tables: Int = 3): DataFrame = {
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    val banded = vecs.select(col("vec_id"), explode(array(
       (0 until tables).map(t => struct(lit(t).as("tbl"),
         lshBucket(col("v"), planes, salt = t, dim).as("bucket"))): _*))
       .as("b"))
-      .select(col("vec_id"), col("v"), col("b.tbl"), col("b.bucket"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+    // Candidate dedup on the id pair ONLY: the banded rows (and therefore
+    // the distinct's exchange) carry no vectors — vectors re-attach to the
+    // (much smaller) deduped candidate set for the exact-cosine verify.
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-              col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    cand
+      .join(vecs.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(vecs.as("y"), col("vec_b") === col("y.vec_id"))
       .select(col("vec_a"), col("vec_b"),
-              bround(cosine(col("va"), col("vb")), 6).as("sim"))
+              bround(cosine(col("x.v"), col("y.v")), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
 
@@ -135,6 +148,11 @@ object Similarity {
     * their previous centroid. The trained codebook drops into [[ivfTopK]]
     * unchanged — at ingest scale this is the once-per-corpus-version
     * training job.
+    *
+    * The mean is an exact DECIMAL(28,14) sum divided once in double — a
+    * plain `avg` of doubles is partition-order-dependent, which would make
+    * the trained centroids (and every downstream sim) nondeterministic
+    * across partition counts and unreproducible by the SQL oracle.
     */
   def kmeansCodebook(embeddings: DataFrame, nCells: Int = 16,
                      iters: Int = 3): Array[Array[Double]] = {
@@ -148,7 +166,9 @@ object Similarity {
       val means = vecs
         .withColumn("cell", cellOf(col("v"), withIdx))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+              count(lit(1))).as("m"))
         .collect()
       val byCell = means.groupBy(_.getInt(0))
       centroids = centroids.indices.map { c =>

@@ -17,35 +17,6 @@ object TextOps {
   /** Whitespace tokens of the raw text. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles in document order (with repeats). Documents
-    * shorter than `n` tokens yield an empty list. Use for min-aggregates
-    * where duplicates are harmless; [[shingles]] for set semantics.
-    */
-  def shinglesRaw(text: Column, n: Int = 3): Column = {
-    val toks = tokens(lower(text))
-    val count = size(toks) - (n - 1)
-    val grams = transform(sequence(lit(1), count), i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
-
-  /** Word n-gram shingle *set* (distinct), the unit of near-dup
-    * similarity (Jaccard needs set semantics).
-    */
-  def shingles(text: Column, n: Int = 3): Column =
-    array_distinct(shinglesRaw(text, n))
-
-  /** One MinHash signature: min over shingles of the `band`-th 32-bit
-    * slice of the shingle's md5 (hex; fixed width, so lexicographic min =
-    * numeric min). md5 is used (rather than xxhash64) because its hex
-    * form is engine-portable — the DuckDB oracle computes the identical
-    * signature. Column-expression form of
-    * [[Dedup.minhashSignatures]]'s aggregate.
-    */
-  def minhash(shingleSet: Column, band: Int): Column =
-    array_min(transform(shingleSet, s =>
-      substring(md5(s), band * 8 + 1, 8)))
-
   /** GPT-2-style pre-tokenizer approximation: word pieces are letter
     * runs, digit runs, or punctuation runs — the "BPE-ish regex" count
     * that tracks model-token counts far better than whitespace splits on
@@ -140,7 +111,13 @@ object TextOps {
 
   /** 64-bit SimHash from token hashes, built entirely from higher-order
     * functions: per-token xxhash64 → ±1 per bit → summed bit counts →
-    * sign bits reassembled into a long. No UDF, no shuffle.
+    * sign bits reassembled into a long. No UDF, no shuffle — but the HOFs
+    * run interpreted, so this form is retained ONLY as the independent
+    * reference [[Dedup.simhashSignatures]] is equivalence-tested against
+    * (DedupSpec); production paths use the codegen'd aggregate form. (The
+    * analogous interpreted shingle/minhash HOFs were deleted outright —
+    * their aggregate replacements in [[Dedup]] are oracle-checked, which
+    * is a stronger reference than a second in-engine formulation.)
     */
   def simhash(text: Column): Column = {
     val toks = array_distinct(tokens(lower(text)))
