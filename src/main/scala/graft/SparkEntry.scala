@@ -60,6 +60,24 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String) = t(s, dir, "events")
   private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
 
+  /** Customer-dimension row count, memoized per (session, sf dir): cheap
+    * (parquet footer metadata) but still a job, and it only steers plan
+    * selection — exactly the table statistic a catalog hands the planner
+    * for free at cluster scale. Entries of stopped sessions are purged on
+    * access, like [[auditStates]].
+    */
+  private val dimCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Long]()
+
+  private def customerCount(s: SparkSession, dir: String): Long = {
+    val it = dimCounts.keySet().iterator()
+    while (it.hasNext)
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    dimCounts.computeIfAbsent((s, dir),
+      k => t(k._1, k._2, "customer").count()).longValue()
+  }
+
   /** Packed `{id_name_email_dob_address_created}` lines synthesized from
     * the customer table (with deliberately malformed rows), fed to the P2-P9
     * parser — both sides of the oracle build the identical input.
@@ -178,11 +196,11 @@ object SparkEntry {
         .orderBy("customer_id", "name", "category")),
 
     "flagship_rank" -> ((s, dir) => {
-      // Rank input is one row per customer; the customer dimension's
-      // parquet row count (a metadata-only job) bounds it, letting
-      // summaryRanked choose the single-window form at small scale and
-      // the two-phase no-unpartitioned-window form past the threshold.
-      val keys = t(s, dir, "customer").count()
+      // Rank input is one row per customer; the (memoized) customer
+      // dimension row count bounds it, letting summaryRanked choose the
+      // single-window form at small scale and the two-phase
+      // no-unpartitioned-window form past the threshold.
+      val keys = customerCount(s, dir)
       Relational.summaryRanked(Relational.categoryTotals(merged(s, dir)),
           estimatedKeys = Some(keys))
         .select(col("customer_id"), col("name"),
@@ -471,7 +489,7 @@ object SparkEntry {
           concat(array(element_at(col("v"), 1) + lit(0.01)),
             slice(col("v"), 2, EmbDim - 1)).as("v"))
       Similarity.lshNearDupPairsFromVecs(vecs.unionAll(planted),
-          threshold = 0.9, planes = 12, tables = 3)
+          threshold = 0.9, planes = 12, tables = 3, dim = EmbDim)
         .orderBy("vec_a", "vec_b")
     }),
 

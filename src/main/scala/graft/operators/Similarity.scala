@@ -95,15 +95,27 @@ object Similarity {
   /** [[lshNearDupPairs]] over a prepared `(vec_id, v: array<double>)` frame
     * — lets callers union in extra vectors (planted perturbations, multiple
     * corpora) before the pair search.
+    *
+    * @param dim vector width; pass it when statically known to skip the
+    *            one-row probe job, or leave negative to read it from the
+    *            data.
     */
   def lshNearDupPairsFromVecs(vecs: DataFrame, threshold: Double = 0.9,
-                              planes: Int = 12, tables: Int = 3): DataFrame = {
-    val dim = vecs.select(size(col("v"))).head().getInt(0)
+                              planes: Int = 12, tables: Int = 3,
+                              dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+            else vecs.select(size(col("v"))).head().getInt(0)
+    // The banded frame is persisted: both sides of the candidate self-join
+    // consume it, and the tables × planes sign-projections per row are the
+    // expensive part of the whole search — without the persist each join
+    // side recomputes them. Narrow (id, tbl, bucket) rows only. Session-
+    // cached until the caller clears it (Bench/Verify clear per run).
     val banded = vecs.select(col("vec_id"), explode(array(
       (0 until tables).map(t => struct(lit(t).as("tbl"),
-        lshBucket(col("v"), planes, salt = t, dim).as("bucket"))): _*))
+        lshBucket(col("v"), planes, salt = t, d).as("bucket"))): _*))
       .as("b"))
       .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate dedup on the id pair ONLY: the banded rows (and therefore
     // the distinct's exchange) carry no vectors — vectors re-attach to the
     // (much smaller) deduped candidate set for the exact-cosine verify.
