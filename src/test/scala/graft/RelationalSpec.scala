@@ -130,6 +130,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.exists(x => x._1 == "C999" && x._3.isEmpty))  // null row kept
   }
 
+  test("summaryRanked picks the rank plan by the estimatedKeys bound") {
+    val ct = Seq(("C1", "A", "X", 10.0), ("C2", "B", "X", 5.0))
+      .toDF("customer_id", "name", "category", "amount")
+    // Small bound → literal W1 window form (a dense_rank window, no
+    // two-phase partition-id machinery).
+    val small = Relational.summaryRanked(ct, estimatedKeys = Some(100L))
+    val smallPlan = small.queryExecution.analyzed.toString
+    assert(smallPlan.contains("dense_rank"))
+    assert(!smallPlan.contains("SPARK_PARTITION_ID"))
+    // Unknown or above-threshold → two-phase path (partition-id ranking,
+    // no dense_rank window anywhere).
+    val large = Relational.summaryRanked(ct,
+      estimatedKeys = Some(Relational.WindowRankMaxRows + 1))
+    val largePlan = large.queryExecution.analyzed.toString
+    assert(largePlan.contains("SPARK_PARTITION_ID"))
+    assert(!largePlan.contains("dense_rank"))
+    // Both paths produce the identical relation.
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("customer_id"), r.getAs[Int]("rank"))
+    assert(small.collect().map(key).sorted.toSeq ===
+           large.collect().map(key).sorted.toSeq)
+  }
+
   test("nestDetails: per-customer lists ordered by (name, category)") {
     val ct = Seq(
       ("C1", "A", "Zoo", 2.0), ("C1", "A", "Art", 1.0), ("C2", "B", "Art", 3.0),

@@ -77,4 +77,39 @@ class SimilaritySpec extends AnyFunSuite {
     val kmRecall = (exact & ivfKm).size.toDouble / exact.size
     assert(kmRecall >= 0.6, s"k-means IVF recall $kmRecall (got $ivfKm)")
   }
+
+  test("lshNearDupPairsFromVecs recovers planted perturbed pairs") {
+    // Same planting as SparkEntry's embedding_neardup_lsh query: first 8
+    // vectors get a copy with +0.01 on the first component (cosine ≈ 1).
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val planted = base.where(col("vec_id") < 8)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.01)),
+          slice(col("v"), 2, 63)).as("v"))
+    val pairs = Similarity.lshNearDupPairsFromVecs(
+        base.unionAll(planted), threshold = 0.9, dim = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+                 r.getAs[Double]("sim")))
+    val plantedPairs = pairs.filter { case (a, b, _) =>
+      b === a + 10000000L }
+    // Each planted pair survives banding unless a sign-projection margin
+    // splits it in all 3 tables — allow at most 2 of 8 such losses.
+    assert(plantedPairs.length >= 6,
+      s"only ${plantedPairs.length} planted pairs recovered")
+    plantedPairs.foreach { case (_, _, sim) => assert(sim >= 0.999) }
+  }
+
+  test("kmeansCodebook is invariant to input partitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansCodebook(emb, nCells = 8, iters = 2)
+    val b = Similarity.kmeansCodebook(emb.repartition(7), nCells = 8,
+      iters = 2)
+    // Exact DECIMAL sums make the trained centroids bit-identical at any
+    // partition count — the property the SQL oracle relies on.
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
 }
