@@ -578,6 +578,23 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // Integer core of the feature path, oracle-checked end-to-end: the
+    // synthetic LCG payload is replayed in SQL (recursive CTE over the
+    // affine step, HUGEINT mod-2^64), so the per-asset 16-bin byte
+    // histogram is hash-compared byte-for-byte. 512-byte payloads keep
+    // the oracle's 2^9-step recursion cheap; entropy (float libm, not
+    // bit-portable) stays on the rows-only multimodal_features above.
+    "multimodal_histogram" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.extractFeatures(
+          Multimodal.synthesize(s, n, payloadBytes = 512))
+        .select(col("asset_id"), col("modality"),
+          posexplode(col("histogram")).as(Seq("bin", "h")))
+        .select(col("asset_id"), col("modality"),
+          col("bin").cast("long").as("bin"), col("h"))
+        .orderBy("asset_id", "bin")
+    }),
+
     // Frame sampling (pure Catalyst: posexplode over a stride sequence +
     // binary substring). Frame selection and byte counts are arithmetic
     // over the synthetic asset layout, so DuckDB can recompute them.
@@ -949,6 +966,39 @@ object SparkEntry {
         |SELECT unnest(range((SELECT c FROM n))) AS asset_id,
         |  CAST(1024 AS BIGINT) AS n_bytes
         |ORDER BY asset_id""".stripMargin,
+
+    // Replays Multimodal.synthesize's 64-bit LCG (x' = x·A + C mod 2^64;
+    // payload byte i = top byte of iterate i+2) in a recursive CTE with
+    // HUGEINT arithmetic — bin = top 4 bits = x div 2^60. Zero-count bins
+    // are re-attached via a bins×assets frame, matching the dense 16-slot
+    // histogram Spark emits.
+    "multimodal_histogram" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
+        |g(asset_id, i, x) AS (
+        |  SELECT CAST(id AS BIGINT), 0,
+        |    CAST((((CAST(id AS HUGEINT) * 6364136223846793005
+        |             + 1442695040888963407) % 18446744073709551616)
+        |          * 6364136223846793005 + 1442695040888963407)
+        |         % 18446744073709551616 AS HUGEINT)
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT asset_id, i + 1,
+        |    CAST(((x * 6364136223846793005) % 18446744073709551616
+        |          + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+        |  FROM g WHERE i < 511),
+        |hist AS (SELECT asset_id,
+        |    CAST(x // 1152921504606846976 AS BIGINT) AS bin, COUNT(*) AS h
+        |  FROM g GROUP BY 1, 2),
+        |bins AS (SELECT CAST(a.id AS BIGINT) AS asset_id, b.bin
+        |  FROM ids a, (SELECT CAST(unnest(range(16)) AS BIGINT) AS bin) b)
+        |SELECT b.asset_id,
+        |  CASE b.asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  b.bin, COALESCE(hist.h, 0) AS h
+        |FROM bins b LEFT JOIN hist
+        |  ON b.asset_id = hist.asset_id AND b.bin = hist.bin
+        |ORDER BY b.asset_id, b.bin""".stripMargin,
 
     "sample_frames" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM documents),
