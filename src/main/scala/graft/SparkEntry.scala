@@ -647,10 +647,11 @@ object SparkEntry {
   // ---- DuckDB oracle SQL ----------------------------------------------
   // Omitted (rows-only check) for: simhash_pairs (xxhash64 is not
   // portable — the md5-sliced simhash_pairs_md5 variant IS oracle-checked),
-  // approx_users_per_type (HLL sketch; ≤5% error vs exact asserted in
-  // PropertySpec), rolling_fingerprint (Long-overflow Rabin-Karp
-  // arithmetic), and multimodal_features (synthetic binary payloads; the
-  // arithmetic-only sample_frames IS oracle-checked). The approximate ANN
+  // approx_users_per_type / approx_event_quantiles (sketches; error bounds
+  // vs the exact twins asserted in PropertySpec), and multimodal_features
+  // (float entropy; the integer feature core IS oracle-checked via
+  // multimodal_histogram's recursive-CTE LCG replay, and the
+  // mod-2^64 rolling_fingerprint via HUGEINT arithmetic). The approximate ANN
   // paths (ann_topk_lsh / ann_topk_ivf / ann_topk_ivf_kmeans /
   // embedding_neardup_lsh) ARE oracle-checked: their hyperplanes/centroids
   // are deterministic (k-means trains with order-free DECIMAL means), so
@@ -908,6 +909,38 @@ object SparkEntry {
        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Generated oracle for the winnowing rolling-hash fingerprint: replays
+    * [[graft.functions.RollingHashWindows]]'s Rabin–Karp window hash
+    * (base 257, arithmetic mod 2^64) in HUGEINT SQL — each window hash is
+    * Σ byte·257^t with the 32 power constants inlined mod 2^64, the
+    * unsigned result converted to the signed long the Spark expression
+    * emits, then the per-doc MIN. The oracle reads code points as bytes,
+    * valid because the corpus is ASCII (the expression hashes UTF-8
+    * bytes); docs shorter than the window keep their null via the left
+    * join.
+    */
+  private val rollingFingerprintSql: String = {
+    val W = 32
+    val powers = Iterator.iterate(1L)(_ * 257L).take(W).toArray
+    val terms = (0 until W).map(t =>
+      s"CAST(b[i+${W - 1 - t}] AS HUGEINT) * " +
+        java.lang.Long.toUnsignedString(powers(t)))
+      .mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       |bs AS (SELECT doc_id, list_transform(range(1, len(t)+1),
+       |    i -> ord(substr(t, i, 1))) AS b, len(t) AS n FROM s),
+       |w AS (SELECT doc_id, unnest(range(1, n - $W + 2)) AS i, b
+       |  FROM bs WHERE n >= $W),
+       |h AS (SELECT doc_id,
+       |  ($terms) % 18446744073709551616 AS hu FROM w),
+       |m AS (SELECT doc_id, MIN(CAST(CASE WHEN hu >= 9223372036854775808
+       |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT)) AS f
+       |  FROM h GROUP BY doc_id)
+       |SELECT s.doc_id, m.f AS fingerprint
+       |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   private val enList = "('the','a','of','and','to','in','is','it')"
   private val deList = "('der','die','das','und','ist','mit','ein','zu')"
   private val frList = "('le','la','les','et','est','une','dans','que')"
@@ -960,6 +993,8 @@ object SparkEntry {
     "embedding_neardup_lsh" -> embNearDupSql,
 
     "simhash_pairs_md5" -> simhashMd5Sql,
+
+    "rolling_fingerprint" -> rollingFingerprintSql,
 
     "resize_assets" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM documents)
