@@ -469,6 +469,18 @@ object SparkEntry {
     "neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Near-dup clustering: connected components over the MinHash-LSH pair
+    // graph — every doc labeled with its cluster's canonical (minimum)
+    // doc_id, singletons labeling themselves. The post-pair step an LLM
+    // dedup pipeline actually acts on ("keep one per cluster").
+    "neardup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(
+          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
+          d.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -680,6 +692,43 @@ object SparkEntry {
       |      i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
       |    ELSE [] END) AS shingles
       |  FROM t)""".stripMargin
+
+  /** MinHash-LSH near-dup pair oracle — also embedded as the edge set of
+    * the `neardup_clusters` transitive-closure oracle.
+    */
+  private val nearDupPairsSql: String =
+    s"""$shinglesSql,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+       |    AS sig FROM sh
+       |  UNION ALL SELECT doc_id, 1,
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
+       |    FROM sh
+       |  UNION ALL SELECT doc_id, 2,
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+       |    FROM sh
+       |  UNION ALL SELECT doc_id, 3,
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
+       |    FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+       |  FROM shing x JOIN shing y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.da AS doc_a, c.db AS doc_b,
+       |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
+       |    (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+       |FROM cand c
+       |JOIN sizes sa ON c.da = sa.doc_id
+       |JOIN sizes sb ON c.db = sb.doc_id
+       |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+       |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
+       |  (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // One SQL for both rank-path variants: flagship_rank (two-phase scale
   // path) and flagship_rank_window (literal W1 window) must produce the
@@ -1306,39 +1355,26 @@ object SparkEntry {
          |    AS sig_3
          |FROM sh ORDER BY doc_id""".stripMargin,
 
-    "neardup_pairs" ->
-      s"""$shinglesSql,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band,
-         |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
-         |    AS sig FROM sh
-         |  UNION ALL SELECT doc_id, 1,
-         |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
-         |    FROM sh
-         |  UNION ALL SELECT doc_id, 2,
-         |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
-         |    FROM sh
-         |  UNION ALL SELECT doc_id, 3,
-         |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
-         |    FROM sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-         |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
-         |  FROM shing x JOIN shing y ON x.s = y.s AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT c.da AS doc_a, c.db AS doc_b,
-         |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
-         |    (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
-         |FROM cand c
-         |JOIN sizes sa ON c.da = sa.doc_id
-         |JOIN sizes sb ON c.db = sb.doc_id
-         |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
-         |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
-         |  (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "neardup_pairs" -> nearDupPairsSql,
+
+    // Transitive closure over the (deterministic) near-dup pair graph:
+    // symmetric edges, recursive reachability (UNION dedupe terminates
+    // it), cluster = min reachable doc_id, singletons via the left join.
+    "neardup_clusters" ->
+      s"""WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM (
+         |$nearDupPairsSql
+         |)),
+         |esym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(s, d) AS (
+         |  SELECT src, dst FROM esym
+         |  UNION
+         |  SELECT r.s, e.dst FROM reach r JOIN esym e ON r.d = e.src),
+         |v AS (SELECT doc_id FROM documents)
+         |SELECT v.doc_id,
+         |  LEAST(v.doc_id, COALESCE(MIN(r.d), v.doc_id)) AS cluster
+         |FROM v LEFT JOIN reach r ON v.doc_id = r.s
+         |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))

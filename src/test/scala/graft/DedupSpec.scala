@@ -80,6 +80,25 @@ class DedupSpec extends AnyFunSuite {
     })
   }
 
+  test("connectedComponents: near-dup group clusters to min doc_id") {
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, docs.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(0L) === 0L && cc(1L) === 0L && cc(2L) === 0L)  // dup group
+    assert(cc(3L) === 3L && cc(4L) === 4L)                   // singletons
+  }
+
+  test("connectedComponents propagates labels across a chain") {
+    // Diameter-3 chain: the label must take 3 propagation rounds to reach
+    // the far end — exercises the iteration, not just one hop.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val verts = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(chain, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("minhashSignatures: identical docs share all bands") {
     val sigs = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
     val s0 = sigs(0).toSeq.drop(1)
