@@ -481,6 +481,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The dedup endpoint: cluster the pair graph, then keep one
+    // representative per cluster (longest text, doc_id tiebreak) — the
+    // frame a training run would actually read.
+    "dedup_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+      Dedup.keepClusterRepresentatives(d, clusters)
+        .select(col("cluster"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("cluster")
+    }),
+
     "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -729,6 +742,27 @@ object SparkEntry {
        |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
        |  (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Transitive closure over the (deterministic) near-dup pair graph:
+    * symmetric edges, recursive reachability (UNION dedupe terminates
+    * it), cluster = min reachable doc_id, singletons via the left join.
+    * Also embedded as the cluster CTE of the `dedup_apply` oracle.
+    */
+  private val nearDupClustersSql: String =
+    s"""WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM (
+       |$nearDupPairsSql
+       |)),
+       |esym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach(s, d) AS (
+       |  SELECT src, dst FROM esym
+       |  UNION
+       |  SELECT r.s, e.dst FROM reach r JOIN esym e ON r.d = e.src),
+       |v AS (SELECT doc_id FROM documents)
+       |SELECT v.doc_id,
+       |  LEAST(v.doc_id, COALESCE(MIN(r.d), v.doc_id)) AS cluster
+       |FROM v LEFT JOIN reach r ON v.doc_id = r.s
+       |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin
 
   // One SQL for both rank-path variants: flagship_rank (two-phase scale
   // path) and flagship_rank_window (literal W1 window) must produce the
@@ -1357,24 +1391,20 @@ object SparkEntry {
 
     "neardup_pairs" -> nearDupPairsSql,
 
-    // Transitive closure over the (deterministic) near-dup pair graph:
-    // symmetric edges, recursive reachability (UNION dedupe terminates
-    // it), cluster = min reachable doc_id, singletons via the left join.
-    "neardup_clusters" ->
-      s"""WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM (
-         |$nearDupPairsSql
-         |)),
-         |esym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
-         |  UNION ALL SELECT doc_b, doc_a FROM edges),
-         |reach(s, d) AS (
-         |  SELECT src, dst FROM esym
-         |  UNION
-         |  SELECT r.s, e.dst FROM reach r JOIN esym e ON r.d = e.src),
-         |v AS (SELECT doc_id FROM documents)
-         |SELECT v.doc_id,
-         |  LEAST(v.doc_id, COALESCE(MIN(r.d), v.doc_id)) AS cluster
-         |FROM v LEFT JOIN reach r ON v.doc_id = r.s
-         |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin,
+    "neardup_clusters" -> nearDupClustersSql,
+
+    // Keep-one-per-cluster endpoint: the clusters oracle embeds as a CTE,
+    // then the same longest-text / doc_id-ascending window picks each
+    // cluster's representative.
+    "dedup_apply" ->
+      s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
+         |k AS (SELECT cl.cluster, cl.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
+         |      ORDER BY length(d.text) DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+         |SELECT cluster, doc_id, n_chars FROM k WHERE rn = 1
+         |ORDER BY cluster""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))

@@ -89,6 +89,16 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(3L) === 3L && cc(4L) === 4L)                   // singletons
   }
 
+  test("keepClusterRepresentatives keeps one best copy per cluster") {
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, docs.select("doc_id"))
+    val kept = Dedup.keepClusterRepresentatives(docs, cc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Docs 0/1/2 cluster together; 0 and 1 tie on length → doc_id picks 0.
+    assert(kept === Map(0L -> 0L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("connectedComponents propagates labels across a chain") {
     // Diameter-3 chain: the label must take 3 propagation rounds to reach
     // the far end — exercises the iteration, not just one hop.
