@@ -494,6 +494,13 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // Decontamination: 8-gram overlap between the corpus and a
+    // deterministic 10% holdout slice (doc_id % 10 == 0, standing in for
+    // the benchmark/eval set) — flags training docs that leak eval text.
+    "contamination_overlap" -> ((s, dir) =>
+      Dedup.contaminationOverlap(docs(s, dir), col("doc_id") % 10 === 0)
+        .orderBy("doc_id", "holdout_id")),
+
     "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -1392,6 +1399,24 @@ object SparkEntry {
     "neardup_pairs" -> nearDupPairsSql,
 
     "neardup_clusters" -> nearDupClustersSql,
+
+    // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
+    // predicate, set-distinct grams per doc before the overlap join.
+    "contamination_overlap" -> {
+      val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS h,
+         |  string_split(lower(text), ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, h, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 8 THEN
+         |      list_transform(range(1, len(toks) - 6),
+         |        i -> md5(concat_ws(' ', $gram8)))
+         |    ELSE [] END)) AS g FROM t),
+         |c AS (SELECT doc_id, g FROM g WHERE NOT h),
+         |hh AS (SELECT doc_id AS holdout_id, g FROM g WHERE h)
+         |SELECT c.doc_id, hh.holdout_id, COUNT(*) AS n_shared
+         |FROM c JOIN hh ON c.g = hh.g
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // Keep-one-per-cluster endpoint: the clusters oracle embeds as a CTE,
     // then the same longest-text / doc_id-ascending window picks each

@@ -109,6 +109,18 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("contaminationOverlap flags corpus docs sharing 8-grams w/ holdout") {
+    import org.apache.spark.sql.functions.col
+    // Odd doc_ids play the benchmark set: doc 1 (dup of corpus doc 0)
+    // must be flagged; the unrelated corpus doc 4 must stay clean.
+    val out = Dedup.contaminationOverlap(docs, col("doc_id") % 2 === 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("holdout_id"),
+                 r.getAs[Long]("n_shared")))
+    assert(out.exists { case (c, h, n) => c === 0L && h === 1L && n > 10 })
+    assert(!out.exists { case (c, _, _) => c === 4L })
+  }
+
   test("minhashSignatures: identical docs share all bands") {
     val sigs = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
     val s0 = sigs(0).toSeq.drop(1)
