@@ -851,11 +851,14 @@ object SparkEntry {
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)""".stripMargin
 
-  private def bandedSql(planes: Int, tables: Int): String =
+  private def bandedSql(planes: Int, tables: Int, from: String = "vecs",
+                        withLabel: Boolean = true): String = {
+    val cols = if (withLabel) "vec_id, label, v" else "vec_id, v"
     "banded AS (" + (0 until tables).map { t =>
-      s"SELECT vec_id, label, v, $t AS tbl, " +
-        bucketSql("v", planes, salt = t) + " AS bucket FROM vecs"
+      s"SELECT $cols, $t AS tbl, " +
+        bucketSql("v", planes, salt = t) + s" AS bucket FROM $from"
     }.mkString(" UNION ALL ") + ")"
+  }
 
   private val annLshSql =
     s"""WITH $vecsSql,
@@ -905,10 +908,8 @@ object SparkEntry {
     * side's `element_at(v,1) + 0.01`).
     */
   private val embNearDupSql = {
-    val banded = "banded AS (" + (0 until 3).map { t =>
-      s"SELECT vec_id, v, $t AS tbl, " +
-        bucketSql("v", planes = 12, salt = t) + " AS bucket FROM pvecs"
-    }.mkString(" UNION ALL ") + ")"
+    val banded = bandedSql(planes = 12, tables = 3, from = "pvecs",
+      withLabel = false)
     s"""WITH vecs0 AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
