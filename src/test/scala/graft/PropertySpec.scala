@@ -124,6 +124,62 @@ class PropertySpec extends AnyFunSuite {
     assert(viaTwoPhase.toSeq === viaWindow.toSeq)
   }
 
+  test("property: connected components match brute-force union-find") {
+    import graft.operators.Dedup
+    // Random sparse graph over 40 vertices — enough to produce a mix of
+    // singletons, pairs, and larger multi-hop components.
+    val nV = 40
+    val edges = (0 until 30).map { _ =>
+      (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // Reference: array-based union-find with full path compression.
+    val parent = Array.tabulate(nV)(identity)
+    def find(x: Int): Int = {
+      if (parent(x) != x) parent(x) = find(parent(x))
+      parent(x)
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until nV).map { v =>
+      v.toLong -> (0 until nV).filter(u => find(u) == find(v)).min.toLong
+    }.toMap
+    val got = Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"),
+        (0 until nV).map(_.toLong).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("property: contamination overlap equals brute-force gram-set math") {
+    import graft.operators.Dedup
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    def randDoc(len: Int): String =
+      (0 until len).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val docs = (0L until 30L).map(i => (i, randDoc(10 + rnd.nextInt(10))))
+    val n = 4
+    def gramSet(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ")
+      if (t.length < n) Set.empty
+      else t.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val holdoutIds = docs.map(_._1).filter(_ % 3 == 0).toSet
+    val expected = (for {
+      (cid, ctext) <- docs if !holdoutIds(cid)
+      (hid, htext) <- docs if holdoutIds(hid)
+      shared = (gramSet(ctext) & gramSet(htext)).size
+      if shared > 0
+    } yield (cid, hid) -> shared.toLong).toMap
+    val got = Dedup.contaminationOverlap(
+        docs.toDF("doc_id", "text"), col("doc_id") % 3 === 0, n = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
   test("property: HLL approx distinct stays within 5% of exact") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val rows = events.groupBy("event_type")
