@@ -77,6 +77,102 @@ object TextOps {
         .otherwise(lit("es")))
   }
 
+  /** Gopher-style repetition signals per document — the "is this document
+    * mostly the same few tokens repeated" quality family that text-only
+    * ratio filters ([[qualityScore]]) miss:
+    *   - `top_token_frac`: occurrences of the most frequent token / total
+    *     tokens,
+    *   - `dup_bigram_frac` / `dup_trigram_frac`: fraction of n-gram
+    *     occurrences that are repeats of an earlier occurrence
+    *     (`(total - distinct) / total`; 0.0 for docs too short to have
+    *     any such n-gram).
+    * All three are single IEEE divisions of integer counts — portable.
+    *
+    * Plan shape: ONE tokenize → window-lead pass (persisted — three
+    * aggregations consume it), then three partial-aggregated groupBys
+    * keyed by (doc_id, gram), each reduced to per-doc counts. Shuffles
+    * carry only gram keys and counts; nothing is quadratic. Caller clears
+    * the session cache after materializing (Bench/Verify do).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .withColumn("_t1", lead("tok", 1).over(w))
+      .withColumn("_t2", lead("tok", 2).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokAgg = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("_top"))
+    val biAgg = toks.where(col("_t1").isNotNull)
+      .groupBy(col("doc_id"), col("tok"), col("_t1"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("_n_bi"), count(lit(1)).as("_d_bi"))
+    val triAgg = toks.where(col("_t2").isNotNull)
+      .groupBy(col("doc_id"), col("tok"), col("_t1"), col("_t2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("_n_tri"), count(lit(1)).as("_d_tri"))
+    def dupFrac(total: Column, distinct: Column): Column =
+      when(total.isNull || total === 0, lit(0.0))
+        .otherwise((total - distinct).cast("double") / total)
+    tokAgg
+      .join(biAgg, Seq("doc_id"), "left")
+      .join(triAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_top").cast("double") / col("n_tokens")).as("top_token_frac"),
+        dupFrac(col("_n_bi"), col("_d_bi")).as("dup_bigram_frac"),
+        dupFrac(col("_n_tri"), col("_d_tri")).as("dup_trigram_frac"))
+  }
+
+  /** PII patterns for [[piiScrub]]. Deliberately restricted to regex
+    * constructs whose semantics agree between Java's engine and RE2
+    * (character classes, bounded repetition) so the scrub is replayable in
+    * the oracle engine verbatim.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[A-Za-z0-9./_-]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: count and redact email addresses, URLs and phone numbers.
+    * Output: (doc_id, n_emails, n_urls, n_phones, scrubbed) where
+    * `scrubbed` has each match replaced by a typed placeholder. Email is
+    * scrubbed before URL so `mailto`-ish text can't be half-eaten by the
+    * URL pass; the order is part of the operator contract. Pure codegen'd
+    * `regexp_count`/`regexp_replace` — linear scan, no shuffle.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col(textCol), lit(UrlPattern)).as("n_urls"),
+      regexp_count(col(textCol), lit(PhonePattern)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>"),
+        PhonePattern, "<PHONE>").as("scrubbed"))
+
+  /** Domains of every URL in the text, one row per (doc_id, domain) hit —
+    * the per-domain aggregation a blocklist/mixing pipeline runs. Explode
+    * of `regexp_extract_all` then a hash-aggregate on the domain string.
+    */
+  def urlDomains(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+          .as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([A-Za-z0-9._-]+)", 1)
+          .as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("doc_id")).as("n_docs"))
+
   /** Content fingerprint (md5 of the normalized text) — the exact-dedup
     * key. md5 keeps it portable to the oracle engine.
     */

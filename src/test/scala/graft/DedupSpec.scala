@@ -39,6 +39,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))  // unrelated
   }
 
+  test("jaccardNgramPairs: blocked candidates carry exact Jaccard values") {
+    val pairs = Dedup.jaccardNgramPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSeq
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) === 1.0)                  // exact duplicate
+    assert(byPair.contains((0L, 2L)))                 // near-dup caught
+    assert(byPair((0L, 2L)) < 1.0 && byPair((0L, 2L)) > 0.5)
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))  // unrelated
+    // every reported value equals the brute-force distinct-trigram Jaccard
+    def grams(t: String): Set[String] = t.toLowerCase.split(" ")
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    pairs.foreach { case (a, b, j) =>
+      val (ga, gb) = (grams(texts(a)), grams(texts(b)))
+      val expect = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(math.abs(j - expect) < 1e-12, s"pair ($a,$b)")
+    }
+  }
+
   test("simhashSignatures matches the column-expression simhash") {
     val viaDf = Dedup.simhashSignatures(docs).orderBy("doc_id")
       .collect().map(_.getAs[Long]("simhash")).toSeq
