@@ -626,6 +626,19 @@ object SparkEntry {
           col("dup_trigram_frac"))
         .orderBy("doc_id")),
 
+    // Top-3 distinctive terms per doc by the integer tf·(N−df) relevance
+    // score (tf-idf's ordering without its non-portable logarithm).
+    "top_terms" -> ((s, dir) =>
+      TextOps.topTerms(docs(s, dir))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), desc("score"), col("term"))),
+
+    // Corpus-relative length band: keep docs inside the [P5, P95]
+    // discrete-quantile token-count band.
+    "length_filter" -> ((s, dir) =>
+      TextOps.lengthBandFilter(docs(s, dir)).orderBy("doc_id")),
+
     // PII scrub over deterministically planted contacts: per-doc match
     // counts + md5 of the redacted text (the full scrubbed column would be
     // the production output; the hash is what the comparator can check).
@@ -1469,6 +1482,33 @@ object SparkEntry {
         |FROM ta JOIN bi ON ta.doc_id = bi.doc_id
         |JOIN tri ON ta.doc_id = tri.doc_id
         |ORDER BY ta.doc_id""".stripMargin,
+
+    "top_terms" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+        |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |     FROM documents) GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT t.doc_id, t.tok AS term,
+        |    CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+        |    CAST(t.tf * (n.n - d.df) AS BIGINT) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf * (n.n - d.df) DESC, t.tok ASC) AS rn
+        |  FROM tf t JOIN df d USING (tok), n)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    "length_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT
+        |    percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+        |    percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi
+        |  FROM t)
+        |SELECT doc_id, n_tokens FROM t, b
+        |WHERE n_tokens >= lo AND n_tokens <= hi
+        |ORDER BY doc_id""".stripMargin,
 
     "pii_scrub" ->
       s"""WITH $piiAugSql

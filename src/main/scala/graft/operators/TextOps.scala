@@ -129,6 +129,67 @@ object TextOps {
         dupFrac(col("_n_tri"), col("_d_tri")).as("dup_trigram_frac"))
   }
 
+  /** Top-k most distinctive terms per document, ranked by the integer
+    * relevance score `tf · (N − df)` — monotone increasing in term
+    * frequency and in rarity, i.e. the ordering tf-idf induces, without
+    * tf-idf's logarithm. The log is avoided deliberately: `ln` is not a
+    * correctly-rounded IEEE operation, so `tf·ln(N/df)` can differ in the
+    * last ulp across engines and flip a rank; the integer surrogate is
+    * bit-exact everywhere (the same reasoning that keeps the oracle
+    * queries on DECIMAL sums and single IEEE divisions).
+    *
+    * Plan shape: one (doc_id, token) count aggregate (persisted — it
+    * feeds both the document-frequency aggregate and the scoring join),
+    * a token-keyed DF join (vocabulary-sized right side; partial-agg'd
+    * both levels), the corpus size N attached as a broadcast 1-row frame
+    * (no driver collect), and a per-doc window for the top-k cut —
+    * partitioned by doc_id, so no unpartitioned window at any scale.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3,
+               textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("tok"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("_n") - col("df")))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Corpus-relative length filter: keep documents whose token count lies
+    * within the [`lo`, `hi`] discrete quantile band of the corpus — the
+    * "drop the pathologically short/long tail" cleaning step. Discrete
+    * (not continuous) quantiles on purpose: `percentile_disc` returns an
+    * actual data value with no interpolation arithmetic, so the band
+    * bounds are bit-identical in any engine. The bounds attach as a
+    * broadcast 1-row frame — no driver collect. At corpus scale the exact
+    * single-group percentile becomes the one non-partial aggregation in
+    * the plan; swap in `approx_percentile` there (same shape, bounded
+    * error) when N makes exact sorting unreasonable.
+    */
+  def lengthBandFilter(docs: DataFrame, lo: Double = 0.05, hi: Double = 0.95,
+                       textCol: String = "text"): DataFrame = {
+    val withLen = docs.withColumn("n_tokens",
+      size(split(col(textCol), " ")).cast("long"))
+    val bounds = withLen.agg(
+      expr(s"percentile_disc($lo) WITHIN GROUP (ORDER BY n_tokens)")
+        .as("_lo"),
+      expr(s"percentile_disc($hi) WITHIN GROUP (ORDER BY n_tokens)")
+        .as("_hi"))
+    withLen.crossJoin(broadcast(bounds))
+      .where(col("n_tokens") >= col("_lo") && col("n_tokens") <= col("_hi"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** PII patterns for [[piiScrub]]. Deliberately restricted to regex
     * constructs whose semantics agree between Java's engine and RE2
     * (character classes, bounded repetition) so the scrub is replayable in

@@ -52,6 +52,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("scrubbed") === "no pii here at all")
   }
 
+  test("topTerms ranks by tf·(N−df) with term-ascending tiebreak") {
+    val d = Seq((0L, "apple apple banana"),
+                (1L, "banana cherry cherry cherry"),
+                (2L, "apple banana date")).toDF("doc_id", "text")
+    val out = TextOps.topTerms(d, k = 3).orderBy("doc_id", "term").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+                 r.getAs[Long]("tf"), r.getAs[Long]("df"),
+                 r.getAs[Long]("score"))).toSeq
+    // N=3; df: apple 2, banana 3, cherry 1, date 1
+    assert(out === Seq(
+      (0L, "apple", 2L, 2L, 2L), (0L, "banana", 1L, 3L, 0L),
+      (1L, "banana", 1L, 3L, 0L), (1L, "cherry", 3L, 1L, 6L),
+      (2L, "apple", 1L, 2L, 1L), (2L, "banana", 1L, 3L, 0L),
+      (2L, "date", 1L, 1L, 2L)))
+    // k cuts per doc: with k=1 only each doc's argmax survives
+    val top1 = TextOps.topTerms(d, k = 1).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"))).toSeq
+    assert(top1 === Seq((0L, "apple"), (1L, "cherry"), (2L, "date")))
+  }
+
+  test("lengthBandFilter drops the tails outside the quantile band") {
+    val d = (1 to 20).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.lengthBandFilter(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"))).toSeq
+    // P5 of 1..20 = 1 (cume_dist 1/20 ≥ 0.05), P95 = 19 → only the
+    // 20-token doc is outside the band
+    assert(out.length === 19)
+    assert(out.map(_._2).max === 19L)
+  }
+
   test("urlDomains aggregates per-domain url and doc counts") {
     val d = Seq(
       (0L, "see https://a.io/x and https://a.io/y"),
