@@ -639,6 +639,12 @@ object SparkEntry {
     "length_filter" -> ((s, dir) =>
       TextOps.lengthBandFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // Sequence packing: every doc's (sequence, offset) slot in the
+    // doc_id-ordered 2048-token training stream — global prefix sum via
+    // the two-phase range-partition machinery, no unpartitioned window.
+    "pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir)).orderBy("doc_id")),
+
     // PII scrub over deterministically planted contacts: per-doc match
     // counts + md5 of the redacted text (the full scrubbed column would be
     // the production output; the hash is what the comparator can check).
@@ -1509,6 +1515,19 @@ object SparkEntry {
         |SELECT doc_id, n_tokens FROM t, b
         |WHERE n_tokens >= lo AND n_tokens <= hi
         |ORDER BY doc_id""".stripMargin,
+
+    // Packing twin: one window cumsum (the oracle engine is single-node,
+    // so the literal form is fine there), integer div/mod boundaries.
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+        |      AS st FROM t)
+        |SELECT doc_id, n_tokens, st // 2048 AS seq_id,
+        |  st % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "pii_scrub" ->
       s"""WITH $piiAugSql

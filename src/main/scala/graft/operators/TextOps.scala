@@ -190,6 +190,46 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** Sequence packing for LLM pretraining: lay all documents end-to-end
+    * in `doc_id` order into one global token stream cut into fixed
+    * `seqLen`-token training sequences, and report where each document
+    * lands — `seq_id` (the sequence its first token falls in) and
+    * `seq_offset` (position within that sequence). Documents may straddle
+    * a boundary and continue into the next sequence: standard
+    * packed-dataset semantics.
+    *
+    * The global exclusive prefix sum uses the same two-phase
+    * range-partition machinery as [[Relational.twoPhaseDenseRank]]
+    * (SURVEY.md §7.4.8): per-partition cumulative sums under a
+    * *partitioned* window, plus per-partition totals prefix-summed
+    * through a ≤ partitions² broadcast triangular join — NO unpartitioned
+    * window anywhere, so the plan holds at any corpus size. The packed
+    * assignment is partition-count-invariant by construction (a prefix
+    * sum is the same number regardless of where partitions split).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048,
+                    partitions: Int = 32,
+                    textCol: String = "text"): DataFrame = {
+    val withLen = docs.select(col("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val parts = withLen.repartitionByRange(partitions, asc("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = parts.withColumn("_lcum",
+      sum("n_tokens").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("_pid").orderBy("doc_id")))
+    val counts = parts.groupBy("_pid").agg(sum("n_tokens").as("_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_start", col("_off") + col("_lcum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"_start DIV $seqLen").as("seq_id"),
+        pmod(col("_start"), lit(seqLen.toLong)).as("seq_offset"))
+  }
+
   /** PII patterns for [[piiScrub]]. Deliberately restricted to regex
     * constructs whose semantics agree between Java's engine and RE2
     * (character classes, bounded repetition) so the scrub is replayable in

@@ -83,6 +83,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).max === 19L)
   }
 
+  test("packSequences: two-phase prefix sum matches brute-force packing") {
+    // lengths 3,2,4,1 at seqLen=4 → starts 0,3,5,9 → seq 0,0,1,2 /
+    // offsets 0,3,1,1; docs deliberately span range-partition boundaries
+    val d = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, "j"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packSequences(d, seqLen = 4, partitions = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+                 r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toSeq
+    assert(out === Seq((0L, 3L, 0L, 0L), (1L, 2L, 0L, 3L),
+                       (2L, 4L, 1L, 1L), (3L, 1L, 2L, 1L)))
+  }
+
+  test("packSequences is partition-count-invariant") {
+    val d = (0L until 100L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(p: Int) = TextOps.packSequences(d, seqLen = 16, partitions = p)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+                 r.getAs[Long]("seq_offset"))).toSeq
+    assert(run(1) === run(13))
+  }
+
   test("urlDomains aggregates per-domain url and doc counts") {
     val d = Seq(
       (0L, "see https://a.io/x and https://a.io/y"),
