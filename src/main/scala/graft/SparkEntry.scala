@@ -1580,15 +1580,16 @@ object SparkEntry {
 
     "neardup_pairs" -> nearDupPairsSql,
 
-    // Rare-gram-blocked Jaccard twin: distinct md5 trigram hashes, DF
+    // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
     // filter 2..10, blocking self-join, exact Jaccard over full gram sets.
-    "jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+    "jaccard_pairs" -> {
+      val gram6 = (0 until 6).map(o => s"toks[i+$o]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |  FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    CASE WHEN len(toks) >= 6 THEN
+        |      list_transform(range(1, len(toks) - 4),
+        |        i -> md5(concat_ws(' ', $gram6)))
         |    ELSE [] END)) AS g FROM t),
         |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
         |  WHERE df BETWEEN 2 AND 10),
@@ -1607,7 +1608,8 @@ object SparkEntry {
         |JOIN sizes sb ON c.db = sb.doc_id
         |JOIN inter i ON c.da = i.da AND c.db = i.db
         |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "neardup_clusters" -> nearDupClustersSql,
 

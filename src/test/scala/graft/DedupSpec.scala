@@ -46,11 +46,13 @@ class DedupSpec extends AnyFunSuite {
     val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(byPair((0L, 1L)) === 1.0)                  // exact duplicate
     assert(byPair.contains((0L, 2L)))                 // near-dup caught
-    assert(byPair((0L, 2L)) < 1.0 && byPair((0L, 2L)) > 0.5)
+    // one substituted token kills 6 of the 18 6-gram windows → exactly
+    // 12/24 = 0.5, the threshold boundary (also proves >= not >)
+    assert(byPair((0L, 2L)) < 1.0 && byPair((0L, 2L)) >= 0.5)
     assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))  // unrelated
-    // every reported value equals the brute-force distinct-trigram Jaccard
+    // every reported value equals the brute-force distinct-6-gram Jaccard
     def grams(t: String): Set[String] = t.toLowerCase.split(" ")
-      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      .sliding(6).filter(_.length == 6).map(_.mkString(" ")).toSet
     val texts = docs.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     pairs.foreach { case (a, b, j) =>
