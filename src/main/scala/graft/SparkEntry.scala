@@ -585,7 +585,7 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "lang_id" -> ((s, dir) =>
-      TextOps.langId(docs(s, dir))
+      TextOps.langIdAgg(docs(s, dir))
         .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
           col("de_hits").cast("long").as("de_hits"),
           col("fr_hits").cast("long").as("fr_hits"),

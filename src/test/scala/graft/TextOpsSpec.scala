@@ -107,6 +107,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(run(1) === run(13))
   }
 
+  test("tokenStatsAgg is column-for-column equivalent to tokenStats") {
+    val d = Seq((0L, "the quick brown fox the lazy dog the"),
+                (1L, "one"), (2L, "a a  b")).toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(TextOps.tokenStatsAgg(d).columns.toSeq ===
+      TextOps.tokenStats(d).columns.toSeq)
+    assert(dump(TextOps.tokenStatsAgg(d)) === dump(TextOps.tokenStats(d)))
+  }
+
+  test("langIdAgg matches langId on every corpus row") {
+    val d = Seq((0L, "the cat is in the house"),
+                (1L, "der hund ist mit der katze"),
+                (2L, "zzz qqq xxx"),
+                (3L, "le chat est dans la maison")).toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(dump(TextOps.langIdAgg(d)) === dump(TextOps.langId(d)))
+  }
+
   test("urlDomains aggregates per-domain url and doc counts") {
     val d = Seq(
       (0L, "see https://a.io/x and https://a.io/y"),
