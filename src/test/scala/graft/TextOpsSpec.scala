@@ -127,6 +127,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dump(TextOps.langIdAgg(d)) === dump(TextOps.langId(d)))
   }
 
+  test("packSequences and topTerms plan no unpartitioned window") {
+    val d = Seq((0L, "a b c"), (1L, "d e f")).toDF("doc_id", "text")
+    for (df <- Seq(TextOps.packSequences(d), TextOps.topTerms(d))) {
+      // An unpartitioned window prints as `Window [...], [ord]` (two
+      // argument lists); partitioned ones as `Window [...], [part], [ord]`.
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in plan: $w"))
+    }
+  }
+
+  test("repetitionStats and topTerms are partition-count-invariant") {
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.tabulate((i % 9 + 2).toInt)(j => s"w${(i + j) % 5}")
+        .mkString(" "))
+    }
+    def dump(df: org.apache.spark.sql.DataFrame, sortCols: Seq[String]) =
+      df.orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSeq
+    val d1 = docs.toDF("doc_id", "text").repartition(1)
+    val d7 = docs.toDF("doc_id", "text").repartition(7)
+    assert(dump(TextOps.repetitionStats(d1), Seq("doc_id")) ===
+           dump(TextOps.repetitionStats(d7), Seq("doc_id")))
+    assert(dump(TextOps.topTerms(d1), Seq("doc_id", "term")) ===
+           dump(TextOps.topTerms(d7), Seq("doc_id", "term")))
+  }
+
   test("urlDomains aggregates per-domain url and doc counts") {
     val d = Seq(
       (0L, "see https://a.io/x and https://a.io/y"),
