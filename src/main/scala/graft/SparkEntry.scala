@@ -645,6 +645,15 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(docs(s, dir)).orderBy("doc_id")),
 
+    // Overlapping token chunks (embedding/RAG prep): 32-token windows
+    // advancing by 24, chunk text hashed for the compare.
+    "chunk_docs" -> ((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          col("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
     // PII scrub over deterministically planted contacts: per-doc match
     // counts + md5 of the redacted text (the full scrubbed column would be
     // the production output; the hash is what the comparator can check).
@@ -1528,6 +1537,19 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, st // 2048 AS seq_id,
         |  st % 2048 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Chunking twin: same stride arithmetic, 1-based inclusive list_slice.
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(range(0, (n - 1) // 24 + 1)) AS chunk_id FROM t)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(toks, chunk_id * 24 + 1,
+        |    least(chunk_id * 24 + 32, n))) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, chunk_id * 24 + 1,
+        |    least(chunk_id * 24 + 32, n)), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pii_scrub" ->
       s"""WITH $piiAugSql

@@ -296,6 +296,32 @@ object TextOps {
         pmod(col("_start"), lit(seqLen.toLong)).as("seq_offset"))
   }
 
+  /** Fixed-size token chunking with overlap — the embedding/RAG prep step
+    * (and the long-document splitter before [[packSequences]]): chunk `k`
+    * of a document covers tokens `[k·(chunkSize−overlap),
+    * k·(chunkSize−overlap)+chunkSize)`; starts advance by the stride
+    * until the document is covered, so every token lands in ≥ 1 chunk
+    * and consecutive chunks share `overlap` tokens. Pure
+    * explode-of-`sequence` over a per-row token array — linear, no
+    * shuffle, chunk count exact via integer `DIV`.
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
+                textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0), expr(s"(_n - 1) DIV $stride"))).as("chunk_id"))
+      .withColumn("_chunk",
+        slice(col("_toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
+  }
+
   /** PII patterns for [[piiScrub]]. Deliberately restricted to regex
     * constructs whose semantics agree between Java's engine and RE2
     * (character classes, bounded repetition) so the scrub is replayable in

@@ -157,6 +157,32 @@ class TextOpsSpec extends AnyFunSuite {
            dump(TextOps.topTerms(d7), Seq("doc_id", "term")))
   }
 
+  test("chunkDocs: overlapping windows cover every token exactly") {
+    // 10 tokens, chunkSize 4, overlap 2 → stride 2 → starts 0,2,4,6,8
+    val d = Seq((0L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, chunkSize = 4, overlap = 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Int]("n_chunk_tokens")))
+      .toSeq
+    assert(out === Seq((0L, 4), (1L, 4), (2L, 4), (3L, 4), (4L, 2)))
+    // chunk text windows match the brute-force sliding view
+    val md5s = TextOps.chunkDocs(d, chunkSize = 4, overlap = 2)
+      .orderBy("chunk_id").collect().map(_.getAs[String]("chunk_md5")).toSeq
+    val expect = (0 until 5).map { k =>
+      val toks = (1 to 10).map(i => s"t$i").slice(k * 2, k * 2 + 4)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(md5s === expect)
+    // a doc shorter than one chunk still yields exactly one chunk
+    val short = TextOps.chunkDocs(
+      Seq((0L, "a b")).toDF("doc_id", "text"), 4, 2).collect()
+    assert(short.length === 1 &&
+      short(0).getAs[Int]("n_chunk_tokens") === 2)
+  }
+
   test("urlDomains aggregates per-domain url and doc counts") {
     val d = Seq(
       (0L, "see https://a.io/x and https://a.io/y"),
