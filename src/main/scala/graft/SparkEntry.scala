@@ -831,8 +831,9 @@ object SparkEntry {
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
        |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
-       |  FROM shing x JOIN shing y ON x.s = y.s AND x.doc_id < y.doc_id
+       |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+       |  FROM cand c JOIN shing x ON x.doc_id = c.da
+       |  JOIN shing y ON y.doc_id = c.db AND y.s = x.s
        |  GROUP BY 1, 2)
        |SELECT c.da AS doc_a, c.db AS doc_b,
        |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
@@ -1539,11 +1540,14 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Chunking twin: same stride arithmetic, 1-based inclusive list_slice.
+    // greatest(0, ·) also absorbs the //-floors-toward-negative vs
+    // DIV-truncates-toward-zero difference on short docs.
     "chunk_docs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |    len(string_split(text, ' ')) AS n FROM documents),
         |c AS (SELECT doc_id, toks, n,
-        |    unnest(range(0, (n - 1) // 24 + 1)) AS chunk_id FROM t)
+        |    unnest(range(0, greatest(0, (n - 32 + 23) // 24) + 1))
+        |      AS chunk_id FROM t)
         |SELECT doc_id, chunk_id,
         |  CAST(len(list_slice(toks, chunk_id * 24 + 1,
         |    least(chunk_id * 24 + 32, n))) AS BIGINT) AS n_chunk_tokens,
@@ -1620,8 +1624,9 @@ object SparkEntry {
         |  FROM blocked a JOIN blocked b
         |  ON a.g = b.g AND a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
-        |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
-        |  FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id
+        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |  FROM cand c JOIN g x ON x.doc_id = c.da
+        |  JOIN g y ON y.doc_id = c.db AND y.g = x.g
         |  GROUP BY 1, 2)
         |SELECT c.da AS doc_a, c.db AS doc_b,
         |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
@@ -1694,18 +1699,22 @@ object SparkEntry {
          |    AS distinct_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // COALESCE(…, 0): a NULL text must count as 0 hits → 'unknown',
+    // matching langIdAgg's explode_outer + sum semantics (list_filter on
+    // a NULL list would otherwise propagate NULL and fall through the
+    // argmax CASE to 'es').
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
          |  FROM documents),
          |h AS (SELECT doc_id,
-         |  CAST(len(list_filter(toks, x -> x IN $enList)) AS BIGINT)
-         |    AS en_hits,
-         |  CAST(len(list_filter(toks, x -> x IN $deList)) AS BIGINT)
-         |    AS de_hits,
-         |  CAST(len(list_filter(toks, x -> x IN $frList)) AS BIGINT)
-         |    AS fr_hits,
-         |  CAST(len(list_filter(toks, x -> x IN $esList)) AS BIGINT)
-         |    AS es_hits
+         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $enList)), 0)
+         |    AS BIGINT) AS en_hits,
+         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $deList)), 0)
+         |    AS BIGINT) AS de_hits,
+         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $frList)), 0)
+         |    AS BIGINT) AS fr_hits,
+         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $esList)), 0)
+         |    AS BIGINT) AS es_hits
          |  FROM t)
          |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
          |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0

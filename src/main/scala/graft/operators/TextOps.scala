@@ -103,10 +103,18 @@ object TextOps {
     val toks = tokens(lower(col(textCol)))
     def hits(words: Seq[String]) =
       size(filter(toks, t => t.isin(words: _*)))
-    val scored = docs.select(
+    withPredLang(docs.select(
       col("doc_id"),
       hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
-      hits(FrStopwords).as("fr_hits"), hits(EsStopwords).as("es_hits"))
+      hits(FrStopwords).as("fr_hits"), hits(EsStopwords).as("es_hits")))
+  }
+
+  /** Shared hit-count argmax → language label: fixed tie priority
+    * en > de > fr > es, all-zero → "unknown". The single definition both
+    * [[langId]] forms resolve through, so the tie-break contract cannot
+    * drift between them.
+    */
+  private def withPredLang(scored: DataFrame): DataFrame = {
     val best = greatest(col("en_hits"), col("de_hits"), col("fr_hits"),
                         col("es_hits"))
     scored.withColumn("pred_lang",
@@ -130,17 +138,9 @@ object TextOps {
       explode_outer(tokens(lower(col(textCol)))).as("tok"))
     def hits(words: Seq[String]) =
       sum(when(col("tok").isin(words: _*), 1).otherwise(0)).cast("int")
-    val scored = toks.groupBy("doc_id").agg(
+    withPredLang(toks.groupBy("doc_id").agg(
       hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
-      hits(FrStopwords).as("fr_hits"), hits(EsStopwords).as("es_hits"))
-    val best = greatest(col("en_hits"), col("de_hits"), col("fr_hits"),
-                        col("es_hits"))
-    scored.withColumn("pred_lang",
-      when(best === 0, lit("unknown"))
-        .when(col("en_hits") === best, lit("en"))
-        .when(col("de_hits") === best, lit("de"))
-        .when(col("fr_hits") === best, lit("fr"))
-        .otherwise(lit("es")))
+      hits(FrStopwords).as("fr_hits"), hits(EsStopwords).as("es_hits")))
   }
 
   /** Gopher-style repetition signals per document — the "is this document
@@ -301,9 +301,12 @@ object TextOps {
     * of a document covers tokens `[k·(chunkSize−overlap),
     * k·(chunkSize−overlap)+chunkSize)`; starts advance by the stride
     * until the document is covered, so every token lands in ≥ 1 chunk
-    * and consecutive chunks share `overlap` tokens. Pure
-    * explode-of-`sequence` over a per-row token array — linear, no
-    * shuffle, chunk count exact via integer `DIV`.
+    * and consecutive chunks share `overlap` tokens. The last chunk is the
+    * first one whose window reaches the end of the document —
+    * `⌈(n−chunkSize)/stride⌉` (0 for docs shorter than one chunk) — so no
+    * chunk is ever a subset of its predecessor. Pure explode-of-`sequence`
+    * over a per-row token array — linear, no shuffle, chunk count exact
+    * via integer `DIV`.
     */
   def chunkDocs(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
                 textCol: String = "text"): DataFrame = {
@@ -314,7 +317,9 @@ object TextOps {
       .select(col("doc_id"), split(col(textCol), " ").as("_toks"))
       .withColumn("_n", size(col("_toks")))
       .select(col("doc_id"), col("_toks"),
-        explode(sequence(lit(0), expr(s"(_n - 1) DIV $stride"))).as("chunk_id"))
+        explode(sequence(lit(0), greatest(lit(0),
+          expr(s"(_n - $chunkSize + ${stride - 1}) DIV $stride"))))
+          .as("chunk_id"))
       .withColumn("_chunk",
         slice(col("_toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
       .select(col("doc_id"), col("chunk_id"),

@@ -157,19 +157,21 @@ class TextOpsSpec extends AnyFunSuite {
            dump(TextOps.topTerms(d7), Seq("doc_id", "term")))
   }
 
-  test("chunkDocs: overlapping windows cover every token exactly") {
-    // 10 tokens, chunkSize 4, overlap 2 → stride 2 → starts 0,2,4,6,8
+  test("chunkDocs: overlapping windows cover every token, no subset chunk") {
+    // 10 tokens, chunkSize 4, overlap 2 → stride 2 → starts 0,2,4,6:
+    // window [6,10) reaches the end, so no 5th chunk (it would be a
+    // subset of chunk 3)
     val d = Seq((0L, (1 to 10).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
     val out = TextOps.chunkDocs(d, chunkSize = 4, overlap = 2)
       .orderBy("chunk_id").collect()
       .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Int]("n_chunk_tokens")))
       .toSeq
-    assert(out === Seq((0L, 4), (1L, 4), (2L, 4), (3L, 4), (4L, 2)))
+    assert(out === Seq((0L, 4), (1L, 4), (2L, 4), (3L, 4)))
     // chunk text windows match the brute-force sliding view
     val md5s = TextOps.chunkDocs(d, chunkSize = 4, overlap = 2)
       .orderBy("chunk_id").collect().map(_.getAs[String]("chunk_md5")).toSeq
-    val expect = (0 until 5).map { k =>
+    val expect = (0 until 4).map { k =>
       val toks = (1 to 10).map(i => s"t$i").slice(k * 2, k * 2 + 4)
       java.security.MessageDigest.getInstance("MD5")
         .digest(toks.mkString(" ").getBytes("UTF-8"))
@@ -181,6 +183,18 @@ class TextOpsSpec extends AnyFunSuite {
       Seq((0L, "a b")).toDF("doc_id", "text"), 4, 2).collect()
     assert(short.length === 1 &&
       short(0).getAs[Int]("n_chunk_tokens") === 2)
+    // every doc length up to 3 chunks: full coverage, last window hits
+    // the end, and no chunk is a subset of its predecessor
+    for (n <- 1 to 9) {
+      val dn = Seq((0L, (1 to n).map(i => s"x$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = TextOps.chunkDocs(dn, chunkSize = 4, overlap = 2)
+        .orderBy("chunk_id").collect()
+      val lastStart = (chunks.length - 1) * 2
+      assert(lastStart + 4 >= n, s"n=$n: last window misses the tail")
+      assert(chunks.length == 1 || (lastStart - 2) + 4 < n,
+        s"n=$n: final chunk is a subset of its predecessor")
+    }
   }
 
   test("urlDomains aggregates per-domain url and doc counts") {
