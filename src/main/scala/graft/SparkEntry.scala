@@ -645,6 +645,24 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(docs(s, dir)).orderBy("doc_id")),
 
+    // Composed curation pass — the full cleaning pipeline as ONE plan:
+    // corpus-quantile length band ∩ quality threshold ∩ language known ∩
+    // exact-dedup representative. Proves the curation operators compose
+    // (each is also oracle-checked standalone); Catalyst fuses the four
+    // doc_id equi-joins into one shuffle-stage chain.
+    "curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(TextOps.lengthBandFilter(d).select("doc_id"), Seq("doc_id"))
+        .join(TextOps.qualityScore(TextOps.tokenStats(d))
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        .join(TextOps.langIdAgg(d).select(col("doc_id"), col("pred_lang")),
+          Seq("doc_id"))
+        .join(Dedup.exactDedup(d).select("doc_id"), Seq("doc_id"))
+        .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "unknown")
+        .orderBy("doc_id")
+    }),
+
     // Overlapping token chunks (embedding/RAG prep): 32-token windows
     // advancing by 24, chunk text hashed for the compare.
     "chunk_docs" -> ((s, dir) =>
@@ -1514,17 +1532,7 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, score DESC, term""".stripMargin,
 
-    "length_filter" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |b AS (SELECT
-        |    percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
-        |    percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi
-        |  FROM t)
-        |SELECT doc_id, n_tokens FROM t, b
-        |WHERE n_tokens >= lo AND n_tokens <= hi
-        |ORDER BY doc_id""".stripMargin,
+    "length_filter" -> lengthFilterSql,
 
     // Packing twin: one window cumsum (the oracle engine is single-node,
     // so the literal form is fine there), integer div/mod boundaries.
@@ -1699,47 +1707,79 @@ object SparkEntry {
          |    AS distinct_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    // COALESCE(…, 0): a NULL text must count as 0 hits → 'unknown',
-    // matching langIdAgg's explode_outer + sum semantics (list_filter on
-    // a NULL list would otherwise propagate NULL and fall through the
-    // argmax CASE to 'es').
-    "lang_id" ->
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-         |  FROM documents),
-         |h AS (SELECT doc_id,
-         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $enList)), 0)
-         |    AS BIGINT) AS en_hits,
-         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $deList)), 0)
-         |    AS BIGINT) AS de_hits,
-         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $frList)), 0)
-         |    AS BIGINT) AS fr_hits,
-         |  CAST(COALESCE(len(list_filter(toks, x -> x IN $esList)), 0)
-         |    AS BIGINT) AS es_hits
-         |  FROM t)
-         |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
-         |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
-         |    THEN 'unknown'
-         |  WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
-         |    THEN 'en'
-         |  WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
-         |    THEN 'de'
-         |  WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
-         |    THEN 'fr'
-         |  ELSE 'es' END AS pred_lang
-         |FROM h ORDER BY doc_id""".stripMargin,
+    "lang_id" -> langIdSql,
 
-    "quality_score" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |  FROM documents),
-         |s AS (SELECT doc_id, len(toks) AS n_tokens,
-         |  len(list_distinct(toks)) AS n_distinct,
-         |  len(list_filter(toks, x -> x IN $enList)) AS hits FROM t)
-         |SELECT doc_id,
-         |  (CASE WHEN n_tokens >= 20 THEN 1.0
-         |        ELSE n_tokens / 20.0 END) * 0.4 +
-         |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
-         |  (CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.02
-         |        THEN 1.0 ELSE 0.0 END) * 0.2 AS quality_score
-         |FROM s ORDER BY doc_id""".stripMargin
+    "quality_score" -> qualityScoreSql,
+
+    // Composed curation pass: the component oracles embed as subqueries,
+    // so the composite stays definitionally in sync with each piece.
+    "curation_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
+         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(text))))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  q.quality_score, l.pred_lang
+         |FROM documents d
+         |JOIN band USING (doc_id) JOIN q USING (doc_id)
+         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
+         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
+         |ORDER BY d.doc_id""".stripMargin
   )
+
+  // COALESCE(…, 0): a NULL text must count as 0 hits → 'unknown',
+  // matching langIdAgg's explode_outer + sum semantics (list_filter on
+  // a NULL list would otherwise propagate NULL and fall through the
+  // argmax CASE to 'es').
+  private lazy val lengthFilterSql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT
+      |    percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+      |    percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi
+      |  FROM t)
+      |SELECT doc_id, n_tokens FROM t, b
+      |WHERE n_tokens >= lo AND n_tokens <= hi
+      |ORDER BY doc_id""".stripMargin
+
+  private lazy val langIdSql =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $enList)), 0)
+       |    AS BIGINT) AS en_hits,
+       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $deList)), 0)
+       |    AS BIGINT) AS de_hits,
+       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $frList)), 0)
+       |    AS BIGINT) AS fr_hits,
+       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $esList)), 0)
+       |    AS BIGINT) AS es_hits
+       |  FROM t)
+       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+       |    THEN 'unknown'
+       |  WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+       |    THEN 'en'
+       |  WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+       |    THEN 'de'
+       |  WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+       |    THEN 'fr'
+       |  ELSE 'es' END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  private lazy val qualityScoreSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  len(list_filter(toks, x -> x IN $enList)) AS hits FROM t)
+       |SELECT doc_id,
+       |  (CASE WHEN n_tokens >= 20 THEN 1.0
+       |        ELSE n_tokens / 20.0 END) * 0.4 +
+       |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
+       |  (CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.02
+       |        THEN 1.0 ELSE 0.0 END) * 0.2 AS quality_score
+       |FROM s ORDER BY doc_id""".stripMargin
 }
