@@ -546,6 +546,13 @@ object SparkEntry {
     "ann_topk_lsh_mp" -> ((s, dir) =>   // multi-probe: flips low-margin bits
       Similarity.lshTopKMultiProbe(emb(s, dir), queryId = 0L)),
 
+    // Batch ANN join: top-10 LSH neighbors for EVERY query in the set
+    // (vec_id < 20) in one plan — the retrieval/indexing shape that
+    // amortizes the banding over the whole query set.
+    "ann_topk_join" -> ((s, dir) =>
+      Similarity.lshTopKJoin(emb(s, dir))
+        .orderBy(col("q_id"), desc("sim"), col("c_id"))),
+
     // IVF search over a TRAINED codebook (vs ann_topk_ivf's sampled one).
     // Training is the once-per-corpus-version offline job (see
     // kmeansCodebook's scaladoc), so it is memoized per (session, sf dir)
@@ -985,6 +992,26 @@ object SparkEntry {
        |SELECT DISTINCT vec_id, label, sim FROM sims
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Batch-join twin of [[annLshSql]]: every vec_id < 20 is a query; the
+    * same banded CTE serves both join sides, candidates dedup on the id
+    * pair, and the k-cut replays the query-partitioned row_number.
+    */
+  private val annJoinSql =
+    s"""WITH $vecsSql,
+       |${bandedSql(planes = 8, tables = 3, withLabel = false)},
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+       |  FROM banded a JOIN banded b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < 20 AND b.vec_id >= 20),
+       |sims AS (SELECT c.q_id, c.c_id, y.label,
+       |  roundbankers(${cosSql("x.v", "y.v")}, 6) AS sim
+       |  FROM cand c JOIN vecs x ON c.q_id = x.vec_id
+       |  JOIN vecs y ON c.c_id = y.vec_id),
+       |r AS (SELECT q_id, c_id, label, sim, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sims)
+       |SELECT q_id, c_id, label, sim FROM r WHERE rn <= 10
+       |ORDER BY q_id, sim DESC, c_id""".stripMargin
+
   /** Multi-probe twin of [[annLshSql]]: the probe set (query bucket plus
     * the `probes` single-bit flips with the smallest |projection| margin,
     * plane-index tiebreak) is recomputed in SQL from the same hyperplane
@@ -1188,6 +1215,8 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_topk_lsh" -> annLshSql,
+
+    "ann_topk_join" -> annJoinSql,
 
     "ann_topk_lsh_mp" -> annLshMultiProbeSql,
 

@@ -132,6 +132,51 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Batch ANN join — the production retrieval shape: top-k approximate
+    * neighbors for EVERY vector in the query set (`vec_id < nQueries`)
+    * against the rest of the corpus, in ONE plan. The single-query paths
+    * ([[lshTopK]] etc.) time one lookup; this amortizes the banding over
+    * the whole query set:
+    *  1. band every vector once (tables × sign-projections, persisted —
+    *     both join sides consume it),
+    *  2. query⋈corpus equi-join on (table, bucket) — compact keys, no
+    *     cross join, fan-out bounded by bucket occupancy,
+    *  3. candidate dedup on the id pair only (no vectors in the
+    *     exchange), exact-cosine verify on re-attached vectors,
+    *  4. per-query k-cut under a query-partitioned window (no
+    *     unpartitioned window; group size = candidate count per query).
+    */
+  def lshTopKJoin(embeddings: DataFrame, nQueries: Long = 20, k: Int = 10,
+                  planes: Int = 8, tables: Int = 3): DataFrame = {
+    val d = dimOf(embeddings)
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val banded = vecs.select(col("vec_id"), explode(array(
+        (0 until tables).map(t => struct(lit(t).as("tbl"),
+          lshBucket(col("v"), planes, salt = t, d).as("bucket"))): _*))
+        .as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.where(col("vec_id") < nQueries).as("a")
+      .join(banded.where(col("vec_id") >= nQueries).as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("c_id"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+    cand
+      .join(vecs.select(col("vec_id"), col("v").as("qv")),
+        col("q_id") === col("vec_id"))
+      .drop("vec_id")
+      .join(vecs.select(col("vec_id"), col("label"), col("v").as("cv")),
+        col("c_id") === col("vec_id"))
+      .select(col("q_id"), col("c_id"), col("label"),
+        bround(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("q_id"), col("c_id"), col("label"), col("sim"))
+  }
+
   /** IVF-style approximate top-k: a small coarse codebook of `nCells`
     * centroids partitions the corpus; a query searches only its `nProbe`
     * closest cells. The inverted-file architecture at scale: assignment

@@ -32,6 +32,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 === 4L && p._1 === 0L))
   }
 
+  test("lshTopKJoin: per-query k-cut, query/corpus split, exact sims") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.lshTopKJoin(emb, nQueries = 5, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+                 r.getAs[Double]("sim")))
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 < 5) && out.forall(_._2 >= 5))
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+    // every reported sim equals the brute-force 6dp-rounded cosine
+    val byId = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    out.foreach { case (q, c, sim) =>
+      val expect = BigDecimal(cos(byId(q), byId(c)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(sim === expect, s"pair ($q,$c)")
+    }
+  }
+
   test("lshTopK retrieves planted high-cosine neighbors from real data") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // Plant 5 slightly-perturbed copies of the query vector: cosine ≈ 1,
