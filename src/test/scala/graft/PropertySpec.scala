@@ -44,6 +44,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: jaccardNgramPairs meets its exact-recall-within-blocking " +
+       "contract on a random corpus") {
+    // Random docs over a 30-word vocab with planted duplicate groups:
+    // every returned pair must carry the true 6-gram Jaccard, and every
+    // pair that shares >= 1 rare gram (df in [2, maxDf]) with true
+    // Jaccard >= threshold must be returned — the operator's documented
+    // recall contract, checked against a brute-force all-pairs oracle.
+    val vocab = (0 until 30).map(i => s"w$i")
+    def randDoc(): String =
+      (0 until 12 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val bases = (0 until 30).map(_ => randDoc())
+    val texts = bases ++ bases.take(6) ++                  // exact dups
+      bases.slice(6, 10).map(_ + " w0 w1 w2 w3 w4 w5")     // near dups
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val n = 6; val maxDf = 10; val threshold = 0.5
+
+    def grams(t: String): Set[String] = t.toLowerCase.split(" ")
+      .sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val gsets = texts.zipWithIndex.map { case (t, i) => i.toLong -> grams(t) }
+      .toMap
+    val df = gsets.values.flatten.groupBy(identity).map { case (g, o) =>
+      g -> o.size }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+
+    val got = graft.operators.Dedup
+      .jaccardNgramPairs(docs, n, threshold, maxDf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // soundness: every returned jaccard is the brute-force value
+    got.foreach { case ((a, b), j) =>
+      assert(math.abs(j - jac(gsets(a), gsets(b))) < 1e-12, s"($a,$b)") }
+    // recall contract: qualifying pairs sharing a rare gram are returned
+    val ids = gsets.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b) {
+      val shared = gsets(a).intersect(gsets(b))
+      val hasRare = shared.exists(g => df(g) >= 2 && df(g) <= maxDf)
+      val j = jac(gsets(a), gsets(b))
+      if (hasRare && j >= threshold)
+        assert(got.contains((a, b)), s"missing qualifying pair ($a,$b) j=$j")
+    }
+  }
+
   test("property: dense rank is permutation-invariant and gapless") {
     val totals = (0 until 300).map { i =>
       (s"C$i", s"N$i", "X", math.round(rnd.nextDouble() * 500) / 10.0)
