@@ -106,6 +106,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSimhashVotes flags cross-batch near-dups, passes fresh docs") {
+    val dir = Files.createTempDirectory("graft_snear").toString
+    val src = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps on the warm mat near the door in the hall tonight"
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(src)
+    val q = graft.streaming.StreamingPipeline.streamingSimhashVotes(stream)
+      .writeStream.format("memory").queryName("near_votes")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a duplicate of doc 1 (Hamming 0 — every band bucket
+      // matches, so all four votes must fire; a one-token edit would
+      // move SimHash by > maxHamming on a doc this size, same as the
+      // batch spec's concession) and a fresh unrelated doc
+      Seq((2L, base),
+          (3L, "completely different text about columnar query engines " +
+               "with vectorized execution and adaptive planning"))
+        .toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val votes = spark.table("near_votes").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      val byDoc = votes.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(byDoc(1L).size === 4 && !byDoc(1L).exists(identity)) // first
+      assert(byDoc(2L).size === 4 && byDoc(2L).forall(identity),
+        s"doc 2 votes: ${byDoc(2L)}")     // duplicate: all 4 votes true
+      assert(!byDoc(3L).exists(identity))  // unrelated: all votes false
+    } finally q.stop()
+  }
+
   test("workbook landing stream drives the stateful pipeline via foreachBatch") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
     assume(Files.exists(java.nio.file.Paths.get(sample)))
