@@ -163,6 +163,30 @@ object Xlsx {
     }.collect().toSeq.sorted
   }
 
+  /** Merge [[writeSharded]] shards back into ONE workbook — the
+    * post-export step when a single deliverable file is required after an
+    * executor-side sharded write. Shard rows stream through the writer's
+    * iterator thunk, so driver peak memory is one parsed shard (each
+    * already bounded by [[MaxRows]]), never the union; the writer's own
+    * capacity guard still enforces Excel's sheet limit on the merged
+    * total. The first shard's header row is kept; later shards' header
+    * rows are dropped ([[writeSharded]] stamps every shard with the same
+    * header). Shards merge in the order given — pass [[writeSharded]]'s
+    * returned (sorted) paths to preserve partition order.
+    */
+  def mergeShards(shardPaths: Seq[String], outPath: String,
+                  sheet: String = "Data"): Unit = {
+    require(shardPaths.nonEmpty, "no shards to merge")
+    def sheetRows(p: String): Vector[Vector[String]] =
+      read(p, wanted = Some(sheet)).headOption.map(_._2)
+        .getOrElse(Vector.empty)
+    val header = sheetRows(shardPaths.head).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"first shard ${shardPaths.head} has no header row"))
+    writeParts(outPath, Seq((sheet, header,
+      () => shardPaths.iterator.flatMap(p => sheetRows(p).drop(1)))))
+  }
+
   private def writeParts(path: String,
       sheets: Seq[(String, Seq[String], () => Iterator[Seq[Any]])]): Unit = {
     val out = new ZipOutputStream(new FileOutputStream(path))

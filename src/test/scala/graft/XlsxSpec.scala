@@ -77,6 +77,15 @@ class XlsxSpec extends AnyFunSuite {
     }
     assert(all.size === 100)
     assert(all.map(_(0)).toSet === (1 to 100).map(i => s"id$i").toSet)
+
+    // merge the shards back into one workbook: single header, rows =
+    // shard concatenation in path order, one streaming pass
+    val merged = s"$dir/merged.xlsx"
+    Xlsx.mergeShards(shards, merged, sheet = "S")
+    val m = Xlsx.read(merged)
+    assert(m.map(_._1) === Seq("S"))
+    assert(m.head._2.head === Vector("k", "v"))
+    assert(m.head._2.drop(1) === all)
   }
 
   test("survives a 20k-row workbook end-to-end through the pipeline") {
