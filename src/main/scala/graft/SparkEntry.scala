@@ -1757,10 +1757,6 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
   )
 
-  // COALESCE(…, 0): a NULL text must count as 0 hits → 'unknown',
-  // matching langIdAgg's explode_outer + sum semantics (list_filter on
-  // a NULL list would otherwise propagate NULL and fall through the
-  // argmax CASE to 'es').
   private lazy val lengthFilterSql =
     """WITH t AS (SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1773,6 +1769,10 @@ object SparkEntry {
       |WHERE n_tokens >= lo AND n_tokens <= hi
       |ORDER BY doc_id""".stripMargin
 
+  // COALESCE(…, 0): a NULL text must count as 0 hits → 'unknown',
+  // matching langIdAgg's explode_outer + sum semantics (list_filter on
+  // a NULL list would otherwise propagate NULL and fall through the
+  // argmax CASE to 'es').
   private lazy val langIdSql =
     s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
        |  FROM documents),

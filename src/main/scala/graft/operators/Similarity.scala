@@ -81,6 +81,22 @@ object Similarity {
   private def dimOf(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).head().getInt(0)
 
+  /** (vec_id, tbl, bucket) banding of a `(vec_id, v)` frame across
+    * `tables` hash tables — the shared candidate-generation front of
+    * every LSH consumer (pair search and batch join), persisted because
+    * both sides of the bucket join consume it and the tables × planes
+    * sign projections are the expensive part. Narrow rows only; caller
+    * clears the session cache after materializing (Bench/Verify do).
+    */
+  private def bandedFrame(vecs: DataFrame, planes: Int, tables: Int,
+                          dim: Int): DataFrame =
+    vecs.select(col("vec_id"), explode(array(
+        (0 until tables).map(t => struct(lit(t).as("tbl"),
+          lshBucket(col("v"), planes, salt = t, dim).as("bucket"))): _*))
+        .as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** All-pairs near-duplicate search over embeddings via LSH buckets:
     * candidates = pairs sharing a bucket in at least one of `tables`
     * independent hash tables (band join on compact keys — never a cross
@@ -105,17 +121,7 @@ object Similarity {
                               dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim
             else vecs.select(size(col("v"))).head().getInt(0)
-    // The banded frame is persisted: both sides of the candidate self-join
-    // consume it, and the tables × planes sign-projections per row are the
-    // expensive part of the whole search — without the persist each join
-    // side recomputes them. Narrow (id, tbl, bucket) rows only. Session-
-    // cached until the caller clears it (Bench/Verify clear per run).
-    val banded = vecs.select(col("vec_id"), explode(array(
-      (0 until tables).map(t => struct(lit(t).as("tbl"),
-        lshBucket(col("v"), planes, salt = t, d).as("bucket"))): _*))
-      .as("b"))
-      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedFrame(vecs, planes, tables, d)
     // Candidate dedup on the id pair ONLY: the banded rows (and therefore
     // the distinct's exchange) carry no vectors — vectors re-attach to the
     // (much smaller) deduped candidate set for the exact-cosine verify.
@@ -151,12 +157,7 @@ object Similarity {
     val d = dimOf(embeddings)
     val vecs = embeddings.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"))
-    val banded = vecs.select(col("vec_id"), explode(array(
-        (0 until tables).map(t => struct(lit(t).as("tbl"),
-          lshBucket(col("v"), planes, salt = t, d).as("bucket"))): _*))
-        .as("b"))
-      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedFrame(vecs, planes, tables, d)
     val cand = banded.where(col("vec_id") < nQueries).as("a")
       .join(banded.where(col("vec_id") >= nQueries).as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))

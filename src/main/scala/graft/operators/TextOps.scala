@@ -406,12 +406,16 @@ object TextOps {
   /** 64-bit SimHash from token hashes, built entirely from higher-order
     * functions: per-token xxhash64 → ±1 per bit → summed bit counts →
     * sign bits reassembled into a long. No UDF, no shuffle — but the HOFs
-    * run interpreted, so this form is retained ONLY as the independent
-    * reference [[Dedup.simhashSignatures]] is equivalence-tested against
-    * (DedupSpec); production paths use the codegen'd aggregate form. (The
-    * analogous interpreted shingle/minhash HOFs were deleted outright —
-    * their aggregate replacements in [[Dedup]] are oracle-checked, which
-    * is a stronger reference than a second in-engine formulation.)
+    * run interpreted, so BATCH paths use the codegen'd aggregate form
+    * ([[Dedup.simhashSignatures]], equivalence-tested against this one in
+    * DedupSpec). Two consumers keep this form: that equivalence test, and
+    * [[graft.streaming.StreamingPipeline.streamingSimhashVotes]] — a
+    * streaming stage cannot host the aggregate form (it would be a second
+    * stateful operator), and the interpreted per-document cost is paid
+    * once per ingested record, not per shuffle row. (The analogous
+    * interpreted shingle/minhash HOFs were deleted outright — their
+    * aggregate replacements in [[Dedup]] are oracle-checked, which is a
+    * stronger reference than a second in-engine formulation.)
     */
   def simhash(text: Column): Column = {
     val toks = array_distinct(tokens(lower(text)))

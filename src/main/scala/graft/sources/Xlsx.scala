@@ -173,16 +173,29 @@ object Xlsx {
     * rows are dropped ([[writeSharded]] stamps every shard with the same
     * header). Shards merge in the order given — pass [[writeSharded]]'s
     * returned (sorted) paths to preserve partition order.
+    *
+    * A shard missing the wanted sheet (or its header) fails the merge
+    * loudly — unlike [[readSheetAcrossWorkbooks]]'s deliberate leniency,
+    * a merge that silently dropped a shard's rows would hand back a
+    * short deliverable with no signal. Cell typing: [[read]] surfaces
+    * every cell as a raw string (the module-wide contract), so merged
+    * cells re-encode as string-typed — identical values, but numeric
+    * cells from the shards become text cells in the merged file; run
+    * the export's own typed write instead if Excel-native numeric cells
+    * matter downstream.
     */
   def mergeShards(shardPaths: Seq[String], outPath: String,
                   sheet: String = "Data"): Unit = {
     require(shardPaths.nonEmpty, "no shards to merge")
-    def sheetRows(p: String): Vector[Vector[String]] =
-      read(p, wanted = Some(sheet)).headOption.map(_._2)
+    def sheetRows(p: String): Vector[Vector[String]] = {
+      val rows = read(p, wanted = Some(sheet)).headOption.map(_._2)
         .getOrElse(Vector.empty)
-    val header = sheetRows(shardPaths.head).headOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"first shard ${shardPaths.head} has no header row"))
+      require(rows.nonEmpty,
+        s"shard $p has no '$sheet' sheet (or it is empty) — refusing to " +
+          "merge a short deliverable")
+      rows
+    }
+    val header = sheetRows(shardPaths.head).head
     writeParts(outPath, Seq((sheet, header,
       () => shardPaths.iterator.flatMap(p => sheetRows(p).drop(1)))))
   }
@@ -224,11 +237,18 @@ object Xlsx {
           s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>"""
         ).mkString + "</Relationships>")
 
+      // Sheet XML streams row-by-row straight into the zip entry (a
+      // bounded per-row buffer, flushed per row) — the whole worksheet
+      // is never resident, which is what lets mergeShards honestly claim
+      // one-shard peak memory.
       sheets.zipWithIndex.foreach { case ((_, header, rows), i) =>
+        out.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+        def emit(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
+        emit("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+        emit("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
         val sb = new StringBuilder
-        sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-        sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
         def rowXml(idx: Int, cells: Seq[Any]): Unit = {
+          sb.setLength(0)
           sb.append(s"""<row r="${idx + 1}">""")
           cells.zipWithIndex.foreach { case (v, j) =>
             val ref = s"${colName(j)}${idx + 1}"
@@ -242,6 +262,7 @@ object Xlsx {
             }
           }
           sb.append("</row>")
+          emit(sb.toString)
         }
         rowXml(0, header)
         var k = 0
@@ -251,8 +272,8 @@ object Xlsx {
             s"sheet ${i + 1} exceeds $MaxRows rows; shard sheets instead")
           rowXml(k, r)
         }
-        sb.append("</sheetData></worksheet>")
-        put(s"xl/worksheets/sheet${i + 1}.xml", sb.toString)
+        emit("</sheetData></worksheet>")
+        out.closeEntry()
       }
     } finally out.close()
   }

@@ -158,14 +158,17 @@ object StreamingPipeline {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[(Long, Long, String)],
          state: GroupState[Array[Long]]) =>
-          var seen = state.getOption.getOrElse(Array.empty[Long])
+          // Buffer-backed: per-signature append is amortized O(1) (an
+          // immutable :+ would copy the whole bucket per new signature).
+          val seen = scala.collection.mutable.ArrayBuffer.from(
+            state.getOption.getOrElse(Array.empty[Long]))
           val out = rows.toSeq.sortBy(_._1).map { case (id, s, _) =>
             val dup = seen.exists(p =>
               java.lang.Long.bitCount(p ^ s) <= maxHamming)
-            if (!seen.contains(s)) seen = seen :+ s
+            if (!seen.contains(s)) seen += s
             (id, dup)
           }
-          state.update(seen)
+          state.update(seen.toArray)
           out.iterator
       }
       .toDF("doc_id", "is_dup_vote")
