@@ -1276,9 +1276,9 @@ object SparkEntry {
         |         WHERE id % 3 = 2),
         |fr AS (SELECT id AS asset_id,
         |  unnest(range(0, n_frames, 4)) AS frame_no FROM vids)
-        |SELECT asset_id, frame_no,
-        |  GREATEST(0, LEAST(256, 4096 - frame_no * 256)) AS n_frame_bytes
-        |FROM fr ORDER BY asset_id, frame_no""".stripMargin,
+        |SELECT asset_id, frame_no, CAST(256 AS BIGINT) AS n_frame_bytes
+        |FROM fr WHERE (frame_no + 1) * 256 <= 4096
+        |ORDER BY asset_id, frame_no""".stripMargin,
 
     "salted_join_agg" ->
       """SELECT s.s_name AS supplier, COUNT(*) AS n_lineitems,

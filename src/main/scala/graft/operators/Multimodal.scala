@@ -95,6 +95,12 @@ object Multimodal {
   /** Frame sampling for video assets — pure Catalyst (posexplode over a
     * stride sequence + binary substring), no per-row closures: the frame
     * *selection* is relational work even when decode is not.
+    *
+    * Frames whose byte range extends past the stored payload (metadata
+    * `n_frames` can exceed what the payload holds — a truncated upload)
+    * are SKIPPED, not returned as short/empty buffers: every emitted
+    * `frame_bytes` is exactly `frameBytes` long, so a real decoder
+    * swapped into this slot never sees a partial frame.
     */
   def sampleFrames(assets: DataFrame, stride: Int = 4,
                    frameBytes: Int = 256): DataFrame =
@@ -104,6 +110,7 @@ object Multimodal {
         posexplode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(stride))).as(Seq("pos", "frame_no")),
         col("bytes"))
+      .where((col("frame_no") + 1) * frameBytes <= length(col("bytes")))
       .select(col("asset_id"), col("frame_no"),
         // 1-based binary substring; frames laid out contiguously
         expr(s"substring(bytes, frame_no * $frameBytes + 1, $frameBytes)")

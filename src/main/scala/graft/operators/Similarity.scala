@@ -57,12 +57,20 @@ object Similarity {
     * components) in [-0.5, 0.5): integer mixing only — no RNG, identical
     * on every run. Materialized once as a literal vector so the
     * projection is one codegen'd [[graft.functions.ArrayDotProduct]].
+    *
+    * The (i, j) pair goes through a full avalanche mix (splitmix-style
+    * xor-shift-multiply) before the 20-bit slice: an earlier additive
+    * construction made plane i+1 a constant-shifted copy of plane i
+    * (component correlation ≈ −0.5 between adjacent planes), which
+    * quietly collapsed the 2^planes bucket space the
+    * `(1 − θ/π)^planes` collision model assumes — sign bits must come
+    * from (near-)independent directions for the banding math to hold.
     */
   private[graft] def planeVec(i: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
-      val m = (i.toLong * 2654435761L + j.toLong * 40503L +
-               j.toLong * j * 69069L) % 1048576L
-      (m.toDouble / 1048576.0) - 0.5
+      var h = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      ((h & 0xFFFFFL).toDouble / 1048576.0) - 0.5
     }
 
   /** Sign-random-projection bucket key: `planes` sign bits packed into a
@@ -71,11 +79,15 @@ object Similarity {
     * table must draw *disjoint* hyperplanes, or the tables are nested
     * refinements of each other and multi-table recall collapses.
     */
-  def lshBucket(v: Column, planes: Int, salt: Int, dim: Int): Column =
+  def lshBucket(v: Column, planes: Int, salt: Int, dim: Int): Column = {
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64] (got $planes): bits pack into one long " +
+        "and 1L << 64 would silently alias plane 64 onto plane 0")
     (0 until planes).map { i =>
       val proj = dot(v, typedLit(planeVec(salt * 1024 + i, dim)))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Vector width, read once from the data (embeddings are fixed-width). */
   private def dimOf(embeddings: DataFrame): Int =
@@ -116,11 +128,16 @@ object Similarity {
     *            one-row probe job, or leave negative to read it from the
     *            data.
     */
-  def lshNearDupPairsFromVecs(vecs: DataFrame, threshold: Double = 0.9,
+  def lshNearDupPairsFromVecs(vecs0: DataFrame, threshold: Double = 0.9,
                               planes: Int = 12, tables: Int = 3,
                               dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim
-            else vecs.select(size(col("v"))).head().getInt(0)
+            else vecs0.select(size(col("v"))).head().getInt(0)
+    // The vector frame is consumed three times (banding + both sides of
+    // the exact-cosine verify) and may carry arbitrary caller lineage
+    // (unioned corpora, planted perturbations) — persist it under the
+    // same caller-clears-cache contract as the banded frame.
+    val vecs = vecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedFrame(vecs, planes, tables, d)
     // Candidate dedup on the id pair ONLY: the banded rows (and therefore
     // the distinct's exchange) carry no vectors — vectors re-attach to the
@@ -155,8 +172,11 @@ object Similarity {
   def lshTopKJoin(embeddings: DataFrame, nQueries: Long = 20, k: Int = 10,
                   planes: Int = 8, tables: Int = 3): DataFrame = {
     val d = dimOf(embeddings)
+    // Persisted for the same three-consumer reason as the pair search
+    // (banding + query-side + corpus-side vector re-attach).
     val vecs = embeddings.select(col("vec_id"), col("label"),
-      asDouble(col("embedding")).as("v"))
+        asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedFrame(vecs, planes, tables, d)
     val cand = banded.where(col("vec_id") < nQueries).as("a")
       .join(banded.where(col("vec_id") >= nQueries).as("b"),

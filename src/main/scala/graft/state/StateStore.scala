@@ -158,6 +158,19 @@ class StateStore(spark: SparkSession, dir: String) {
         lit(timestamp).as("change_timestamp"),
         lit(uploadId).as("upload_id"), col("_row_idx"))
 
+    // Crash consistency across the two tables: the change append commits
+    // BEFORE the customers swap, so a crash between them leaves orphaned
+    // change rows for this upload id; the per-file ledger then replays
+    // the batch under the SAME upload id, and this rewrite absorbs the
+    // orphans instead of double-logging them (change ids stay dense and
+    // the log reflects the attempt that actually updated the state).
+    // Normal operation pays only the take-1 probe — the rewrite runs on
+    // replay alone. Cross-table atomicity beyond this needs a
+    // transactional table format (the roadmap's MERGE-backend slot).
+    if (!addressChanges.where(col("upload_id") === uploadId).isEmpty)
+      swapWrite("address_changes",
+        addressChanges.where(col("upload_id") =!= uploadId))
+
     // Dense change ids in file order. The unpartitioned window only ever
     // sees this batch's change rows (a per-batch trickle), not the corpus.
     val maxId =

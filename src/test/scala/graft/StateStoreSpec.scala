@@ -75,6 +75,27 @@ class StateStoreSpec extends AnyFunSuite {
           (3L, "addr-A", "addr-B")))
   }
 
+  test("ledger replay under the SAME upload id absorbs orphaned changes") {
+    val s = newStore()
+    s.applyCustomerBatch(batch(("C1", "addr-A", 0)), "t1", uploadId = 1)
+    s.applyCustomerBatch(batch(("C1", "addr-B", 0)), "t2", uploadId = 2)
+    assert(s.addressChanges.count() === 1)
+    // A crash between the change append and the customers swap makes the
+    // ledger replay the batch under the same upload id; the second
+    // attempt must replace upload 2's rows, not double-log them.
+    s.applyCustomerBatch(batch(("C1", "addr-C", 0)), "t2b", uploadId = 2)
+    val rows = s.addressChanges.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Long]("upload_id"),
+       r.getAs[String]("new_address"))).toSeq
+    // upload 2 appears once (the replayed attempt), ids still dense
+    assert(rows === Seq((1L, 2L, "addr-C")))
+    // a NEW upload id appends as usual (cross-upload non-idempotence)
+    s.applyCustomerBatch(batch(("C1", "addr-D", 0)), "t3", uploadId = 3)
+    assert(s.addressChanges.count() === 2)
+    assert(s.addressChanges.orderBy("id").collect()
+      .map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L))
+  }
+
   test("no change rows for brand-new customers or unchanged addresses") {
     val s = newStore()
     assert(s.applyCustomerBatch(batch(("C1", "a", 0)), "t1", 1) === 0)
