@@ -117,6 +117,21 @@ object SparkEntry {
     dimCounts.get(s, dir)((s2, d) => t(s2, d, "customer").count())
       .longValue()
 
+  /** Corpus vectors plus the deterministic planted perturbations (first 8
+    * vectors re-added with id + 10^7 and first component +0.01 in double
+    * space) — the shared non-vacuous input of the embedding near-dup and
+    * semantic-dedup queries; the SQL twin is [[pvecsSql]].
+    */
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(s, dir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val planted = vecs.where(col("vec_id") < 8)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.01)),
+          slice(col("v"), 2, EmbDim - 1)).as("v"))
+    vecs.unionAll(planted)
+  }
+
   /** Trained IVF codebook: k-means training is the once-per-corpus-version
     * offline job, so the `ann_topk_ivf_kmeans` query re-pays only the
     * search. Training is deterministic and partition-count-invariant
@@ -530,6 +545,20 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Incremental (cross-corpus) dedup — the production shape: the odd-id
+    // half of the corpus arrives as a new batch and is deduped against
+    // the even-id half's fingerprint index (prefix-64 near-dup screen, so
+    // the planted prefix-duplicate groups make the drop real: ~11 of 250
+    // incoming docs are dropped at sf0.01).
+    "incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(
+          d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0),
+          key = t => md5(substring(lower(t), 1, 64)))
+        .orderBy("fingerprint")
+    }),
+
     "simhash_pairs_md5" -> ((s, dir) =>   // md5-sliced portable variant
       Dedup.simhashPairsPortable(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -568,17 +597,19 @@ object SparkEntry {
     // vec_id + 10^7, first component +0.01 — a single double add after the
     // upcast, bit-identical in the SQL oracle) so the banding + verify
     // path must recover real planted pairs.
-    "embedding_neardup_lsh" -> ((s, dir) => {
-      val vecs = emb(s, dir)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      val planted = vecs.where(col("vec_id") < 8)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-          concat(array(element_at(col("v"), 1) + lit(0.01)),
-            slice(col("v"), 2, EmbDim - 1)).as("v"))
-      Similarity.lshNearDupPairsFromVecs(vecs.unionAll(planted),
+    "embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairsFromVecs(plantedVecs(s, dir),
           threshold = 0.9, planes = 12, tables = 3, dim = EmbDim)
-        .orderBy("vec_a", "vec_b")
-    }),
+        .orderBy("vec_a", "vec_b")),
+
+    // SemDeDup-style semantic dedup: the TRAINED k-means codebook assigns
+    // every vector (corpus + the same planted perturbations) to a cell;
+    // near-dup pairs are searched only within cells. Cross-checks the LSH
+    // pair search above: different candidate generation, same planted
+    // truth.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(plantedVecs(s, dir), kmeansBook(s, dir))
+        .orderBy("vec_a", "vec_b")),
 
     // ---- Text analysis --------------------------------------------------
 
@@ -623,6 +654,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy("doc_id")),
+
+    // Per-(lang, source) quota capping: keep the 3 longest docs per group
+    // (doc_id tiebreak) — the data-mixing step that stops one source from
+    // dominating a stratum.
+    "source_quota" -> ((s, dir) =>
+      TextOps.groupQuota(docs(s, dir), Seq("lang", "source"), quota = 3)
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"),
+          asc("rank_in_group"))),
+
+    // Deterministic epoch shuffle: global training order = rank of
+    // md5(seed:doc_id), computed with the two-phase range-partition
+    // prefix machinery (no unpartitioned window).
+    "shuffle_order" -> ((s, dir) =>
+      TextOps.shuffleOrder(docs(s, dir)).orderBy("position")),
 
     // Gopher-style repetition signals: top-token fraction + duplicate
     // bigram/trigram occurrence fractions per document.
@@ -1048,16 +1093,20 @@ object SparkEntry {
     * — one double add on identical operands, so bit-identical to the Spark
     * side's `element_at(v,1) + 0.01`).
     */
+  /** SQL twin of [[plantedVecs]] (as a CTE fragment over `vecs0`). */
+  private val pvecsSql =
+    """vecs0 AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pvecs AS (SELECT vec_id, v FROM vecs0
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, [v[1] + 0.01] || v[2:] FROM vecs0
+      |  WHERE vec_id < 8)""".stripMargin
+
   private val embNearDupSql = {
     val banded = bandedSql(planes = 12, tables = 3, from = "pvecs",
       withLabel = false)
-    s"""WITH vecs0 AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |pvecs AS (SELECT vec_id, v FROM vecs0
-       |  UNION ALL
-       |  SELECT vec_id + 10000000, [v[1] + 0.01] || v[2:] FROM vecs0
-       |  WHERE vec_id < 8),
+    s"""WITH $pvecsSql,
        |$banded,
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM banded a JOIN banded b
@@ -1103,27 +1152,35 @@ object SparkEntry {
     * both engines train bit-identical centroids) — then probes like
     * [[annIvfSql]].
     */
-  private val annIvfKmeansSql: String = {
-    def lloyd(prev: String, n: Int): String =
-      s"""a$n AS (SELECT vec_id, v, cell FROM (
-         |  SELECT vecs.vec_id, vecs.v, c.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-         |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
-         |  FROM vecs, $prev c) WHERE rn = 1),
-         |m$n AS (SELECT cell, pos,
-         |  CAST(SUM(CAST(v[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
-         |    AS m
-         |  FROM a$n, (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
-         |  GROUP BY cell, pos),
-         |g$n AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m$n
-         |  GROUP BY cell),
-         |cent$n AS (SELECT c.cell, COALESCE(g.mv, c.cv) AS cv
-         |  FROM $prev c LEFT JOIN g$n g ON c.cell = g.cell)"""
-    s"""WITH $vecsSql,
-       |cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+  private def lloydSql(prev: String, n: Int): String =
+    s"""a$n AS (SELECT vec_id, v, cell FROM (
+       |  SELECT vecs.vec_id, vecs.v, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM vecs, $prev c) WHERE rn = 1),
+       |m$n AS (SELECT cell, pos,
+       |  CAST(SUM(CAST(v[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+       |    AS m
+       |  FROM a$n, (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
+       |  GROUP BY cell, pos),
+       |g$n AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m$n
+       |  GROUP BY cell),
+       |cent$n AS (SELECT c.cell, COALESCE(g.mv, c.cv) AS cv
+       |  FROM $prev c LEFT JOIN g$n g ON c.cell = g.cell)"""
+
+  /** CTE chain training the 16-cell codebook (two Lloyd iterations over
+    * `vecs`, deterministic lowest-id init) — ends at `cent2`, the SQL twin
+    * of the memoized [[kmeansBook]].
+    */
+  private val kmeansCent2Sql: String =
+    s"""cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
        |  v AS cv FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
-       |${lloyd("cent0", 1)},
-       |${lloyd("cent1", 2)},
+       |${lloydSql("cent0", 1)},
+       |${lloydSql("cent1", 2)}""".stripMargin
+
+  private val annIvfKmeansSql: String = {
+    s"""WITH $vecsSql,
+       |$kmeansCent2Sql,
        |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
        |asg AS (SELECT vec_id, label, v, cell FROM (
        |  SELECT vecs.vec_id, vecs.label, vecs.v, c.cell,
@@ -1140,6 +1197,26 @@ object SparkEntry {
        |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
   }
+
+  /** Semantic-dedup twin: trains the identical cent2 codebook, assigns
+    * the corpus + planted vectors (argmax cosine, ties to the higher
+    * cell — [[graft.operators.Similarity.semanticDedupPairs]]'s rule),
+    * then searches pairs within cells only.
+    */
+  private val semanticDedupSql: String =
+    s"""WITH $vecsSql,
+       |$kmeansCent2Sql,
+       |$pvecsSql,
+       |asg AS (SELECT vec_id, v, cell FROM (
+       |  SELECT p.vec_id, p.v, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${cosSql("p.v", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM pvecs p, cent2 c) WHERE rn = 1)
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  roundbankers(${cosSql("a.v", "b.v")}, 6) AS sim
+       |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE roundbankers(${cosSql("a.v", "b.v")}, 6) >= 0.9
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Generated oracle for the winnowing rolling-hash fingerprint: replays
     * [[graft.functions.RollingHashWindows]]'s Rabin–Karp window hash
@@ -1225,6 +1302,38 @@ object SparkEntry {
     "ann_topk_ivf_kmeans" -> annIvfKmeansSql,
 
     "embedding_neardup_lsh" -> embNearDupSql,
+
+    "semantic_dedup" -> semanticDedupSql,
+
+    "incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(substr(lower(text), 1, 64)) AS fingerprint
+        |  FROM documents),
+        |inc AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+        |SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM inc
+        |WHERE NOT EXISTS (SELECT 1 FROM fp ex
+        |  WHERE ex.doc_id % 2 = 0 AND ex.fingerprint = inc.fingerprint)
+        |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "source_quota" ->
+      """WITH r AS (SELECT lang, source, doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY length(text) DESC, doc_id) AS rank_in_group
+        |  FROM documents)
+        |SELECT lang, source, doc_id, n_chars, rank_in_group
+        |FROM r WHERE rank_in_group <= 3
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST, rank_in_group"""
+        .stripMargin,
+
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |  md5('graft:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS position
+        |FROM documents ORDER BY position""".stripMargin,
 
     "simhash_pairs_md5" -> simhashMd5Sql,
 

@@ -260,6 +260,37 @@ object Similarity {
     centroids
   }
 
+  /** SemDeDup-style semantic near-dup pairs over a prepared
+    * `(vec_id, v: array<double>)` frame: every vector is assigned to its
+    * nearest codebook centroid (one codegen'd argmax projection — the
+    * codebook rides as literals, no join), and pairs are searched ONLY
+    * within a cell: candidate generation is an equi-join on the cell id,
+    * so worst-case pair work is Σ|cell|² — bounded by codebook
+    * granularity, never n²; at corpus scale you train more cells, which
+    * is exactly the SemDeDup recipe (cluster with k-means, dedup inside
+    * clusters). Exact-cosine verification happens inside the same join,
+    * so each candidate is computed once and needs no distinct. The known,
+    * documented miss is a near-dup pair straddling a cell boundary —
+    * the recall/cost trade the cell bound buys.
+    */
+  def semanticDedupPairs(vecs: DataFrame, codebook: Array[Array[Double]],
+                         threshold: Double = 0.9): DataFrame = {
+    val withIdx = codebook.zipWithIndex.map { case (cv, i) => (i, cv) }
+    // Persisted: both sides of the within-cell join consume the
+    // assignment, and the 16-literal argmax projection is the expensive
+    // part — same caller-clears-cache contract as the other pair
+    // searches.
+    val assigned = vecs.select(col("vec_id"), col("v"),
+        cellOf(col("v"), withIdx).cast("long").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        bround(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 4,
               codebook: Option[Array[Array[Double]]] = None): DataFrame = {

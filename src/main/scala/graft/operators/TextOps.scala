@@ -403,6 +403,62 @@ object TextOps {
     docs.where(pmod(col(idCol), rate) === 0)
   }
 
+  /** Per-group quota capping for data mixing: keep the `quota` best
+    * documents in every `keys` group — longest text first, doc_id
+    * tiebreak (the same "keep the best copy" policy as
+    * [[Dedup.dedupKeepLongest]], applied to source balance instead of
+    * duplicates). The window partitions by the group keys, so no sort
+    * ever exceeds one group's size — skew-safe as long as the grouping
+    * is (a source×language mix is; a single giant group would need the
+    * two-phase rank machinery instead).
+    */
+  def groupQuota(docs: DataFrame, keys: Seq[String], quota: Int,
+                 textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    docs.select(keys.map(col) :+ col("doc_id") :+
+        length(col(textCol)).cast("long").as("n_chars"): _*)
+      .withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .where(col("rank_in_group") <= quota)
+  }
+
+  /** Deterministic pseudo-random training order: every document gets a
+    * reproducible global `position` = rank of `md5(seed ":" doc_id)` —
+    * the epoch shuffle a training run applies so data order is random
+    * yet identical across re-runs, engines, and partition counts.
+    *
+    * The global rank uses the same two-phase range-partition machinery
+    * as [[packSequences]] / [[Relational.twoPhaseDenseRank]]: range-
+    * partition on the shuffle key, rank inside partitions under a
+    * *partitioned* window, compose with per-partition counts prefix-
+    * summed through a ≤ partitions² broadcast triangular join — no
+    * unpartitioned window, no total sort on one node, valid at any
+    * corpus size. md5 keys are unique in practice; doc_id tiebreaks make
+    * the order total even under collisions.
+    */
+  def shuffleOrder(docs: DataFrame, seed: String = "graft",
+                   partitions: Int = 32, idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+        .as("shuffle_key"))
+    val parts = keyed
+      .repartitionByRange(partitions, asc("shuffle_key"), asc(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = parts.withColumn("_lrank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("_pid").orderBy("shuffle_key", idCol)).cast("long"))
+    val counts = parts.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col(idCol), col("shuffle_key"),
+        (col("_off") + col("_lrank")).as("position"))
+  }
+
   /** 64-bit SimHash from token hashes, built entirely from higher-order
     * functions: per-token xxhash64 → ±1 per bit → summed bit counts →
     * sign bits reassembled into a long. No UDF, no shuffle — but the HOFs

@@ -28,6 +28,20 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("doc_id") === 0L)
   }
 
+  test("incrementalDedup drops known fingerprints, collapses new ones") {
+    val existing = Seq((0L, base), (3L, "existing corpus doc about joins"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                       // already in the corpus → dropped
+      (11L, "a genuinely new document"), // new → kept
+      (12L, "a genuinely new document"), // dup WITHIN the batch → collapsed
+      (13L, "another new one entirely")) // new → kept
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, existing).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("nearDupPairs finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

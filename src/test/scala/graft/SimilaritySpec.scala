@@ -125,6 +125,30 @@ class SimilaritySpec extends AnyFunSuite {
     plantedPairs.foreach { case (_, _, sim) => assert(sim >= 0.999) }
   }
 
+  test("semanticDedupPairs finds planted pairs within cells only") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val planted = base.where(col("vec_id") < 8)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.01)),
+          slice(col("v"), 2, 63)).as("v"))
+    val cb = Similarity.kmeansCodebook(emb, nCells = 16, iters = 2)
+    val pairs = Similarity.semanticDedupPairs(
+        base.unionAll(planted), cb, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+                 r.getAs[Double]("sim")))
+    // A perturbed copy is cosine ≈ 0.9998 to its source, so both land in
+    // the same cell (the argmax is continuous in v) — all 8 pairs found.
+    val plantedPairs = pairs.filter { case (a, b, _) => b === a + 10000000L }
+    assert(plantedPairs.length === 8,
+      s"recovered ${plantedPairs.length} of 8 planted pairs")
+    plantedPairs.foreach { case (_, _, sim) => assert(sim >= 0.999) }
+    // and nothing else at this threshold: the raw corpus has no 0.9+ pair
+    assert(pairs.length === 8)
+  }
+
   test("kmeansCodebook is invariant to input partitioning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.kmeansCodebook(emb, nCells = 8, iters = 2)

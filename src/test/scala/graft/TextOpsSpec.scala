@@ -37,6 +37,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("dup_trigram_frac") === 0.0)
   }
 
+  test("groupQuota keeps the k longest docs per group, doc_id tiebreak") {
+    val d = Seq(
+      (0L, "en", "web", "aaaa bbbb"),      // 9 chars
+      (1L, "en", "web", "ccc ddd eee"),    // 11 → rank 1
+      (2L, "en", "web", "ff gg hh"),       // 8 → rank 3, cut at quota 2
+      (3L, "en", "web", "iiii jjjj"),      // 9, ties doc 0 → doc 0 wins
+      (4L, "de", "web", "kk"))             // alone in its group
+      .toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.groupQuota(d, Seq("lang", "source"), quota = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_in_group")))
+      .toMap
+    assert(out === Map(1L -> 1L, 0L -> 2L, 4L -> 1L))
+  }
+
+  test("shuffleOrder is a permutation, deterministic, partition-invariant") {
+    val d = (0L until 97L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextOps.shuffleOrder(d, partitions = 7).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position"))
+    // positions are exactly 1..n (a permutation)
+    assert(a.map(_._2).sorted.toSeq === (1L to 97L))
+    // the order is shuffled, not id order
+    assert(a.sortBy(_._2).map(_._1).toSeq !== (0L until 97L).toSeq)
+    // identical under a different partition count and on re-run
+    val b = TextOps.shuffleOrder(d, partitions = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position"))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("piiScrub counts and redacts emails, urls, phones") {
     val d = Seq(
       (0L, "mail me at bob@corp.io or visit https://a.example.org/x " +
