@@ -535,6 +535,14 @@ object SparkEntry {
       Dedup.contaminationOverlap(docs(s, dir), col("doc_id") % 10 === 0)
         .orderBy("doc_id", "holdout_id")),
 
+    // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every
+    // doc sharing an 8-gram with the holdout slice — what a training run
+    // reads after the contamination_overlap scan above.
+    "decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(docs(s, dir), col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
     // Direct n-gram Jaccard near-dup pairs via rare-gram blocking — the
     // deterministic (exact-recall-within-blocking) counterpart of the
     // probabilistic MinHash-LSH path above; same threshold, different
@@ -662,6 +670,12 @@ object SparkEntry {
       TextOps.groupQuota(docs(s, dir), Seq("lang", "source"), quota = 3)
         .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"),
           asc("rank_in_group"))),
+
+    // Weighted mixture upsampling: src0 docs get 3 epochs, src1 gets 2,
+    // everything else 1 — one row per (doc, epoch).
+    "epoch_mix" -> ((s, dir) =>
+      TextOps.epochMix(docs(s, dir), Map("src0" -> 3, "src1" -> 2))
+        .orderBy("doc_id", "epoch")),
 
     // Deterministic epoch shuffle: global training order = rank of
     // md5(seed:doc_id), computed with the two-phase range-partition
@@ -1093,6 +1107,23 @@ object SparkEntry {
     * — one double add on identical operands, so bit-identical to the Spark
     * side's `element_at(v,1) + 0.01`).
     */
+  /** Shared CTE fragment for the 8-gram contamination oracles: `c` =
+    * (corpus doc, distinct gram md5), `hh` = (holdout doc, gram md5) with
+    * the `doc_id % 10 = 0` holdout rule.
+    */
+  private val contamGramsSql: String = {
+    val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
+    s"""t AS (SELECT doc_id, doc_id % 10 = 0 AS h,
+       |  string_split(lower(text), ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, h, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= 8 THEN
+       |      list_transform(range(1, len(toks) - 6),
+       |        i -> md5(concat_ws(' ', $gram8)))
+       |    ELSE [] END)) AS g FROM t),
+       |c AS (SELECT doc_id, g FROM g WHERE NOT h),
+       |hh AS (SELECT doc_id AS holdout_id, g FROM g WHERE h)""".stripMargin
+  }
+
   /** SQL twin of [[plantedVecs]] (as a CTE fragment over `vecs0`). */
   private val pvecsSql =
     """vecs0 AS (SELECT vec_id,
@@ -1788,21 +1819,29 @@ object SparkEntry {
 
     // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
     // predicate, set-distinct grams per doc before the overlap join.
-    "contamination_overlap" -> {
-      val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS h,
-         |  string_split(lower(text), ' ') AS toks FROM documents),
-         |g AS (SELECT doc_id, h, unnest(list_distinct(
-         |    CASE WHEN len(toks) >= 8 THEN
-         |      list_transform(range(1, len(toks) - 6),
-         |        i -> md5(concat_ws(' ', $gram8)))
-         |    ELSE [] END)) AS g FROM t),
-         |c AS (SELECT doc_id, g FROM g WHERE NOT h),
-         |hh AS (SELECT doc_id AS holdout_id, g FROM g WHERE h)
+    "contamination_overlap" ->
+      s"""WITH $contamGramsSql
          |SELECT c.doc_id, hh.holdout_id, COUNT(*) AS n_shared
          |FROM c JOIN hh ON c.g = hh.g
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // minShared = 1, so "flagged" reduces to sharing ANY distinct 8-gram.
+    "decontaminate" ->
+      s"""WITH $contamGramsSql,
+         |flag AS (SELECT DISTINCT c.doc_id FROM c JOIN hh ON c.g = hh.g)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id % 10 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "epoch_mix" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
+        |    AS n_epochs
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+        |FROM n ORDER BY doc_id, epoch""".stripMargin,
 
     // Keep-one-per-cluster endpoint: the clusters oracle embeds as a CTE,
     // then the same longest-text / doc_id-ascending window picks each

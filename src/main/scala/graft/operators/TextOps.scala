@@ -423,6 +423,24 @@ object TextOps {
       .where(col("rank_in_group") <= quota)
   }
 
+  /** Weighted mixture upsampling for data mixing: every stratum's docs
+    * are repeated `epochs(stratum)` times (default `defaultEpochs`) —
+    * the "high-quality sources get more epochs" step. One output row per
+    * (doc, epoch): an explode of a per-row integer sequence — linear, no
+    * shuffle; interleaving the repeated stream comes from a downstream
+    * [[shuffleOrder]] keyed on (doc_id, epoch).
+    */
+  def epochMix(docs: DataFrame, epochs: Map[String, Int],
+               defaultEpochs: Int = 1,
+               stratumCol: String = "source"): DataFrame = {
+    val n = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, e)) =>
+      when(col(stratumCol) === s, lit(e)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col(stratumCol), n.as("_n"))
+      .select(col("doc_id"), col(stratumCol),
+        explode(sequence(lit(1L), col("_n").cast("long"))).as("epoch"))
+  }
+
   /** Deterministic pseudo-random training order: every document gets a
     * reproducible global `position` = rank of `md5(seed ":" doc_id)` —
     * the epoch shuffle a training run applies so data order is random

@@ -42,6 +42,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("decontaminate drops corpus docs leaking holdout n-grams") {
+    import org.apache.spark.sql.functions.col
+    val eight = "one two three four five six seven eight"
+    val d = Seq(
+      (0L, s"holdout doc containing $eight and trailing text"),   // holdout
+      (1L, s"training doc that leaks $eight verbatim"),           // leaked
+      (2L, "clean training doc with nothing shared at all here"),
+      (3L, "short"))                                             // < 8 tokens
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(d, col("doc_id") === 0L).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq === Seq(2L, 3L))
+  }
+
   test("nearDupPairs finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

@@ -52,6 +52,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 0L -> 2L, 4L -> 1L))
   }
 
+  test("epochMix repeats docs per-stratum, default elsewhere") {
+    val d = Seq((0L, "wiki", "x"), (1L, "web", "y"), (2L, "wiki", "z"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.epochMix(d, Map("wiki" -> 3), defaultEpochs = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+      .sorted
+    assert(out.toSeq === Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 1L), (2L, 1L), (2L, 2L), (2L, 3L)))
+  }
+
   test("shuffleOrder is a permutation, deterministic, partition-invariant") {
     val d = (0L until 97L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = TextOps.shuffleOrder(d, partitions = 7).collect()
