@@ -535,6 +535,17 @@ object SparkEntry {
       Dedup.contaminationOverlap(docs(s, dir), col("doc_id") % 10 === 0)
         .orderBy("doc_id", "holdout_id")),
 
+    // Cross-corpus NEAR-dup: the odd-id batch's MinHash bands joined
+    // against the even-id corpus' signature index, exact-Jaccard
+    // verified — the incremental counterpart of neardup_pairs (12 of its
+    // 25 sf0.01 pairs straddle the parity split, so the result is real).
+    "incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDupPairs(
+          d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0))
+        .orderBy("inc_id", "ex_id")
+    }),
+
     // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every
     // doc sharing an 8-gram with the holdout slice — what a training run
     // reads after the contamination_overlap scan above.
@@ -892,34 +903,34 @@ object SparkEntry {
       |    ELSE [] END) AS shingles
       |  FROM t)""".stripMargin
 
-  /** MinHash-LSH near-dup pair oracle — also embedded as the edge set of
-    * the `neardup_clusters` transitive-closure oracle.
+  /** Band-minima CTE over `sh` — shared by every MinHash oracle. */
+  private val minhashBandsSql: String =
+    """bands AS (
+      |  SELECT doc_id, 0 AS band,
+      |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+      |    AS sig FROM sh
+      |  UNION ALL SELECT doc_id, 1,
+      |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
+      |    FROM sh
+      |  UNION ALL SELECT doc_id, 2,
+      |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+      |    FROM sh
+      |  UNION ALL SELECT doc_id, 3,
+      |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
+      |    FROM sh)""".stripMargin
+
+  /** Candidate verification tail shared by the MinHash pair oracles:
+    * exact Jaccard over the distinct-shingle sets of a `cand(da, db)`
+    * CTE, emitted as (`aName`, `bName`, jaccard) ≥ 0.5.
     */
-  private val nearDupPairsSql: String =
-    s"""$shinglesSql,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
-       |    AS sig FROM sh
-       |  UNION ALL SELECT doc_id, 1,
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
-       |    FROM sh
-       |  UNION ALL SELECT doc_id, 2,
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
-       |    FROM sh
-       |  UNION ALL SELECT doc_id, 3,
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
-       |    FROM sh),
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+  private def jaccardVerifySql(aName: String, bName: String): String =
+    s"""sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
        |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
        |  FROM cand c JOIN shing x ON x.doc_id = c.da
        |  JOIN shing y ON y.doc_id = c.db AND y.s = x.s
        |  GROUP BY 1, 2)
-       |SELECT c.da AS doc_a, c.db AS doc_b,
+       |SELECT c.da AS $aName, c.db AS $bName,
        |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
        |    (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
        |FROM cand c
@@ -928,7 +939,30 @@ object SparkEntry {
        |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
        |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
        |  (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |ORDER BY $aName, $bName""".stripMargin
+
+  /** MinHash-LSH near-dup pair oracle — also embedded as the edge set of
+    * the `neardup_clusters` transitive-closure oracle.
+    */
+  private val nearDupPairsSql: String =
+    s"""$shinglesSql,
+       |$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |${jaccardVerifySql("doc_a", "doc_b")}""".stripMargin
+
+  /** Cross-corpus twin of [[nearDupPairsSql]]: incoming (odd) bands join
+    * existing (even) bands instead of the `<` self-join.
+    */
+  private val incNearDupSql: String =
+    s"""$shinglesSql,
+       |$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |${jaccardVerifySql("inc_id", "ex_id")}""".stripMargin
 
   /** Transitive closure over the (deterministic) near-dup pair graph:
     * symmetric edges, recursive reachability (UNION dedupe terminates
@@ -1335,6 +1369,8 @@ object SparkEntry {
     "embedding_neardup_lsh" -> embNearDupSql,
 
     "semantic_dedup" -> semanticDedupSql,
+
+    "incremental_neardup" -> incNearDupSql,
 
     "incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,

@@ -42,6 +42,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("incrementalNearDupPairs flags batch docs near-duplicating corpus") {
+    import org.apache.spark.sql.functions.col
+    val incoming = docs.where(col("doc_id").isin(2L, 3L))
+    val existing = docs.where(col("doc_id").isin(0L, 1L, 4L))
+    val pairs = Dedup.incrementalNearDupPairs(incoming, existing).collect()
+      .map(r => (r.getAs[Long]("inc_id"), r.getAs[Long]("ex_id"),
+                 r.getAs[Double]("jaccard")))
+    // doc 2 near-duplicates corpus docs 0 and 1 (identical texts); doc 3
+    // is unrelated and must not pair with anything.
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((2L, 0L), (2L, 1L)))
+    pairs.foreach { case (_, _, j) => assert(j > 0.5 && j < 1.0) }
+  }
+
   test("decontaminate drops corpus docs leaking holdout n-grams") {
     import org.apache.spark.sql.functions.col
     val eight = "one two three four five six seven eight"
