@@ -535,6 +535,21 @@ object SparkEntry {
       Dedup.contaminationOverlap(docs(s, dir), col("doc_id") % 10 === 0)
         .orderBy("doc_id", "holdout_id")),
 
+    // Sketch path of the same incremental dedup: Bloom-filter pre-screen
+    // (codegen'd membership probe) + exact anti-join on the flagged
+    // candidates only. Oracle = incremental_dedup's SQL — the composition
+    // is provably exact (no false negatives; false positives are
+    // re-checked), so a hash-green row proves the sketch path is
+    // semantics-preserving, the salted_join_agg pattern.
+    "incremental_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Scale.bloomIncrementalDedup(
+          d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0),
+          key = t => md5(substring(lower(t), 1, 64)))
+        .orderBy("fingerprint")
+    }),
+
     // Cross-corpus NEAR-dup: the odd-id batch's MinHash bands joined
     // against the even-id corpus' signature index, exact-Jaccard
     // verified — the incremental counterpart of neardup_pairs (12 of its
@@ -1141,6 +1156,20 @@ object SparkEntry {
     * — one double add on identical operands, so bit-identical to the Spark
     * side's `element_at(v,1) + 0.01`).
     */
+  /** Incremental-dedup oracle — shared by the exact anti-join query and
+    * its Bloom-sketch twin (which must produce the identical relation).
+    */
+  private val incDedupSql: String =
+    """WITH fp AS (SELECT doc_id,
+      |    md5(substr(lower(text), 1, 64)) AS fingerprint
+      |  FROM documents),
+      |inc AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+      |SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM inc
+      |WHERE NOT EXISTS (SELECT 1 FROM fp ex
+      |  WHERE ex.doc_id % 2 = 0 AND ex.fingerprint = inc.fingerprint)
+      |GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
   /** Shared CTE fragment for the 8-gram contamination oracles: `c` =
     * (corpus doc, distinct gram md5), `hh` = (holdout doc, gram md5) with
     * the `doc_id % 10 = 0` holdout rule.
@@ -1372,16 +1401,12 @@ object SparkEntry {
 
     "incremental_neardup" -> incNearDupSql,
 
-    "incremental_dedup" ->
-      """WITH fp AS (SELECT doc_id,
-        |    md5(substr(lower(text), 1, 64)) AS fingerprint
-        |  FROM documents),
-        |inc AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
-        |SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM inc
-        |WHERE NOT EXISTS (SELECT 1 FROM fp ex
-        |  WHERE ex.doc_id % 2 = 0 AND ex.fingerprint = inc.fingerprint)
-        |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "incremental_dedup" -> incDedupSql,
+
+    // Same relation by construction: the bloom pre-screen is exact-
+    // composition-preserving, so the sketch path must hash-match the
+    // plain anti-join's oracle.
+    "incremental_dedup_bloom" -> incDedupSql,
 
     "source_quota" ->
       """WITH r AS (SELECT lang, source, doc_id,

@@ -67,6 +67,45 @@ object Scale {
       .partitionBy(partitionCols: _*)
       .parquet(dir)
 
+  /** Sketch-path incremental dedup — [[Dedup.incrementalDedup]] for the
+    * corpus size where the exact fingerprint index no longer broadcasts:
+    * the existing corpus' fingerprints fold into a Bloom filter (a fixed
+    * ~1.2 bytes/key at 1% fpp — gigabytes where the index is hundreds of
+    * gigabytes), incoming docs are pre-screened executor-side by the
+    * codegen'd membership probe
+    * ([[graft.functions.BloomMightContain]]), and ONLY the flagged
+    * candidates pay the exact anti-join against the index.
+    *
+    * The composition is EXACT, not approximate: a Bloom filter has no
+    * false negatives, so every truly-known fingerprint is flagged and
+    * re-checked; a false positive merely sends a new doc through the
+    * anti-join, which keeps it. Output rows are therefore identical to
+    * [[Dedup.incrementalDedup]]'s for any (expectedItems, fpp) — asserted
+    * in ScaleSpec and oracle-checked against the same SQL.
+    *
+    * Building the filter is one distributed aggregate over the existing
+    * side (`stat.bloomFilter` merges per-partition filters) — the
+    * once-per-corpus-version index-build job, like k-means training.
+    */
+  def bloomIncrementalDedup(incoming: DataFrame, existing: DataFrame,
+                            key: Column => Column = TextOps.fingerprint,
+                            expectedItems: Long = 1L << 20,
+                            fpp: Double = 0.01,
+                            textCol: String = "text"): DataFrame = {
+    val exFp = existing.select(key(col(textCol)).as("fingerprint"))
+    val bf = exFp.stat.bloomFilter("fingerprint", expectedItems, fpp)
+    val incFp = incoming.select(key(col(textCol)).as("fingerprint"),
+      col("doc_id"))
+    val maybeKnown =
+      graft.functions.BloomMightContain.mightContain(bf, col("fingerprint"))
+    val surelyNew = incFp.where(!maybeKnown)
+    val candidates = incFp.where(maybeKnown)
+      .join(exFp.distinct(), Seq("fingerprint"), "left_anti")
+    surelyNew.unionAll(candidates)
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed joins buy.
     */

@@ -30,6 +30,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(spread > 1)
   }
 
+  test("bloomIncrementalDedup matches the exact anti-join composition") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val incoming = docs.where($"doc_id" % 2 === 1)
+    val existing = docs.where($"doc_id" % 2 === 0)
+    val key = (t: org.apache.spark.sql.Column) =>
+      md5(substring(lower(t), 1, 64))
+    val exact = Dedup.incrementalDedup(incoming, existing, key)
+      .orderBy("fingerprint").collect().map(_.toSeq)
+    // Tiny filter (high collision pressure) and roomy filter must BOTH
+    // reproduce the exact rows — false positives only re-route docs
+    // through the anti-join, never change the result.
+    for (items <- Seq(64L, 1L << 20)) {
+      val sketch = Scale.bloomIncrementalDedup(incoming, existing, key,
+          expectedItems = items)
+        .orderBy("fingerprint").collect().map(_.toSeq)
+      assert(sketch.toSeq === exact.toSeq, s"expectedItems=$items")
+    }
+    // and the membership probe itself never false-negatives: every
+    // existing fingerprint must be flagged by the filter.
+    val exFp = existing.select(key($"text").as("fingerprint"))
+    val bf = exFp.stat.bloomFilter("fingerprint", 1L << 20, 0.01)
+    val misses = exFp.where(
+      !graft.functions.BloomMightContain.mightContain(bf, $"fingerprint"))
+      .count()
+    assert(misses === 0L)
+  }
+
   test("writeLayout: partition pruning reads only the predicate's files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout")
       .resolve("docs").toString
