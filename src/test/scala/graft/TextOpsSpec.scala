@@ -168,9 +168,10 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dump(TextOps.langIdAgg(d)) === dump(TextOps.langId(d)))
   }
 
-  test("packSequences and topTerms plan no unpartitioned window") {
+  test("packSequences, topTerms, shuffleOrder plan no unpartitioned window") {
     val d = Seq((0L, "a b c"), (1L, "d e f")).toDF("doc_id", "text")
-    for (df <- Seq(TextOps.packSequences(d), TextOps.topTerms(d))) {
+    for (df <- Seq(TextOps.packSequences(d), TextOps.topTerms(d),
+                   TextOps.shuffleOrder(d))) {
       // An unpartitioned window prints as `Window [...], [ord]` (two
       // argument lists); partitioned ones as `Window [...], [part], [ord]`.
       val windows = df.queryExecution.optimizedPlan.collect {
