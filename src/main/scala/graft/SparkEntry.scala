@@ -231,6 +231,21 @@ object SparkEntry {
     store
   }
 
+  /** Parsed-and-validated `SPARK_GRAFT_ONLY` filter (comma-separated
+    * query names) — the single iteration contract shared by the Verify
+    * and Bench mains.
+    */
+  def onlyFilter(): Option[Set[String]] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
+    only
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Flagship relational chain (J1,J2,P12,A1,A2,A3,F8,W1,F10,O1) ----

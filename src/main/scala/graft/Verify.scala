@@ -17,15 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated filter (same contract as Bench's) for
-    // iterating on a few queries without dumping all of them.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
-    }
+    // Optional filter (same contract as Bench's — SparkEntry.onlyFilter)
+    // for iterating on a few queries without dumping all of them.
+    val only = SparkEntry.onlyFilter()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -50,8 +44,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even under SPARK_GRAFT_ONLY: a filtered
+    // run into a previously-full outDir must not shrink the gate to the
+    // subset (stale dumps + a subset oracle file would read as an
+    // all-green full pass). The checker reports non-dumped queries as
+    // SKIP, so partial runs are loud.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -182,12 +182,7 @@ object Relational {
     // upstream pipeline is executed once (exchange reuse), never
     // re-derived for a side job.
     val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"),
-        "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
-    val lookup = local.join(broadcast(offsets), Seq("_pid"))
+    val lookup = local.join(broadcast(prefixOffsets(counts)), Seq("_pid"))
       .withColumn(rankCol, (col("_lrn") + col("_off")).cast(IntegerType))
       .select(col(valueCol).as("_v"), col(rankCol))
     // Null-safe equality: a null total (all inputs unparseable) must keep
@@ -196,6 +191,26 @@ object Relational {
     totals.join(broadcast(lookup), col(valueCol) <=> col("_v"))
       .drop("_v")
   }
+
+  /** Exclusive prefix sum over per-partition counts — the shared heart of
+    * every two-phase global rank/offset computation
+    * ([[twoPhaseDenseRank]], [[TextOps.packSequences]],
+    * [[TextOps.shuffleOrder]]): `_off(p)` = Σ `_cnt` of partitions with
+    * smaller `_pid`, via a broadcast triangular self-join over ≤
+    * partitions² tuples. Deliberately neither an unpartitioned window nor
+    * a driver collect: the whole computation stays ONE lazy plan, so the
+    * expensive upstream is executed once (exchange reuse), never
+    * re-derived for a side job.
+    *
+    * @param counts (`_pid`, `_cnt`) — one row per partition
+    * @return (`_pid`, `_off`) — exclusive prefix sums
+    */
+  private[operators] def prefixOffsets(counts: DataFrame): DataFrame =
+    counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"),
+        "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
 
   /** A3 (app.py:145-146): top spender per category. The reference's
     * `idxmax` takes the first row in A1's group-key-sorted order on ties,

@@ -96,8 +96,13 @@ object Scale {
     val bf = exFp.stat.bloomFilter("fingerprint", expectedItems, fpp)
     val incFp = incoming.select(key(col(textCol)).as("fingerprint"),
       col("doc_id"))
-    val maybeKnown =
-      graft.functions.BloomMightContain.mightContain(bf, col("fingerprint"))
+    // A null fingerprint (null text) probes to null; coalesce routes it
+    // to the candidate path, where the anti-join keeps it (null never
+    // equals a key) — exactly what the exact path does, preserving the
+    // identical-output guarantee on corpora with null texts.
+    val maybeKnown = coalesce(
+      graft.functions.BloomMightContain.mightContain(bf, col("fingerprint")),
+      lit(true))
     val surelyNew = incFp.where(!maybeKnown)
     val candidates = incFp.where(maybeKnown)
       .join(exFp.distinct(), Seq("fingerprint"), "left_anti")

@@ -285,11 +285,7 @@ object TextOps {
       sum("n_tokens").over(org.apache.spark.sql.expressions.Window
         .partitionBy("_pid").orderBy("doc_id")))
     val counts = parts.groupBy("_pid").agg(sum("n_tokens").as("_cnt"))
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
-    local.join(broadcast(offsets), Seq("_pid"))
+    local.join(broadcast(Relational.prefixOffsets(counts)), Seq("_pid"))
       .withColumn("_start", col("_off") + col("_lcum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"_start DIV $seqLen").as("seq_id"),
@@ -433,10 +429,16 @@ object TextOps {
   def epochMix(docs: DataFrame, epochs: Map[String, Int],
                defaultEpochs: Int = 1,
                stratumCol: String = "source"): DataFrame = {
+    // Negative weights are senseless, and weight 0 must DROP the stratum
+    // — but `sequence(1, 0)` silently reverses (step −1 → epochs [1, 0]),
+    // so 0 is filtered out before the explode rather than fed to it.
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0),
+      "epoch weights must be non-negative")
     val n = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, e)) =>
       when(col(stratumCol) === s, lit(e)).otherwise(acc)
     }
     docs.select(col("doc_id"), col(stratumCol), n.as("_n"))
+      .where(col("_n") >= 1)
       .select(col("doc_id"), col(stratumCol),
         explode(sequence(lit(1L), col("_n").cast("long"))).as("epoch"))
   }
@@ -468,11 +470,7 @@ object TextOps {
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("_pid").orderBy("shuffle_key", idCol)).cast("long"))
     val counts = parts.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum("b._cnt"), lit(0L)).as("_off"))
-    local.join(broadcast(offsets), Seq("_pid"))
+    local.join(broadcast(Relational.prefixOffsets(counts)), Seq("_pid"))
       .select(col(idCol), col("shuffle_key"),
         (col("_off") + col("_lrank")).as("position"))
   }

@@ -61,6 +61,14 @@ class TextOpsSpec extends AnyFunSuite {
       .sorted
     assert(out.toSeq === Seq((0L, 1L), (0L, 2L), (0L, 3L),
       (1L, 1L), (2L, 1L), (2L, 2L), (2L, 3L)))
+    // weight 0 DROPS the stratum (sequence(1,0) would silently reverse);
+    // negative weights are rejected outright
+    val zeroed = TextOps.epochMix(d, Map("wiki" -> 0), defaultEpochs = 1)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(zeroed.toSeq === Seq(1L))
+    intercept[IllegalArgumentException] {
+      TextOps.epochMix(d, Map("wiki" -> -1), defaultEpochs = 1)
+    }
   }
 
   test("shuffleOrder is a permutation, deterministic, partition-invariant") {
