@@ -118,6 +118,42 @@ object StreamingPipeline {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Streaming incremental ingest dedup: the online form of
+    * [[graft.operators.Scale.bloomIncrementalDedup]], composed with
+    * [[streamingExactDedup]]. Each micro-batch is pre-screened
+    * executor-side by the codegen'd bloom membership probe
+    * ([[graft.functions.BloomMightContain]]) over the STATIC corpus
+    * fingerprint index — built once here, before the streaming query
+    * starts, the once-per-corpus-version job; probable hits are
+    * re-checked with an exact stream-static anti-join, so a false
+    * positive can never drop a genuinely-new doc; survivors then pass
+    * through the keyed-state exact dedup so within-stream copies across
+    * micro-batches are dropped too. Docs already in the corpus never
+    * reach the state store, which is what keeps state O(new distinct
+    * fingerprints) instead of O(all fingerprints ever streamed).
+    *
+    * Input must carry (doc_id, fingerprint); `corpusFps` a `fingerprint`
+    * column.
+    */
+  def streamingCorpusDedup(stream: DataFrame, corpusFps: DataFrame,
+                           expectedItems: Long = 1L << 20,
+                           fpp: Double = 0.01): DataFrame = {
+    val bf = corpusFps.stat.bloomFilter("fingerprint", expectedItems, fpp)
+    // Null fingerprints route to the candidate path (coalesce), where the
+    // anti-join keeps them — then streamingExactDedup drops them under
+    // its null-key rule, matching the batch path's grouping of nulls.
+    val maybeKnown = coalesce(
+      graft.functions.BloomMightContain.mightContain(bf, col("fingerprint")),
+      lit(true))
+    val surelyNew = stream.where(!maybeKnown)
+    val candidates = stream.where(maybeKnown)
+      .join(corpusFps.select("fingerprint").distinct(),
+        Seq("fingerprint"), "left_anti")
+    streamingExactDedup(
+      surelyNew.select("doc_id", "fingerprint")
+        .unionByName(candidates.select("doc_id", "fingerprint")))
+  }
+
   /** Streaming NEAR-duplicate votes: the online form of
     * [[graft.operators.Dedup.simhashPairs]]' banded search. Each incoming
     * document gets a per-row 64-bit SimHash ([[graft.operators

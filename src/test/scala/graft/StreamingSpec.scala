@@ -106,6 +106,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCorpusDedup drops corpus-known and within-stream dups") {
+    val dir = Files.createTempDirectory("graft_scorpus").toString
+    val src = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    val corpus = Seq("fp-a", "fp-b").toDF("fingerprint")
+
+    Seq((1L, "fp-a"), (2L, "fp-c"))       // a: known → drop; c: new → keep
+      .toDF("doc_id", "fingerprint")
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, fingerprint STRING")
+      .parquet(src)
+    val q = graft.streaming.StreamingPipeline
+      .streamingCorpusDedup(stream, corpus)
+      .writeStream.format("memory").queryName("corpus_dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // c again: within-stream dup → drop; b: corpus-known → drop;
+      // d: new → keep
+      Seq((3L, "fp-c"), (4L, "fp-b"), (5L, "fp-d"))
+        .toDF("doc_id", "fingerprint")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("corpus_dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((2L, "fp-c"), (5L, "fp-d")))
+    } finally q.stop()
+  }
+
   test("streamingSimhashVotes flags cross-batch near-dups, passes fresh docs") {
     val dir = Files.createTempDirectory("graft_snear").toString
     val src = s"$dir/src"
