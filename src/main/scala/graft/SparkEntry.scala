@@ -724,6 +724,11 @@ object SparkEntry {
     "shuffle_order" -> ((s, dir) =>
       TextOps.shuffleOrder(docs(s, dir)).orderBy("position")),
 
+    // Corpus vocabulary: top-100 token frequencies (count desc, token
+    // asc — a total order, so the k-cut is deterministic cross-engine).
+    "vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(docs(s, dir))),
+
     // Gopher-style repetition signals: top-token fraction + duplicate
     // bigram/trigram occurrence fractions per document.
     "repetition_stats" -> ((s, dir) =>
@@ -872,6 +877,11 @@ object SparkEntry {
           round(sum("amount"), 2).cast("double").as("revenue"))
         .orderBy("supplier")
     }),
+
+    // Join-key skew diagnostics over the lineitem fact's supplier key —
+    // the measurement that justifies (or rules out) the salted join.
+    "key_skew" -> ((s, dir) =>
+      Scale.keySkewStats(t(s, dir, "lineitem"), "l_suppkey")),
 
     // ---- State audit scans (S10/S11, app.py:193-203) --------------------
 
@@ -1433,6 +1443,21 @@ object SparkEntry {
         |FROM r WHERE rank_in_group <= 3
         |ORDER BY lang NULLS FIRST, source NULLS FIRST, rank_in_group"""
         .stripMargin,
+
+    "vocab_topk" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "key_skew" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c)
+        |SELECT c.l_suppkey, c.n,
+        |  CAST(c.n AS DOUBLE) / t.total AS share,
+        |  CAST(c.n AS DOUBLE) * t.nkeys / t.total AS skew_ratio
+        |FROM c, t ORDER BY c.n DESC, c.l_suppkey LIMIT 10""".stripMargin,
 
     "shuffle_order" ->
       """SELECT doc_id,

@@ -111,6 +111,26 @@ object Scale {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Join-key skew diagnostics — the measurement that decides whether a
+    * key needs [[saltedJoin]] before the job melts a reducer: per-key row
+    * counts for the `topK` heaviest keys plus each key's share of the
+    * table and its ratio over the mean key load. One hash aggregate on
+    * the key (the same shuffle the join itself would do), then a
+    * broadcast of the 2-row global stats — nothing here is driver-side.
+    */
+  def keySkewStats(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("_total"),
+      count(lit(1)).as("_nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(key), col("n"),
+        (col("n").cast("double") / col("_total")).as("share"),
+        (col("n").cast("double") * col("_nkeys") / col("_total"))
+          .as("skew_ratio"))
+      .orderBy(desc("n"), col(key))
+      .limit(topK)
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed joins buy.
     */

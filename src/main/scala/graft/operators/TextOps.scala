@@ -399,6 +399,20 @@ object TextOps {
     docs.where(pmod(col(idCol), rate) === 0)
   }
 
+  /** Corpus-level vocabulary: the `k` most frequent whitespace tokens
+    * (lowercased), count-descending with a token-ascending tiebreak so
+    * the k-cut is a total order — the vocabulary-building pass before
+    * tokenizer training. One explode + hash aggregate; the shuffle
+    * carries (token, partial count) pairs, never documents.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100,
+                textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
+
   /** Per-group quota capping for data mixing: keep the `quota` best
     * documents in every `keys` group — longest text first, doc_id
     * tiebreak (the same "keep the best copy" policy as
