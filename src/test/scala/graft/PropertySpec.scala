@@ -226,6 +226,51 @@ class PropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("property: incremental dedup partitions a random batch exactly") {
+    // Random corpus split into existing/incoming with planted overlaps:
+    // the survivors must be precisely the incoming fingerprints absent
+    // from the existing side, one representative (min doc_id) each —
+    // and the bloom sketch path must agree row-for-row.
+    import graft.operators.{Dedup, Scale, TextOps}
+    val vocab = (0 until 20).map(i => s"w$i")
+    def doc(r: Random) =
+      (0 until 5 + r.nextInt(10)).map(_ => vocab(r.nextInt(vocab.length)))
+        .mkString(" ")
+    val r = new Random(7)
+    val base = (0 until 120).map(i => (i.toLong, doc(r)))
+    // plant cross-side and within-incoming duplicates
+    val planted = (0 until 30).map { i =>
+      val src = base(r.nextInt(base.length))._2
+      (1000L + i, src)
+    }
+    val all = base ++ planted
+    val existing = all.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val incoming = all.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+
+    val out = Dedup.incrementalDedup(incoming, existing)
+      .collect()
+      .map(x => (x.getAs[String]("fingerprint"), x.getAs[Long]("doc_id"),
+                 x.getAs[Long]("n_copies")))
+    // brute-force expectation
+    def fp(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.toLowerCase.trim.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val exFps = all.filter(_._1 % 2 == 0).map(d => fp(d._2)).toSet
+    val incRows = all.filter(_._1 % 2 == 1).map(d => (fp(d._2), d._1))
+    val expect = incRows.filterNot(x => exFps.contains(x._1))
+      .groupBy(_._1)
+      .map { case (f, rows) => (f, rows.map(_._2).min, rows.size.toLong) }
+      .toSet
+    assert(out.toSet === expect)
+    // sketch path agrees exactly
+    val sketch = Scale.bloomIncrementalDedup(incoming, existing,
+        TextOps.fingerprint)
+      .collect()
+      .map(x => (x.getAs[String]("fingerprint"), x.getAs[Long]("doc_id"),
+                 x.getAs[Long]("n_copies")))
+    assert(sketch.toSet === expect)
+  }
+
   test("property: HLL approx distinct stays within 5% of exact") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val rows = events.groupBy("event_type")
