@@ -724,6 +724,22 @@ object SparkEntry {
     "shuffle_order" -> ((s, dir) =>
       TextOps.shuffleOrder(docs(s, dir)).orderBy("position")),
 
+    // Unicode NFC canonicalization: the ASCII corpus normalizes to
+    // itself, so decomposed accents (e + combining acute, U+0301) are
+    // planted on doc_id % 5 == 0 — composition must change both the
+    // char length and the md5, and match DuckDB's nfc_normalize.
+    "canonicalize_text" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" caf"), lit("e" + "\u0301")))
+          .otherwise(col("text")))
+      TextOps.canonicalize(planted)
+        .select(col("doc_id"),
+          length(col("canonical")).cast("long").as("n_chars"),
+          md5(col("canonical")).as("canonical_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: top-100 token frequencies (count desc, token
     // asc — a total order, so the k-cut is deterministic cross-engine).
     "vocab_topk" -> ((s, dir) =>
@@ -1443,6 +1459,15 @@ object SparkEntry {
         |FROM r WHERE rank_in_group <= 3
         |ORDER BY lang NULLS FIRST, source NULLS FIRST, rank_in_group"""
         .stripMargin,
+
+    "canonicalize_text" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' caf' || 'e' || chr(769)
+        |       ELSE text END AS text FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(text) AS c FROM p)
+        |SELECT doc_id, CAST(length(c) AS BIGINT) AS n_chars,
+        |  md5(c) AS canonical_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "vocab_topk" ->
       """SELECT token, COUNT(*) AS n

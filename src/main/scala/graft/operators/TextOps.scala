@@ -399,6 +399,18 @@ object TextOps {
     docs.where(pmod(col(idCol), rate) === 0)
   }
 
+  /** Unicode canonicalization (NFC) of the text column — the
+    * normalization a pipeline runs BEFORE [[fingerprint]] dedup so
+    * visually-identical strings with different code point sequences
+    * (composed `é` vs `e` + combining acute) collapse to one
+    * fingerprint. Codegen'd ([[graft.functions.UnicodeNormalize]]),
+    * linear, no shuffle.
+    */
+  def canonicalize(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.UnicodeNormalize.normalize(col(textCol))
+        .as("canonical"))
+
   /** Corpus-level vocabulary: the `k` most frequent whitespace tokens
     * (lowercased), count-descending with a token-ascending tiebreak so
     * the k-cut is a total order — the vocabulary-building pass before

@@ -37,6 +37,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("dup_trigram_frac") === 0.0)
   }
 
+  test("canonicalize composes decomposed accents (NFC), NFKC folds compat") {
+    import graft.functions.UnicodeNormalize
+    import org.apache.spark.sql.functions.col
+    val d = Seq((0L, "café plain"), (1L, "ascii only"), (2L, null))
+      .toDF("doc_id", "text")
+    val out = TextOps.canonicalize(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("canonical") === "café plain")
+    assert(out(1).getAs[String]("canonical") === "ascii only")
+    assert(out(2).getAs[String]("canonical") === null)
+    // NFKC also folds compatibility characters (ligature fi → f i)
+    val nfkc = d.where(col("doc_id") === 0L)
+      .select(UnicodeNormalize.normalize(
+        org.apache.spark.sql.functions.lit("ﬁle"), "NFKC").as("c"))
+      .head().getAs[String]("c")
+    assert(nfkc === "file")
+    intercept[IllegalArgumentException] {
+      UnicodeNormalize.normalize(col("text"), "NFX")
+    }
+  }
+
   test("groupQuota keeps the k longest docs per group, doc_id tiebreak") {
     val d = Seq(
       (0L, "en", "web", "aaaa bbbb"),      // 9 chars
