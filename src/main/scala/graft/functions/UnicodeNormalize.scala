@@ -39,10 +39,16 @@ case class UnicodeNormalize(child: Expression, form: String)
 
   override def prettyName: String = "unicode_normalize"
 
+  // Resolved once, not per row: the interpreted path would otherwise pay
+  // a string-keyed enum lookup per value (the codegen path embeds the
+  // constant anyway). Transient — Form re-derives from `form` after
+  // deserialization on executors.
+  @transient private lazy val resolvedForm =
+    java.text.Normalizer.Form.valueOf(form)
+
   override def nullSafeEval(v: Any): Any =
     UTF8String.fromString(java.text.Normalizer.normalize(
-      v.asInstanceOf[UTF8String].toString,
-      java.text.Normalizer.Form.valueOf(form)))
+      v.asInstanceOf[UTF8String].toString, resolvedForm))
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =

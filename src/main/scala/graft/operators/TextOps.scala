@@ -407,9 +407,11 @@ object TextOps {
     * linear, no shuffle.
     */
   def canonicalize(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.UnicodeNormalize.normalize(col(textCol))
-        .as("canonical"))
+    // withColumn, not a projection: the op precedes fingerprint dedup in
+    // a pipeline, so every metadata column (ids, lang, source) must ride
+    // through untouched.
+    docs.withColumn("canonical",
+      graft.functions.UnicodeNormalize.normalize(col(textCol)))
 
   /** Corpus-level vocabulary: the `k` most frequent whitespace tokens
     * (lowercased), count-descending with a token-ascending tiebreak so
