@@ -530,6 +530,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Same clustering through the O(log n)-round large-star/small-star
+    // contraction — the scale path for deep-diameter graphs; shares
+    // neardup_clusters' transitive-closure oracle, so both algorithms
+    // must produce the identical relation (the flagship_rank two-form
+    // pattern).
+    "neardup_clusters_star" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponentsStar(
+          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
+          d.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // The dedup endpoint: cluster the pair graph, then keep one
     // representative per cluster (longest text, doc_id tiebreak) — the
     // frame a training run would actually read.
@@ -1942,6 +1955,8 @@ object SparkEntry {
     },
 
     "neardup_clusters" -> nearDupClustersSql,
+
+    "neardup_clusters_star" -> nearDupClustersSql,
 
     // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
     // predicate, set-distinct grams per doc before the overlap join.

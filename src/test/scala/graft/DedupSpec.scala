@@ -173,6 +173,24 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("connectedComponentsStar labels a deep chain in O(log n) rounds") {
+    // Diameter-49 path graph: label propagation needs ~49 rounds; star
+    // contraction must finish well inside maxIters = 10 (≈ log₂ 50 + ε
+    // alternating rounds) — the property that makes it the scale path.
+    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val verts = (0L to 50L).toDF("doc_id")
+    val cc = Dedup.connectedComponentsStar(chain, verts, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L to 50L).map(v => v -> (if (v == 0L) 0L else 1L)).toMap
+    assert(cc === expected)
+    // empty edge set: every vertex is its own singleton cluster
+    val solo = Dedup.connectedComponentsStar(
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+        Seq(7L, 9L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(solo === Map(7L -> 7L, 9L -> 9L))
+  }
+
   test("contaminationOverlap flags corpus docs sharing 8-grams w/ holdout") {
     import org.apache.spark.sql.functions.col
     // Odd doc_ids play the benchmark set: doc 1 (dup of corpus doc 0)

@@ -197,6 +197,12 @@ class PropertySpec extends AnyFunSuite {
         (0 until nV).map(_.toLong).toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
+    // the O(log n)-round star-contraction path must agree exactly
+    val gotStar = Dedup.connectedComponentsStar(
+        edges.toDF("doc_a", "doc_b"),
+        (0 until nV).map(_.toLong).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStar === expected)
   }
 
   test("property: contamination overlap equals brute-force gram-set math") {
