@@ -143,6 +143,17 @@ object SparkEntry {
     kmeansBooks.get(s, dir)((s2, d) =>
       Similarity.kmeansCodebook(emb(s2, d), nCells = 16, iters = 2))
 
+  /** Trained product-quantization codebooks (8 subspaces × 16 centroids)
+    * — the same once-per-corpus-version training contract as
+    * [[kmeansBook]]; `ann_topk_pq` re-pays only the encode + ADC scan.
+    */
+  private val pqBooks = new SessionMemo[Array[Array[Array[Double]]]]()
+
+  private def pqBook(s: SparkSession,
+                     dir: String): Array[Array[Array[Double]]] =
+    pqBooks.get(s, dir)((s2, d) =>
+      Similarity.pqCodebooks(emb(s2, d), m = 8, kCents = 16, iters = 2))
+
   /** Packed `{id_name_email_dob_address_created}` lines synthesized from
     * the customer table (with deliberately malformed rows), fed to the P2-P9
     * parser — both sides of the oracle build the identical input.
@@ -604,6 +615,20 @@ object SparkEntry {
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardNgramPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Substring-level duplicate spans (Lee et al.-style exact substring
+    // dedup, hashed-window approximation): maximal token spans whose
+    // 8-token windows appear verbatim in ≥ 2 documents. No pair join —
+    // cost scales with corpus tokens, not candidate pairs².
+    "dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir))
+        .orderBy("doc_id", "span_start")),
+
+    // Per-doc duplicated-span coverage — the "mostly boilerplate found
+    // elsewhere" curation signal thresholded by cleaning pipelines.
+    "dup_span_coverage" -> ((s, dir) =>
+      Dedup.duplicateSpanCoverage(docs(s, dir))
+        .orderBy("doc_id")),
+
     "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -653,6 +678,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb(s, dir), queryId = 0L,
         codebook = Some(kmeansBook(s, dir)))),
 
+    // Product-quantization ADC top-k: the corpus is searched through its
+    // 8-byte PQ codes (trained 8×16 codebooks, memoized like the k-means
+    // book); the query-side lookup tables ride as literals, so the scan
+    // never touches a corpus vector — the memory-compression ANN shape.
+    // The generated oracle replays encode + ADC over the inlined books.
+    "ann_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), queryId = 0L, books = pqBook(s, dir))),
+
     // The raw corpus has no cosine ≥ 0.9 pairs at small SFs, which made
     // this oracle row vacuously green (VERDICT r3 wrong.1). Deterministic
     // perturbed copies of the first 8 vectors are unioned in (new id =
@@ -696,6 +729,13 @@ object SparkEntry {
       TextOps.qualityScore(TextOps.tokenStats(docs(s, dir)))
         .select(col("doc_id"), col("quality_score"))
         .orderBy("doc_id")),
+
+    // Corpus-bigram LM quality score (the CCNet-perplexity stand-in):
+    // per-doc mean transition probability in fixed point — exact integer
+    // sums, ONE final IEEE division, so the score is hash-portable where
+    // a log-prob formulation would not be.
+    "lm_score" -> ((s, dir) =>
+      TextOps.lmScore(docs(s, dir)).orderBy("doc_id")),
 
     // Multi-level aggregation (ROLLUP): corpus stats per (lang, source),
     // per lang, and grand total in one partial-aggregated pass.
@@ -757,6 +797,13 @@ object SparkEntry {
     // asc — a total order, so the k-cut is deterministic cross-engine).
     "vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(docs(s, dir))),
+
+    // Exact heavy hitters through a Misra–Gries sketch pre-screen + exact
+    // re-count of the ≤127 candidates — deterministic despite the sketch
+    // (superset guarantee), so it shares an exact SQL oracle; the
+    // bounded-memory twin of vocab_topk's full-vocabulary aggregate.
+    "heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(docs(s, dir))),
 
     // Gopher-style repetition signals: top-token fraction + duplicate
     // bigram/trigram occurrence fractions per document.
@@ -1398,6 +1445,99 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Shared CTE chain for the duplicate-span oracles: md5-hashed 8-token
+    * windows with 0-based positions, windows occurring in ≥ 2 distinct
+    * docs, and the gaps-and-islands merge (new island when the position
+    * gap exceeds the window width) into maximal spans — mirroring
+    * [[graft.operators.Dedup.duplicateSpans]] step for step.
+    */
+  private val dupSpansCteSql: String = {
+    val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
+    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+       |  FROM t WHERE len(toks) >= 8),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |  md5(concat_ws(' ', $gram8)) AS gh FROM p),
+       |dup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nd
+       |  FROM g GROUP BY gh) WHERE nd >= 2),
+       |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+       |isl AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (
+       |    PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS nw
+       |  FROM hits),
+       |isl2 AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS island FROM isl),
+       |spans AS (SELECT doc_id, island,
+       |    CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+  }
+
+  /** PQ ADC top-k oracle: replays the ENTIRE path in SQL — per-subspace
+    * k-means training (two Lloyd iterations over 8-dim subvectors,
+    * deterministic lowest-vec_id init, exact DECIMAL(28,14) means — the
+    * [[kmeansCent2Sql]] contract, here one combined pass per iteration
+    * across all 8 subspaces), corpus encode (argmin with the same reduced
+    * `cv·cv − 2·sv·cv` distance and lower-cell ties), the query-side
+    * lookup table (`q·q − 2·q·cv + cv·cv`, the association the Spark
+    * driver loop reproduces), and the fixed-order 8-term ADC sum (pivoted
+    * columns added left-to-right — matching the Spark side's literal `+`
+    * chain, since a SUM over rows would be order-dependent in double).
+    */
+  private val annPqSql: String = {
+    val M = 8; val Sub = 8; val K = 16
+    def lloydPq(prev: String, n: Int): String =
+      s"""a$n AS (SELECT vec_id, s, sv, c FROM (
+         |  SELECT sub.vec_id, sub.s, sub.sv, cc.c,
+         |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+         |      ORDER BY list_inner_product(cc.cv, cc.cv)
+         |        - 2 * list_inner_product(sub.sv, cc.cv) ASC, cc.c ASC)
+         |      AS rn
+         |  FROM sub JOIN $prev cc ON sub.s = cc.s) WHERE rn = 1),
+         |m$n AS (SELECT s, c, pos,
+         |  CAST(SUM(CAST(sv[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+         |    AS mval
+         |  FROM a$n, (SELECT unnest(range(1, ${Sub + 1})) AS pos) p
+         |  GROUP BY s, c, pos),
+         |g$n AS (SELECT s, c, list(mval ORDER BY pos) AS mv FROM m$n
+         |  GROUP BY s, c),
+         |pcent$n AS (SELECT cc.s, cc.c, COALESCE(g.mv, cc.cv) AS cv
+         |  FROM $prev cc LEFT JOIN g$n g ON cc.s = g.s AND cc.c = g.c)"""
+    val terms = (0 until M).map(s => s"d$s").mkString(" + ")
+    val pivots = (0 until M).map(s =>
+      s"MAX(CASE WHEN s = $s THEN d END) AS d$s").mkString(", ")
+    s"""WITH $vecsSql,
+       |ss AS (SELECT unnest(range(0, $M)) AS s),
+       |sub AS (SELECT vec_id, s, list_slice(v, s*$Sub + 1, s*$Sub + $Sub)
+       |  AS sv FROM vecs, ss),
+       |pcent0 AS (SELECT s,
+       |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS c,
+       |    sv AS cv
+       |  FROM sub WHERE vec_id IN
+       |    (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $K)),
+       |${lloydPq("pcent0", 1)},
+       |${lloydPq("pcent1", 2)},
+       |enc AS (SELECT vec_id, s, c FROM (
+       |  SELECT sub.vec_id, sub.s, cc.c,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |      ORDER BY list_inner_product(cc.cv, cc.cv)
+       |        - 2 * list_inner_product(sub.sv, cc.cv) ASC, cc.c ASC) AS rn
+       |  FROM sub JOIN pcent2 cc ON sub.s = cc.s
+       |  WHERE sub.vec_id <> 0) WHERE rn = 1),
+       |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
+       |lut AS (SELECT cc.s, cc.c,
+       |  list_inner_product(q.qsv, q.qsv)
+       |    - 2 * list_inner_product(q.qsv, cc.cv)
+       |    + list_inner_product(cc.cv, cc.cv) AS d
+       |  FROM pcent2 cc JOIN q ON cc.s = q.s),
+       |terms AS (SELECT e.vec_id, e.s, l.d
+       |  FROM enc e JOIN lut l ON e.s = l.s AND e.c = l.c),
+       |piv AS (SELECT vec_id, $pivots FROM terms GROUP BY vec_id)
+       |SELECT p.vec_id, v.label, roundbankers($terms, 6) AS adist
+       |FROM piv p JOIN vecs v ON p.vec_id = v.vec_id
+       |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
+  }
+
   private val enList = "('the','a','of','and','to','in','is','it')"
   private val deList = "('der','die','das','und','ist','mit','ein','zu')"
   private val frList = "('le','la','les','et','est','une','dans','que')"
@@ -1449,6 +1589,8 @@ object SparkEntry {
 
     "ann_topk_ivf_kmeans" -> annIvfKmeansSql,
 
+    "ann_topk_pq" -> annPqSql,
+
     "embedding_neardup_lsh" -> embNearDupSql,
 
     "semantic_dedup" -> semanticDedupSql,
@@ -1487,6 +1629,64 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // Exact oracle for the sketch-prescreened heavy hitters: the
+    // Misra–Gries candidate set provably contains every token above the
+    // n/100 threshold, and the exact re-count filters to precisely this
+    // relation — the incremental_dedup_bloom shared-oracle pattern.
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' '))
+        |    AS token FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM tok),
+        |c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok
+        |  GROUP BY token)
+        |SELECT c.token, c.n_occurrences FROM c, n
+        |WHERE c.n_occurrences * 100 > n.n
+        |ORDER BY c.token""".stripMargin,
+
+    "dup_spans" ->
+      s"""WITH $dupSpansCteSql
+         |SELECT doc_id, span_start, span_len FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dup_span_coverage" ->
+      s"""WITH $dupSpansCteSql,
+         |cov AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |    SUM(span_len) AS dup_tokens
+         |  FROM spans GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+         |    AS dup_frac
+         |FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // Fixed-point bigram LM score: integer `(c2·10^8) // c1` per
+    // transition, exact BIGINT per-doc sums, one final IEEE division —
+    // replaying TextOps.lmScore's arithmetic step for step.
+    "lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+        |  FROM t),
+        |tk AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM p),
+        |uni AS (SELECT w1 AS w, COUNT(*) AS c1 FROM tk GROUP BY w1),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM tk
+        |  WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        |sc AS (SELECT tk.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(bi.c2 * 100000000 // uni.c1) AS BIGINT)
+        |      AS prob_fp_sum
+        |  FROM tk
+        |  JOIN bi ON tk.w1 = bi.w1 AND tk.w2 = bi.w2
+        |  JOIN uni ON tk.w1 = uni.w
+        |  WHERE tk.w2 IS NOT NULL GROUP BY tk.doc_id)
+        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sc.prob_fp_sum, 0) AS prob_fp_sum,
+        |  CAST(sc.prob_fp_sum AS DOUBLE) / (sc.n_bigrams * 100000000)
+        |    AS avg_prob
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "key_skew" ->
       """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem

@@ -291,6 +291,150 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Squared L2 distance from a subvector column to a centroid literal,
+    * REDUCED for argmin: the `sv·sv` term is constant per row, so
+    * `cvdot − 2·(sv·cv)` induces the identical ordering (and identical
+    * ties) while computing one dot product instead of two. Written as
+    * `cvdot - 2*dot` in exactly this association so the SQL oracle's
+    * replay is bit-identical.
+    */
+  private def pqArgminDist(sv: Column, cv: Array[Double]): Column = {
+    var cvdot = 0.0
+    var i = 0
+    while (i < cv.length) { cvdot += cv(i) * cv(i); i += 1 }
+    lit(cvdot) - lit(2.0) * dot(sv, typedLit(cv.toSeq))
+  }
+
+  /** Nearest centroid of subvector `sv` in one subspace codebook:
+    * lexicographic `array_min` over (reduced distance, cell) structs —
+    * minimum distance, ties to the LOWER cell id. One codegen'd
+    * projection; the codebook rides as literals.
+    */
+  private def pqCellOf(sv: Column, cbS: Array[Array[Double]]): Column =
+    array_min(array(cbS.zipWithIndex.toSeq.map { case (cv, c) =>
+      struct(pqArgminDist(sv, cv).as("dist"), lit(c).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous subspaces of `dim/m` components, and each subspace gets
+    * its own `kCents`-centroid k-means codebook (squared-L2 Lloyd
+    * iterations, deterministic lowest-vec_id init, exact-DECIMAL means —
+    * the [[kmeansCodebook]] determinism contract, so training is
+    * partition-count-invariant and the trained books inline into a SQL
+    * oracle as literals). Returned as `[m][kCents][dim/m]`.
+    *
+    * This is the memory-compression half of IVF-PQ: a 64-dim float vector
+    * (256 bytes) quantizes to `m` byte codes (8 bytes) — the difference
+    * between an index that fits executor memory at 100 TB and one that
+    * does not. Training cost per iteration is ONE job over the corpus
+    * (all subspaces assigned in a single projection, means via one
+    * explode + hash aggregate); the driver sees only the
+    * `m × kCents × dim/m` mean values.
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, kCents: Int = 16,
+                  iters: Int = 2): Array[Array[Array[Double]]] = {
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    var books: Array[Array[Array[Double]]] =
+      vecs.orderBy("vec_id").limit(kCents).collect()
+        .map(_.getSeq[Double](1).toArray)
+        .map(full => (0 until m).map(s =>
+          full.slice(s * subDim, (s + 1) * subDim)).toArray)
+        .transpose.map(_.toArray)
+    val sub = vecs.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("b"))
+      .select(col("b.s").as("s"), col("b.sv").as("sv"))
+    for (_ <- 1 to iters) {
+      val cellCol = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+        when(col("s") === s, pqCellOf(col("sv"), books(s))).otherwise(acc)
+      }
+      val means = sub.withColumn("cell", cellCol)
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "cell", "pos")
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("mean"))
+        .collect()
+      val bySubCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (cbS, s) =>
+        cbS.zipWithIndex.map { case (cv, c) =>
+          bySubCell.get((s, c)).map { rows =>
+            val arr = cv.clone()
+            rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+            arr
+          }.getOrElse(cv)   // empty cell keeps its previous centroid
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ-encode a corpus: every vector becomes `m` byte codes
+    * (code_0..code_{m-1}), each the nearest centroid of the matching
+    * subvector in that subspace's codebook. One codegen'd projection —
+    * no shuffle, no join; at ingest scale this runs once per corpus
+    * version and the codes (not the vectors) are what the search touches.
+    */
+  def pqEncode(vecs: DataFrame,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    vecs.select(
+      Seq(col("*")) ++ (0 until m).map(s =>
+        pqCellOf(slice(col("v"), s * subDim + 1, subDim), books(s))
+          .as(s"code_$s")): _*)
+  }
+
+  /** Asymmetric-distance (ADC) PQ top-k for one query: the query stays
+    * un-quantized; its distance to each corpus vector is approximated by
+    * Σ_s L2²(query subvector s, centroid of the corpus vector's code in
+    * subspace s). The per-subspace lookup table (`m × kCents` doubles) is
+    * computed on the driver from the 1-row query and inlined as literals,
+    * so the scan is a pure projection over the byte codes — the corpus
+    * vectors themselves are never touched at query time, which is the
+    * entire point of PQ at scale. Terms are added in fixed subspace order
+    * (a left-to-right chain, reproduced verbatim in the SQL oracle), and
+    * the final distance is bround'd to 6dp before ranking so the ordering
+    * is deterministic cross-engine; ties break on vec_id.
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+             books: Array[Array[Array[Double]]] = null): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cb = if (books != null) books else pqCodebooks(embeddings)
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val q = vecs.where(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    // L2² as `q·q − 2·q·c + c·c` (NOT Σ diff² — mathematically equal,
+    // floating-point different): three sequential index-order dot
+    // products and a fixed association, so the SQL oracle's
+    // `list_inner_product` replay is bit-identical.
+    val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
+      Array.tabulate(cb(s).length) { c =>
+        var qq = 0.0; var qc = 0.0; var cc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val qi = q(s * subDim + i); val ci = cb(s)(c)(i)
+          qq += qi * qi; qc += qi * ci; cc += ci * ci
+          i += 1
+        }
+        qq - 2.0 * qc + cc
+      }
+    }
+    val coded = pqEncode(vecs.where(col("vec_id") =!= queryId), cb)
+    val adist = (0 until m).map(s =>
+        element_at(typedLit(lut(s).toSeq), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    coded
+      .select(col("vec_id"), col("label"), bround(adist, 6).as("adist"))
+      .orderBy(asc("adist"), col("vec_id"))
+      .limit(k)
+  }
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 4,
               codebook: Option[Array[Array[Double]]] = None): DataFrame = {

@@ -195,6 +195,65 @@ object TextOps {
         dupFrac(col("_n_tri"), col("_d_tri")).as("dup_trigram_frac"))
   }
 
+  /** Corpus-bigram language-model quality score — the deterministic
+    * stand-in for the KenLM-perplexity filter of CCNet-style pipelines:
+    * documents whose token transitions are typical of the corpus score
+    * high; gibberish and boilerplate-free noise score low. For each
+    * adjacent token pair the maximum-likelihood transition probability
+    * `c(w1 w2) / c(w1)` is computed in FIXED POINT —
+    * `(c2 · scale) DIV c1`, an exact integer in [0, scale] — so the
+    * per-document sum is an order-independent integer aggregate, and the
+    * only floating-point step is ONE final IEEE division. A float
+    * formulation (sum of `ln` probabilities) would be partition-order-
+    * dependent AND engine-divergent (`ln` is not correctly rounded); this
+    * one is hash-exact everywhere, the [[topTerms]] reasoning.
+    *
+    * Output: (doc_id, n_bigrams, prob_fp_sum, avg_prob) where `avg_prob` =
+    * `prob_fp_sum / (n_bigrams · scale)` ∈ [0, 1] (null for docs with no
+    * bigram). The corpus itself is the model (self-scoring); at cluster
+    * scale the unigram/bigram count frames are the LM tables you
+    * materialize once per corpus version and broadcast/join against
+    * incoming batches.
+    *
+    * Plan shape: ONE tokenize → window-lead pass (persisted — the two
+    * count aggregates and the scoring join all consume it), two hash
+    * aggregates whose shuffles carry token keys and counts (vocabulary-
+    * bounded), a token-keyed scoring join, and a per-doc sum. No pair
+    * joins, no unpartitioned windows.
+    *
+    * `scale` = 10^8 bounds intermediate products at
+    * `max_bigram_count · 10^8` — overflow-safe below ~9·10^10 total
+    * corpus tokens; shrink it (losing fixed-point resolution) beyond.
+    */
+  def lmScore(docs: DataFrame, scale: Long = 100000000L,
+              textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .withColumn("_nxt", lead("tok", 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("_c1"))
+    val bi = toks.where(col("_nxt").isNotNull)
+      .groupBy("tok", "_nxt").agg(count(lit(1)).as("_c2"))
+    val scored = toks.where(col("_nxt").isNotNull)
+      .join(bi, Seq("tok", "_nxt"))
+      .join(uni, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"_c2 * ${scale}L DIV _c1")).as("prob_fp_sum"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("prob_fp_sum"), lit(0L)).as("prob_fp_sum"),
+        // Explicit null (not 0/0 → NaN) for bigram-less docs: NaN is not
+        // hash-portable across engines, null is.
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(col("prob_fp_sum").cast("double") /
+            (col("n_bigrams") * lit(scale)).cast("double")).as("avg_prob"))
+  }
+
   /** Top-k most distinctive terms per document, ranked by the integer
     * relevance score `tf · (N − df)` — monotone increasing in term
     * frequency and in rarity, i.e. the ordering tf-idf induces, without
@@ -426,6 +485,49 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token"))
       .limit(k)
+
+  /** Exact heavy hitters in bounded memory — every token whose corpus
+    * frequency exceeds `n / threshold`, found WITHOUT a full vocabulary
+    * aggregate: a Misra–Gries sketch pass
+    * ([[graft.functions.MisraGriesAggregator]], `slots` counters, partial
+    * buffers merged map-side) yields a ≤ `slots`-entry candidate set that
+    * provably contains every true heavy hitter (guarantee: anything above
+    * `n/(slots+1)` survives, and `slots + 1 ≥ threshold`); a second pass
+    * re-counts ONLY the candidates exactly and applies the threshold as
+    * an integer comparison (`count · threshold > n` — no division). The
+    * composition is exact and merge-order-independent even though the
+    * sketch alone is not — the [[Scale.bloomIncrementalDedup]]
+    * sketch-prescreen + exact-recheck contract, so the result shares an
+    * exact SQL oracle.
+    *
+    * Versus [[vocabTopK]]: that pass aggregates the WHOLE vocabulary
+    * (shuffle keyed on every distinct token); this one's second pass
+    * aggregates ≤ `slots` tokens behind a pushed-down filter — the shape
+    * that survives a vocabulary too large to hash-aggregate comfortably.
+    * The driver sees one ≤ `slots`-entry summary row, never data.
+    */
+  def heavyHitters(docs: DataFrame, threshold: Int = 100, slots: Int = 127,
+                   textCol: String = "text"): DataFrame = {
+    require(threshold >= 2 && slots + 1 >= threshold,
+      s"need slots + 1 >= threshold for the superset guarantee " +
+        s"(got slots=$slots, threshold=$threshold)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Persisted: the sketch pass and the exact re-count both consume the
+    // token stream — same caller-clears-cache contract as the pair
+    // searches.
+    val toks = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summary = toks.as[String]
+      .select(new graft.functions.MisraGriesAggregator(slots).toColumn)
+      .head()
+    val cands = summary.counts.keys.toSeq
+    toks.where(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") * threshold > summary.n)
+      .orderBy("token")
+  }
 
   /** Per-group quota capping for data mixing: keep the `quota` best
     * documents in every `keys` group — longest text first, doc_id

@@ -210,4 +210,37 @@ class DedupSpec extends AnyFunSuite {
     assert(s0 === s1)
     assert(s0.forall(_ != null))
   }
+
+  test("duplicateSpans: maximal cross-doc spans; within-doc repeats " +
+       "and unique docs excluded") {
+    // 10-token run shared between docs 0 and 1 → windows at positions
+    // 0..2 (doc 0) / 3..5 (doc 1) merge into one 10-token span each.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rep = "uno dos tres cuatro cinco seis siete ocho"  // 8 tokens
+    val d = Seq(
+      (0L, shared + " unique tail zero one two three four five six seven"),
+      (1L, "prefix words here " + shared),
+      (2L, "no duplicated content in this document at all whatsoever"),
+      (3L, rep + " filler " + rep))  // repeated 8-gram WITHIN one doc only
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+                 r.getAs[Long]("span_len")))
+    assert(spans.toSet === Set((0L, 0L, 10L), (1L, 3L, 10L)))
+  }
+
+  test("duplicateSpanCoverage: per-doc fractions, zero for clean docs") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (0L, shared + " unique tail zero one two three four five six seven"),
+      (1L, "prefix words here " + shared),
+      (2L, "no duplicated content in this document at all whatsoever"))
+      .toDF("doc_id", "text")
+    val cov = Dedup.duplicateSpanCoverage(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+                 r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac")))
+    assert(cov(0) === ((20L, 1L, 10L, 0.5)))
+    assert(cov(1) === ((13L, 1L, 10L, 10.0 / 13)))
+    assert(cov(2) === ((9L, 0L, 0L, 0.0)))
+  }
 }

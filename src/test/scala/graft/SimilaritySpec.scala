@@ -149,6 +149,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length === 8)
   }
 
+  test("pqTopK: planted duplicate is retrieved at the minimum ADC " +
+       "distance; reported distances replay exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // An exact copy of the query encodes to the argmin code in every
+    // subspace, so its ADC distance is the global minimum by construction.
+    val q = emb.where($"vec_id" === 0L).head().getSeq[Float](1).toArray
+    val all = emb.unionByName(
+      Seq((99999L, q, 9)).toDF("vec_id", "embedding", "label"))
+    val books = Similarity.pqCodebooks(all, m = 8, kCents = 16, iters = 2)
+    val out = Similarity.pqTopK(all, queryId = 0L, k = 10, books = books)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist")))
+    assert(out.length === 10)
+    assert(!out.map(_._1).contains(0L))
+    val planted = out.find(_._1 === 99999L)
+    assert(planted.isDefined, s"planted duplicate missing from ${out.toSeq}")
+    assert(planted.get._2 === out.map(_._2).min)
+
+    // Replay ADC for every returned row: encode the vector against the
+    // books (reduced-argmin rule), then sum the LUT terms in subspace
+    // order — must equal the reported 6dp-rounded distance.
+    val byId = all.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qv = byId(0L)
+    def dotr(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    out.foreach { case (id, adist) =>
+      val v = byId(id)
+      val expect = (0 until 8).map { s =>
+        val sv = v.slice(s * 8, s * 8 + 8)
+        val qs = qv.slice(s * 8, s * 8 + 8)
+        val code = books(s).zipWithIndex.minBy { case (cv, c) =>
+          (dotr(cv, cv) - 2.0 * dotr(sv, cv), c) }._2
+        val cv = books(s)(code)
+        dotr(qs, qs) - 2.0 * dotr(qs, cv) + dotr(cv, cv)
+      }.reduceLeft(_ + _)
+      val rounded = BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(adist === rounded, s"vec $id")
+    }
+  }
+
+  test("pqCodebooks are invariant to input partitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.pqCodebooks(emb, m = 8, kCents = 16, iters = 2)
+    val b = Similarity.pqCodebooks(emb.repartition(7), m = 8, kCents = 16,
+      iters = 2)
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq ===
+      b.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("kmeansCodebook is invariant to input partitioning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.kmeansCodebook(emb, nCells = 8, iters = 2)

@@ -276,4 +276,57 @@ class TextOpsSpec extends AnyFunSuite {
                  r.getAs[Long]("n_docs"))).toSeq
     assert(out === Seq(("a.io", 3L, 2L), ("b.net", 1L, 1L)))
   }
+
+  test("lmScore: hand-computed fixed-point transition probabilities") {
+    // Corpus counts: c1(a)=3; c2(a,b)=2, c2(a,c)=1.
+    val d = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmScore(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_bigrams"), r.getAs[Long]("prob_fp_sum"),
+                 Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // P(b|a) = 2/3 → ⌊2·10^8 / 3⌋ = 66666666; P(c|a) = 1/3 → 33333333.
+    assert(out(0) === ((1L, 66666666L, Some(0.66666666))))
+    assert(out(1) === ((1L, 66666666L, Some(0.66666666))))
+    assert(out(2) === ((1L, 33333333L, Some(0.33333333))))
+    // single-token doc: no bigram, null score (not NaN)
+    assert(out(3) === ((0L, 0L, None)))
+  }
+
+  test("heavyHitters: exact result over the sketch pre-screen") {
+    // 50 "hot" + 60 distinct singletons → n = 110; only "hot" clears
+    // count·100 > n.
+    val hot = Seq.fill(50)("hot")
+    val cold = (0 until 60).map(i => s"w$i")
+    val d = Seq((0L, (hot ++ cold).mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.heavyHitters(d).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_occurrences")))
+    assert(out.toSeq === Seq(("hot", 50L)))
+  }
+
+  test("heavyHitters equals the exact full-vocabulary computation even " +
+       "with a sketch far smaller than the vocabulary") {
+    // 400 distinct tokens + planted heavies, slots=15 « vocabulary: the
+    // MG superset guarantee (anything above n/16 survives) must still
+    // make the re-counted result exactly the > n/10 relation.
+    val rnd = new scala.util.Random(42)
+    val tokens = Seq.fill(120)("h1") ++ Seq.fill(80)("h2") ++
+      (0 until 400).map(i => s"t${rnd.nextInt(400)}")
+    val d = tokens.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .grouped(20).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.map(_._2).mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val sketch = TextOps.heavyHitters(d, threshold = 10, slots = 15)
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_occurrences")))
+      .toSet
+    import org.apache.spark.sql.functions._
+    val toks = d.select(explode(split(lower(col("text")), " ")).as("t"))
+    val n = toks.count()
+    val exact = toks.groupBy("t").count()
+      .where(col("count") * 10 > n).collect()
+      .map(r => (r.getAs[String]("t"), r.getAs[Long]("count"))).toSet
+    assert(sketch === exact)
+    assert(exact.map(_._1).contains("h1"))  // the test is not vacuous
+  }
 }
