@@ -686,6 +686,12 @@ object SparkEntry {
     "ann_topk_pq" -> ((s, dir) =>
       Similarity.pqTopK(emb(s, dir), queryId = 0L, books = pqBook(s, dir))),
 
+    // Random-projection reduced-space search: 64→16 dims via
+    // deterministic hyperplanes, top-40 candidates by reduced cosine,
+    // exact re-rank to top-10 — the scan-4×-less-data ANN shape.
+    "ann_topk_rp" -> ((s, dir) =>
+      Similarity.rpTopK(emb(s, dir), queryId = 0L)),
+
     // The raw corpus has no cosine ≥ 0.9 pairs at small SFs, which made
     // this oracle row vacuously green (VERDICT r3 wrong.1). Deterministic
     // perturbed copies of the first 8 vectors are unioned in (new id =
@@ -1538,6 +1544,28 @@ object SparkEntry {
        |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Random-projection twin: the 16 reduction hyperplanes (salt 7 —
+    * disjoint from every LSH table's planes) inline as literals; the
+    * reduced-space candidate cut and the exact re-rank replay
+    * [[graft.operators.Similarity.rpTopK]]'s two bround-before-rank
+    * orderings.
+    */
+  private val annRpSql: String = {
+    val rvExpr = "[" + (0 until 16).map(i =>
+      s"list_inner_product(v, ${planeSqlLit(7, i)})").mkString(", ") + "]"
+    s"""WITH $vecsSql,
+       |red AS (SELECT vec_id, label, v, $rvExpr AS rv FROM vecs),
+       |q AS (SELECT rv AS qrv, v AS qv FROM red WHERE vec_id = 0),
+       |cand AS (SELECT vec_id, label, v, ROW_NUMBER() OVER (
+       |    ORDER BY roundbankers(${cosSql("rv", "q.qrv")}, 6) DESC,
+       |      vec_id) AS rn
+       |  FROM red, q WHERE vec_id <> 0)
+       |SELECT c.vec_id, c.label,
+       |  roundbankers(${cosSql("c.v", "q.qv")}, 6) AS sim
+       |FROM cand c, q WHERE c.rn <= 40
+       |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   private val enList = "('the','a','of','and','to','in','is','it')"
   private val deList = "('der','die','das','und','ist','mit','ein','zu')"
   private val frList = "('le','la','les','et','est','une','dans','que')"
@@ -1590,6 +1618,8 @@ object SparkEntry {
     "ann_topk_ivf_kmeans" -> annIvfKmeansSql,
 
     "ann_topk_pq" -> annPqSql,
+
+    "ann_topk_rp" -> annRpSql,
 
     "embedding_neardup_lsh" -> embNearDupSql,
 

@@ -479,6 +479,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) reduced-space top-k:
+    * every vector is projected onto `outDim` deterministic hyperplanes
+    * ([[planeVec]], salt-disjoint from the LSH tables), candidates are
+    * the `candidates` best by REDUCED-space cosine, and the final top-k
+    * re-ranks those with the exact full-dimension cosine. The projection
+    * is a codegen'd dot-product pass (no shuffle); at scale the reduced
+    * vectors are what you materialize and scan — 4× fewer bytes here,
+    * with the exact re-rank touching only `candidates` full vectors.
+    * Both similarity roundings happen BEFORE their respective ranks
+    * (6dp bround, vec_id ties), so the plan is deterministic
+    * cross-engine and the oracle replays it with inlined plane literals.
+    */
+  def rpTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+             outDim: Int = 16, candidates: Int = 40,
+             salt: Int = 7): DataFrame = {
+    val dim = dimOf(embeddings)
+    val planes = (0 until outDim).map(i => planeVec(salt * 1024 + i, dim))
+    def reduced(v: Column) =
+      array(planes.map(p => dot(v, typedLit(p))): _*)
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val corpus = vecs.where(col("vec_id") =!= queryId)
+      .withColumn("rv", reduced(col("v")))
+    val q = vecs.where(col("vec_id") === queryId)
+      .select(reduced(col("v")).as("qrv"), col("v").as("qv"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("rsim", bround(cosine(col("rv"), col("qrv")), 6))
+      .orderBy(desc("rsim"), col("vec_id"))
+      .limit(candidates)
+      .select(col("vec_id"), col("label"),
+        bround(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Multi-probe LSH top-k: like [[lshTopK]], but each table also probes
     * the `probes` buckets obtained by flipping the sign bits with the
     * smallest projection margin — the standard way to raise recall without

@@ -81,6 +81,31 @@ object StreamingPipeline {
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"))
 
+  /** Watermarked stream-stream interval join — the two-unbounded-inputs
+    * shape none of the other streaming operators cover: every `clicks`
+    * event joins the same user's `views` events that happened within
+    * `[view.ts, view.ts + within]` (click attribution). Both sides carry
+    * a watermark and the join condition carries an explicit event-time
+    * range, which is exactly what lets Spark bound the join state: a
+    * buffered view row is evicted once the click-side watermark passes
+    * `view.ts + within`, so state is O(events in the attribution window),
+    * not O(stream length). Works identically on batch frames (the
+    * equivalence StreamingSpec asserts).
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   within: String = "1 hour",
+                   lateness: String = "2 hours"): DataFrame = {
+    val l = views.withWatermark("ts", lateness).alias("l")
+    val r = clicks.withWatermark("ts", lateness).alias("r")
+    l.join(r, expr(
+        s"l.user_id = r.user_id AND r.ts >= l.ts AND " +
+          s"r.ts <= l.ts + INTERVAL $within"))
+      .select(col("l.event_id").as("view_id"),
+        col("r.event_id").as("click_id"),
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("view_ts"), col("r.ts").as("click_ts"))
+  }
+
   /** Streaming exact dedup with *custom keyed state*
     * (`flatMapGroupsWithState`): the first document per content
     * fingerprint ever seen on the stream passes; every later copy — in

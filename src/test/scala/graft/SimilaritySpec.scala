@@ -149,6 +149,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length === 8)
   }
 
+  test("rpTopK: reduced-space candidates preserve planted neighbors, " +
+       "exact re-rank orders them") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" === 0L).head().getSeq[Float](1).toArray
+    val planted = (1 to 5).map { i =>
+      val v = q.zipWithIndex.map { case (x, j) =>
+        x * (1.0f + 0.01f * ((i + j) % 3)) }
+      (20000L + i, v, 9)
+    }.toDF("vec_id", "embedding", "label")
+    val all = emb.unionByName(planted)
+    val exact = Similarity.topK(all, queryId = 0L, k = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val rp = Similarity.rpTopK(all, queryId = 0L, k = 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    // A JL projection distorts angles by O(1/√outDim) — near-duplicate
+    // cosines (≈1) stay near 1 in the reduced space, far above the random
+    // corpus baseline (≈0), so all 5 planted neighbors must survive the
+    // top-40 reduced cut and win the exact re-rank.
+    assert(rp.map(_._1).toSet === exact)
+    // re-rank similarities are the exact 6dp cosines (same as topK's)
+    val exactSims = Similarity.topK(all, queryId = 0L, k = 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    rp.foreach { case (id, sim) => assert(sim === exactSims(id)) }
+  }
+
   test("pqTopK: planted duplicate is retrieved at the minimum ADC " +
        "distance; reported distances replay exactly") {
     import org.apache.spark.sql.functions._

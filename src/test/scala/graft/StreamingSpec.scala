@@ -76,6 +76,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-window views " +
+       "and matches the batch join") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    val viewsDir = s"$dir/views"
+    val clicksDir = s"$dir/clicks"
+    Files.createDirectories(java.nio.file.Paths.get(viewsDir))
+    Files.createDirectories(java.nio.file.Paths.get(clicksDir))
+
+    // user 7: view at t0; clicks at t10 (attributed) and t120 (outside
+    // the 1h window). user 8: click with no preceding view → unmatched.
+    val views = Seq((1L, ts(0), 7L, "view", 1.0))
+    val clicks = Seq((2L, ts(10), 7L, "click", 1.0),
+                     (3L, ts(120), 7L, "click", 1.0),
+                     (4L, ts(5), 8L, "click", 1.0))
+    views.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(viewsDir)
+    clicks.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(clicksDir)
+
+    val q = StreamingPipeline.intervalJoin(
+        StreamingPipeline.eventStream(spark, viewsDir),
+        StreamingPipeline.eventStream(spark, clicksDir))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      assert(got.toSeq === Seq((1L, 2L)))
+
+      // the same operator over the static frames agrees
+      val batch = StreamingPipeline.intervalJoin(
+          spark.read.parquet(viewsDir), spark.read.parquet(clicksDir))
+        .collect().map(r => (r.getAs[Long]("view_id"),
+                             r.getAs[Long]("click_id")))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeats across micro-batches via keyed state") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     val src = s"$dir/src"
