@@ -629,6 +629,12 @@ object SparkEntry {
       Dedup.duplicateSpanCoverage(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Substring-dedup apply: every duplicated span clipped, surviving
+    // token stream hashed — what a boilerplate-removal pass writes back.
+    "dup_span_clip" -> ((s, dir) =>
+      Dedup.clipDuplicateSpans(docs(s, dir))
+        .orderBy("doc_id")),
+
     "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
       Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -1678,6 +1684,25 @@ object SparkEntry {
       s"""WITH $dupSpansCteSql
          |SELECT doc_id, span_start, span_len FROM spans
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dup_span_clip" ->
+      s"""WITH $dupSpansCteSql,
+         |tokpos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+         |  toks FROM t),
+         |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM tokpos),
+         |cov AS (SELECT doc_id, unnest(range(span_start,
+         |  span_start + span_len)) AS pos FROM spans),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         |  WHERE cov.pos IS NULL),
+         |k AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clipped_md5
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  COALESCE(k.clipped_md5, md5('')) AS clipped_md5
+         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dup_span_coverage" ->
       s"""WITH $dupSpansCteSql,

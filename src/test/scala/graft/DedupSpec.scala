@@ -229,6 +229,27 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.toSet === Set((0L, 0L, 10L), (1L, 3L, 10L)))
   }
 
+  test("clipDuplicateSpans removes exactly the duplicated spans") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tail = "unique tail zero one two three four five six seven"
+    val d = Seq(
+      (0L, shared + " " + tail),
+      (1L, "prefix words here " + shared),
+      (2L, "no duplicated content in this document at all whatsoever"))
+      .toDF("doc_id", "text")
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.clipDuplicateSpans(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("kept_tokens"),
+                 r.getAs[String]("clipped_md5")))
+    assert(out(0) === ((10L, md5Hex(tail))))
+    assert(out(1) === ((3L, md5Hex("prefix words here"))))
+    // clean doc: untouched (lowercased token stream)
+    assert(out(2) === ((9L,
+      md5Hex("no duplicated content in this document at all whatsoever"))))
+  }
+
   test("duplicateSpanCoverage: per-doc fractions, zero for clean docs") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(

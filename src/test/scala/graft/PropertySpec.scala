@@ -277,6 +277,64 @@ class PropertySpec extends AnyFunSuite {
     assert(sketch.toSet === expect)
   }
 
+  test("property: duplicate spans equal brute-force window math and are " +
+       "partition-invariant") {
+    import graft.operators.Dedup
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def randDoc(len: Int): String =
+      (0 until len).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    // Small vocabulary + short windows → plenty of genuine cross-doc
+    // duplicated windows to merge.
+    val w = 3
+    val docs = (0L until 25L).map(i => (i, randDoc(8 + rnd.nextInt(8))))
+    // Brute force: window is duplicated iff its token text occurs in
+    // ≥ 2 distinct docs; merge runs with gap ≤ w.
+    val wins = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(w).zipWithIndex.collect {
+        case (g, p) if g.length == w => (g.mkString(" "), id, p)
+      }
+    }
+    val dupTexts = wins.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      .keySet
+    val expected = docs.flatMap { case (id, t) =>
+      val hits = wins.filter(x => x._2 == id && dupTexts(x._1)).map(_._3)
+        .sorted
+      if (hits.isEmpty) Nil
+      else {
+        val islands = hits.tail.foldLeft(List(List(hits.head))) {
+          (acc, p) => if (p - acc.head.head <= w)
+            (p :: acc.head) :: acc.tail else List(p) :: acc
+        }
+        islands.map(is => (id, is.min.toLong, (is.max + w - is.min).toLong))
+      }
+    }.toSet
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, w = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    val got7 = Dedup.duplicateSpans(df.repartition(7), w = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got7 === expected)
+  }
+
+  test("property: lmScore is partition-invariant and bounded by [0, 1]") {
+    import graft.operators.TextOps
+    val words = Vector("a", "b", "c", "d", "e")
+    def randDoc(len: Int): String =
+      (0 until len).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val docs = (0L until 30L).map(i => (i, randDoc(2 + rnd.nextInt(10))))
+      .toDF("doc_id", "text")
+    val a = TextOps.lmScore(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = TextOps.lmScore(docs.repartition(5)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq)
+    // fixed-point sums: 0 ≤ sum ≤ n_bigrams · scale
+    a.foreach { case (_, n, fp) =>
+      assert(fp >= 0L && fp <= n * 100000000L)
+    }
+  }
+
   test("property: HLL approx distinct stays within 5% of exact") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val rows = events.groupBy("event_type")
