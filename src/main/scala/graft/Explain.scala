@@ -34,6 +34,11 @@ object Explain {
       } catch { case e: Throwable =>
         sb.append(s"\n## $name\n\nFAILED: ${e.getMessage}\n")
       }
+      // Per-query cache reset, like Verify: frames persisted by one
+      // query's operator must not substitute InMemoryRelations into the
+      // NEXT query's audited plan — each plan should be the one a fresh
+      // session would run.
+      spark.catalog.clearCache()
     }
     Files.writeString(Paths.get(outFile), sb.toString)
     println(s"wrote $outFile")

@@ -789,6 +789,14 @@ object SparkEntry {
     "shuffle_order" -> ((s, dir) =>
       TextOps.shuffleOrder(docs(s, dir)).orderBy("position")),
 
+    // DSIR-style data selection: every non-holdout doc scored by how
+    // target-typical its hashed-bigram features are (fixed-point
+    // frequency differences — the log-free, hash-portable surrogate).
+    // The holdout slice (doc_id % 10 == 0) plays the quality reference.
+    "importance_weights" -> ((s, dir) =>
+      TextOps.importanceWeights(docs(s, dir), col("doc_id") % 10 === 0)
+        .orderBy("doc_id")),
+
     // Unicode NFC canonicalization: the ASCII corpus normalizes to
     // itself, so decomposed accents (e + combining acute, U+0301) are
     // planted on doc_id % 5 == 0 — composition must change both the
@@ -1716,6 +1724,41 @@ object SparkEntry {
          |    AS dup_frac
          |FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // DSIR importance weights: hashed-bigram buckets (integer value of
+    // the first 3 md5 hex digits), fixed-point per-bucket frequency
+    // differences, exact per-doc sums — TextOps.importanceWeights
+    // integer for integer.
+    "importance_weights" -> {
+      def nib(k: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS tgt,
+         |  string_split(lower(text), ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, tgt, unnest(range(1, len(toks))) AS i, toks
+         |  FROM t),
+         |hx AS (SELECT doc_id, tgt,
+         |  md5(concat_ws(' ', toks[i], toks[i+1])) AS h FROM p),
+         |f AS (SELECT doc_id, tgt,
+         |  ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS b FROM hx),
+         |tot AS (SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+         |  SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS ns FROM f),
+         |tc AS (SELECT b, COUNT(*) AS ct FROM f WHERE tgt GROUP BY b),
+         |sc AS (SELECT b, COUNT(*) AS cs FROM f WHERE NOT tgt GROUP BY b),
+         |r AS (SELECT COALESCE(tc.b, sc.b) AS b,
+         |  (COALESCE(tc.ct, 0) * 100000000 // tot.nt)
+         |    - (COALESCE(sc.cs, 0) * 100000000 // tot.ns) AS r
+         |  FROM tc FULL JOIN sc ON tc.b = sc.b, tot),
+         |s AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+         |    CAST(SUM(r.r) AS BIGINT) AS importance_fp
+         |  FROM f JOIN r ON f.b = r.b WHERE NOT f.tgt GROUP BY f.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         |  COALESCE(s.importance_fp, 0) AS importance_fp,
+         |  CAST(s.importance_fp AS DOUBLE) / (s.n_feats * 100000000)
+         |    AS avg_importance
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // Fixed-point bigram LM score: integer `(c2·10^8) // c1` per
     // transition, exact BIGINT per-doc sums, one final IEEE division —

@@ -549,6 +549,75 @@ object TextOps {
       .where(col("rank_in_group") <= quota)
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling"): every
+    * candidate document is scored by how much its hashed-bigram feature
+    * distribution looks like a TARGET slice (the quality reference —
+    * here any predicate over the corpus) versus the source pool. The
+    * published recipe sums log-probability ratios of hashed n-gram
+    * features; logs are not correctly-rounded IEEE ops, so this scores
+    * with the fixed-point frequency DIFFERENCE instead —
+    * `r(b) = (ct(b)·scale) DIV nt − (cs(b)·scale) DIV ns` per feature
+    * bucket, an exact integer — which induces the same
+    * "target-typical features up, source-typical features down" ordering
+    * and is hash-portable (the [[lmScore]] / [[topTerms]] reasoning).
+    *
+    * Features are bigrams hashed to `4096` buckets via the integer value
+    * of the first 3 md5 hex digits — reproducible in ANSI SQL. Output,
+    * for every NON-target doc: (doc_id, n_feats, importance_fp,
+    * avg_importance ∈ [−1, 1], null when the doc has no bigram).
+    *
+    * Plan shape: ONE tokenize → window-lead → bucket pass (persisted —
+    * the two class aggregates and the scoring join consume it), two
+    * ≤ 4096-row bucket aggregates joined full-outer and broadcast back
+    * with the 1-row totals frame (no driver collect), one per-doc sum.
+    * At cluster scale the bucket ratio table is the trained importance
+    * model you materialize once and broadcast against every incoming
+    * batch. Requires both classes non-empty (else the integer division
+    * has a zero denominator).
+    */
+  def importanceWeights(docs: DataFrame, target: Column,
+                        scale: Long = 100000000L,
+                        textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val feats = docs
+      .select(col("doc_id"), target.as("_t"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .withColumn("_nxt", lead("tok", 1).over(w))
+      .where(col("_nxt").isNotNull)
+      .select(col("doc_id"), col("_t"),
+        conv(substring(md5(concat_ws(" ", col("tok"), col("_nxt"))), 1, 3),
+          16, 10).cast("int").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = feats.groupBy().agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).as("ns"))
+    val tc = feats.where(col("_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val sc = feats.where(!col("_t")).groupBy("b")
+      .agg(count(lit(1)).as("cs"))
+    val ratios = tc.join(sc, Seq("b"), "full")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr(s"ct * ${scale}L DIV nt") - expr(s"cs * ${scale}L DIV ns"))
+          .as("r"))
+    val scored = feats.where(!col("_t"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("r").as("importance_fp"))
+    docs.where(!target).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("importance_fp"), lit(0L)).as("importance_fp"),
+        when(col("n_feats").isNull, lit(null).cast("double"))
+          .otherwise(col("importance_fp").cast("double") /
+            (col("n_feats") * lit(scale)).cast("double"))
+          .as("avg_importance"))
+  }
+
   /** Weighted mixture upsampling for data mixing: every stratum's docs
     * are repeated `epochs(stratum)` times (default `defaultEpochs`) —
     * the "high-quality sources get more epochs" step. One output row per

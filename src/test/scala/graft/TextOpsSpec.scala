@@ -292,6 +292,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3) === ((0L, 0L, None)))
   }
 
+  test("importanceWeights: hand-computed target/source frequency math") {
+    import org.apache.spark.sql.functions.col
+    // Target (ids 0, 10): bigram (a b) twice → nt = 2, ct(ab) = 2.
+    // Source (ids 1, 2): (a b) once, (c d) once → ns = 2.
+    val d = Seq((0L, "a b"), (10L, "a b"), (1L, "a b"), (2L, "c d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.importanceWeights(d, col("doc_id") % 10 === 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_feats"),
+                 r.getAs[Long]("importance_fp"),
+                 r.getAs[Double]("avg_importance")))
+    // r(ab) = 2e8/2 − 1e8/2 = 5e7 (target-typical, positive);
+    // r(cd) = 0 − 5e7 = −5e7 (source-only, negative).
+    assert(out.toSeq === Seq((1L, 1L, 50000000L, 0.5),
+                             (2L, 1L, -50000000L, -0.5)))
+  }
+
   test("heavyHitters: exact result over the sketch pre-screen") {
     // 50 "hot" + 60 distinct singletons → n = 110; only "hot" clears
     // count·100 > n.
