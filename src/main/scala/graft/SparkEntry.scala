@@ -690,7 +690,8 @@ object SparkEntry {
     // never touches a corpus vector — the memory-compression ANN shape.
     // The generated oracle replays encode + ADC over the inlined books.
     "ann_topk_pq" -> ((s, dir) =>
-      Similarity.pqTopK(emb(s, dir), queryId = 0L, books = pqBook(s, dir))),
+      Similarity.pqTopK(emb(s, dir), queryId = 0L,
+        books = Some(pqBook(s, dir)))),
 
     // Random-projection reduced-space search: 64→16 dims via
     // deterministic hyperplanes, top-40 candidates by reduced cosine,

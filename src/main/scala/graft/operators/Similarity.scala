@@ -335,7 +335,7 @@ object Similarity {
                   iters: Int = 2): Array[Array[Array[Double]]] = {
     val vecs = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    val dim = dimOf(embeddings)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     var books: Array[Array[Array[Double]]] =
@@ -401,10 +401,10 @@ object Similarity {
     * is deterministic cross-engine; ties break on vec_id.
     */
   def pqTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
-             books: Array[Array[Array[Double]]] = null): DataFrame = {
+             books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val cb = if (books != null) books else pqCodebooks(embeddings)
+    val cb = books.getOrElse(pqCodebooks(embeddings))
     val m = cb.length
     val subDim = cb(0)(0).length
     val q = vecs.where(col("vec_id") === queryId)

@@ -263,5 +263,14 @@ class DedupSpec extends AnyFunSuite {
     assert(cov(0) === ((20L, 1L, 10L, 0.5)))
     assert(cov(1) === ((13L, 1L, 10L, 10.0 / 13)))
     assert(cov(2) === ((9L, 0L, 0L, 0.0)))
+
+    // null text reports null token count/fraction (not the legacy
+    // size(null) = -1), matching the oracle's len(NULL)
+    val withNull = Dedup.duplicateSpanCoverage(
+        Seq((0L, Option("alpha beta")), (1L, Option.empty[String]))
+          .toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(withNull(1).isNullAt(1) && withNull(1).isNullAt(4))
+    assert(withNull(1).getAs[Long]("n_spans") === 0L)
   }
 }

@@ -185,7 +185,8 @@ class SimilaritySpec extends AnyFunSuite {
     val all = emb.unionByName(
       Seq((99999L, q, 9)).toDF("vec_id", "embedding", "label"))
     val books = Similarity.pqCodebooks(all, m = 8, kCents = 16, iters = 2)
-    val out = Similarity.pqTopK(all, queryId = 0L, k = 10, books = books)
+    val out = Similarity.pqTopK(all, queryId = 0L, k = 10,
+        books = Some(books))
       .collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist")))
     assert(out.length === 10)
