@@ -699,6 +699,16 @@ object SparkEntry {
     "ann_topk_rp" -> ((s, dir) =>
       Similarity.rpTopK(emb(s, dir), queryId = 0L)),
 
+    // IVF-PQ — the composed production index (FAISS IVFPQ shape): the
+    // trained coarse codebook routes the query to 4 cells; candidates
+    // inside them rank by ADC over their 8-byte PQ codes. Both trained
+    // codebooks are the memoized once-per-corpus jobs; the oracle
+    // replays coarse training, PQ training, encode, probe, and the
+    // fixed-order ADC sum in one statement.
+    "ann_topk_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), queryId = 0L,
+        codebook = kmeansBook(s, dir), books = pqBook(s, dir))),
+
     // The raw corpus has no cosine ≥ 0.9 pairs at small SFs, which made
     // this oracle row vacuously green (VERDICT r3 wrong.1). Deterministic
     // perturbed copies of the first 8 vectors are unioned in (new id =
@@ -1505,39 +1515,44 @@ object SparkEntry {
     * columns added left-to-right — matching the Spark side's literal `+`
     * chain, since a SUM over rows would be order-dependent in double).
     */
-  private val annPqSql: String = {
-    val M = 8; val Sub = 8; val K = 16
-    def lloydPq(prev: String, n: Int): String =
-      s"""a$n AS (SELECT vec_id, s, sv, c FROM (
-         |  SELECT sub.vec_id, sub.s, sub.sv, cc.c,
-         |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-         |      ORDER BY list_inner_product(cc.cv, cc.cv)
-         |        - 2 * list_inner_product(sub.sv, cc.cv) ASC, cc.c ASC)
-         |      AS rn
-         |  FROM sub JOIN $prev cc ON sub.s = cc.s) WHERE rn = 1),
-         |m$n AS (SELECT s, c, pos,
-         |  CAST(SUM(CAST(sv[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
-         |    AS mval
-         |  FROM a$n, (SELECT unnest(range(1, ${Sub + 1})) AS pos) p
-         |  GROUP BY s, c, pos),
-         |g$n AS (SELECT s, c, list(mval ORDER BY pos) AS mv FROM m$n
-         |  GROUP BY s, c),
-         |pcent$n AS (SELECT cc.s, cc.c, COALESCE(g.mv, cc.cv) AS cv
-         |  FROM $prev cc LEFT JOIN g$n g ON cc.s = g.s AND cc.c = g.c)"""
-    val terms = (0 until M).map(s => s"d$s").mkString(" + ")
-    val pivots = (0 until M).map(s =>
-      s"MAX(CASE WHEN s = $s THEN d END) AS d$s").mkString(", ")
-    s"""WITH $vecsSql,
-       |ss AS (SELECT unnest(range(0, $M)) AS s),
-       |sub AS (SELECT vec_id, s, list_slice(v, s*$Sub + 1, s*$Sub + $Sub)
-       |  AS sv FROM vecs, ss),
+  private val PqM = 8; private val PqSub = 8; private val PqK = 16
+
+  private def pqLloydSql(prev: String, n: Int): String =
+    s"""pa$n AS (SELECT vec_id, s, sv, c FROM (
+       |  SELECT sub.vec_id, sub.s, sub.sv, cc.c,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |      ORDER BY list_inner_product(cc.cv, cc.cv)
+       |        - 2 * list_inner_product(sub.sv, cc.cv) ASC, cc.c ASC)
+       |      AS rn
+       |  FROM sub JOIN $prev cc ON sub.s = cc.s) WHERE rn = 1),
+       |pm$n AS (SELECT s, c, pos,
+       |  CAST(SUM(CAST(sv[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+       |    AS mval
+       |  FROM pa$n, (SELECT unnest(range(1, ${PqSub + 1})) AS pos) p
+       |  GROUP BY s, c, pos),
+       |pg$n AS (SELECT s, c, list(mval ORDER BY pos) AS mv FROM pm$n
+       |  GROUP BY s, c),
+       |pcent$n AS (SELECT cc.s, cc.c, COALESCE(g.mv, cc.cv) AS cv
+       |  FROM $prev cc LEFT JOIN pg$n g ON cc.s = g.s AND cc.c = g.c)"""
+
+  /** CTE chain replaying PQ training over `vecs` (ends at `pcent2`),
+    * corpus encode (`enc`, queryId 0 excluded), and the query-side
+    * lookup table (`lut`) — shared by the PQ and IVF-PQ oracles. CTE
+    * names are `p`-prefixed so the chain composes with [[kmeansCent2Sql]]
+    * in one statement.
+    */
+  private val pqChainSql: String =
+    s"""pss AS (SELECT unnest(range(0, $PqM)) AS s),
+       |sub AS (SELECT vec_id, s,
+       |  list_slice(v, s*$PqSub + 1, s*$PqSub + $PqSub) AS sv
+       |  FROM vecs, pss),
        |pcent0 AS (SELECT s,
        |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS c,
        |    sv AS cv
        |  FROM sub WHERE vec_id IN
-       |    (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $K)),
-       |${lloydPq("pcent0", 1)},
-       |${lloydPq("pcent1", 2)},
+       |    (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $PqK)),
+       |${pqLloydSql("pcent0", 1)},
+       |${pqLloydSql("pcent1", 2)},
        |enc AS (SELECT vec_id, s, c FROM (
        |  SELECT sub.vec_id, sub.s, cc.c,
        |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
@@ -1552,12 +1567,47 @@ object SparkEntry {
        |    + list_inner_product(cc.cv, cc.cv) AS d
        |  FROM pcent2 cc JOIN q ON cc.s = q.s),
        |terms AS (SELECT e.vec_id, e.s, l.d
-       |  FROM enc e JOIN lut l ON e.s = l.s AND e.c = l.c),
-       |piv AS (SELECT vec_id, $pivots FROM terms GROUP BY vec_id)
-       |SELECT p.vec_id, v.label, roundbankers($terms, 6) AS adist
+       |  FROM enc e JOIN lut l ON e.s = l.s AND e.c = l.c)""".stripMargin
+
+  private val pqTermsSum = (0 until PqM).map(s => s"d$s").mkString(" + ")
+  private val pqPivots = (0 until PqM).map(s =>
+    s"MAX(CASE WHEN s = $s THEN d END) AS d$s").mkString(", ")
+
+  private val annPqSql: String =
+    s"""WITH $vecsSql,
+       |$pqChainSql,
+       |piv AS (SELECT vec_id, $pqPivots FROM terms GROUP BY vec_id)
+       |SELECT p.vec_id, v.label, roundbankers($pqTermsSum, 6) AS adist
        |FROM piv p JOIN vecs v ON p.vec_id = v.vec_id
        |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
-  }
+
+  /** IVF-PQ twin: the k-means coarse codebook trains exactly as in
+    * [[annIvfKmeansSql]] (cosine Lloyd, `cent2`), the PQ books and codes
+    * exactly as in [[annPqSql]] (`pcent2`/`enc` — disjoint CTE names),
+    * and the final rank keeps only vectors assigned to the 4
+    * query-closest coarse cells, ordered by the fixed-order ADC sum.
+    */
+  private val annIvfPqSql: String =
+    s"""WITH $vecsSql,
+       |$kmeansCent2Sql,
+       |$pqChainSql,
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT vecs.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM vecs, cent2 c) WHERE rn = 1),
+       |kq AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+       |probe AS (SELECT cell FROM (
+       |  SELECT c.cell, ROW_NUMBER() OVER (
+       |    ORDER BY ${cosSql("kq.qv", "c.cv")} DESC, c.cell ASC) AS rn
+       |  FROM cent2 c, kq) WHERE rn <= 4),
+       |piv AS (SELECT vec_id, $pqPivots FROM terms GROUP BY vec_id)
+       |SELECT p.vec_id, v.label, roundbankers($pqTermsSum, 6) AS adist
+       |FROM piv p
+       |JOIN vecs v ON p.vec_id = v.vec_id
+       |JOIN asg a ON p.vec_id = a.vec_id
+       |JOIN probe pr ON a.cell = pr.cell
+       |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
 
   /** Random-projection twin: the 16 reduction hyperplanes (salt 7 —
     * disjoint from every LSH table's planes) inline as literals; the
@@ -1635,6 +1685,8 @@ object SparkEntry {
     "ann_topk_pq" -> annPqSql,
 
     "ann_topk_rp" -> annRpSql,
+
+    "ann_topk_ivfpq" -> annIvfPqSql,
 
     "embedding_neardup_lsh" -> embNearDupSql,
 

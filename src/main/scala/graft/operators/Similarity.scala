@@ -409,10 +409,26 @@ object Similarity {
     val subDim = cb(0)(0).length
     val q = vecs.where(col("vec_id") === queryId)
       .select(col("v")).head().getSeq[Double](0).toArray
-    // L2² as `q·q − 2·q·c + c·c` (NOT Σ diff² — mathematically equal,
-    // floating-point different): three sequential index-order dot
-    // products and a fixed association, so the SQL oracle's
-    // `list_inner_product` replay is bit-identical.
+    val coded = pqEncode(vecs.where(col("vec_id") =!= queryId), cb)
+    coded
+      .select(col("vec_id"), col("label"),
+        bround(adcDist(q, cb), 6).as("adist"))
+      .orderBy(asc("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** ADC distance column over `code_0..code_{m-1}`: the per-subspace
+    * lookup tables (query → every centroid) computed on the driver and
+    * inlined as literals, terms added in fixed subspace order. L2² is
+    * computed as `q·q − 2·q·c + c·c` (NOT Σ diff² — mathematically equal,
+    * floating-point different): three sequential index-order dot products
+    * and a fixed association, so the SQL oracle's `list_inner_product`
+    * replay is bit-identical.
+    */
+  private def adcDist(q: Array[Double],
+                      cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
     val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
       Array.tabulate(cb(s).length) { c =>
         var qq = 0.0; var qc = 0.0; var cc = 0.0
@@ -425,12 +441,56 @@ object Similarity {
         qq - 2.0 * qc + cc
       }
     }
-    val coded = pqEncode(vecs.where(col("vec_id") =!= queryId), cb)
-    val adist = (0 until m).map(s =>
+    (0 until m).map(s =>
         element_at(typedLit(lut(s).toSeq), col(s"code_$s") + 1))
       .reduce(_ + _)
-    coded
-      .select(col("vec_id"), col("label"), bround(adist, 6).as("adist"))
+  }
+
+  /** The `nProbe` query-closest coarse cells (cosine desc, cell-id ties
+    * low) — driver-side over the tiny codebook, shared by [[ivfTopK]] and
+    * [[ivfPqTopK]].
+    */
+  private def probeCellsOf(qRow: Array[Double],
+                           centroids: Array[(Int, Array[Double])],
+                           nProbe: Int): Array[Int] =
+    centroids
+      .map { case (cid, cv) =>
+        var dotQ = 0.0; var nq = 0.0; var nc = 0.0
+        var i = 0
+        while (i < math.min(qRow.length, cv.length)) {
+          dotQ += qRow(i) * cv(i); nq += qRow(i) * qRow(i)
+          nc += cv(i) * cv(i); i += 1
+        }
+        (cid, dotQ / math.sqrt(nq * nc))
+      }
+      .sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+
+  /** IVF-PQ — the composed production ANN index (the FAISS IVFPQ shape,
+    * non-residual variant): the coarse k-means codebook routes the query
+    * to its `nProbe` closest cells, and candidates inside those cells
+    * are ranked by ADC distance over their `m`-byte PQ codes. The scan
+    * touches byte codes of ~`nProbe/nCells` of the corpus and zero full
+    * vectors — both the per-query work bound (IVF) and the index-memory
+    * bound (PQ) at once. Assignment and encode are one codegen'd
+    * projection each; at ingest scale both are precomputed columns of
+    * the stored index, and this query reads them.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+                nProbe: Int = 4,
+                codebook: Array[Array[Double]],
+                books: Array[Array[Array[Double]]]): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val centroids = codebook.zipWithIndex.map { case (cv, i) => (i, cv) }
+    val qRow = vecs.where(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probes = probeCellsOf(qRow, centroids, nProbe)
+    val assigned = vecs.withColumn("cell", cellOf(col("v"), centroids))
+      .where(col("cell").isin(probes.toSeq.map(Integer.valueOf): _*) &&
+             col("vec_id") =!= queryId)
+    pqEncode(assigned, books)
+      .select(col("vec_id"), col("label"),
+        bround(adcDist(qRow, books), 6).as("adist"))
       .orderBy(asc("adist"), col("vec_id"))
       .limit(k)
   }
@@ -456,17 +516,7 @@ object Similarity {
 
     val qRow = vecs.where(col("vec_id") === queryId)
       .select(col("v")).head().getSeq[Double](0).toArray
-    val probeCells = centroids
-      .map { case (cid, cv) =>
-        var dotQ = 0.0; var nq = 0.0; var nc = 0.0
-        var i = 0
-        while (i < math.min(qRow.length, cv.length)) {
-          dotQ += qRow(i) * cv(i); nq += qRow(i) * qRow(i)
-          nc += cv(i) * cv(i); i += 1
-        }
-        (cid, dotQ / math.sqrt(nq * nc))
-      }
-      .sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+    val probeCells = probeCellsOf(qRow, centroids, nProbe)
 
     val query = vecs.where(col("vec_id") === queryId).select(col("v").as("qv"))
     assigned

@@ -222,6 +222,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK routes the planted duplicate through the coarse cells " +
+       "to the ADC minimum; results are a subset of pqTopK's cell-probed " +
+       "corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" === 0L).head().getSeq[Float](1).toArray
+    val all = emb.unionByName(
+      Seq((88888L, q, 9)).toDF("vec_id", "embedding", "label"))
+    val cb = Similarity.kmeansCodebook(all, nCells = 16, iters = 2)
+    val books = Similarity.pqCodebooks(all, m = 8, kCents = 16, iters = 2)
+    val out = Similarity.ivfPqTopK(all, queryId = 0L, k = 10,
+        codebook = cb, books = books).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist")))
+    assert(out.nonEmpty && out.length <= 10)
+    assert(!out.map(_._1).contains(0L))
+    // An exact copy of the query lands in the query's own best cell
+    // (cosine argmax is continuous), so IVF routing cannot lose it, and
+    // its codes are the per-subspace argmin — the global ADC minimum.
+    val planted = out.find(_._1 === 88888L)
+    assert(planted.isDefined, s"planted duplicate missing from ${out.toSeq}")
+    assert(planted.get._2 === out.map(_._2).min)
+  }
+
   test("pqCodebooks are invariant to input partitioning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.pqCodebooks(emb, m = 8, kCents = 16, iters = 2)
