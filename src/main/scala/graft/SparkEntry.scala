@@ -882,6 +882,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The round-5 cleaning pipeline: v1's four gates PLUS the two new
+    // per-doc signals — duplicated-span coverage ≤ 0.5 (drop docs that
+    // are mostly boilerplate found elsewhere) and a non-null bigram LM
+    // score (drop docs too short to score). One plan; Catalyst chains
+    // the six doc_id equi-joins into one shuffle-stage pipeline.
+    "curation_pipeline_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(TextOps.lengthBandFilter(d).select("doc_id"), Seq("doc_id"))
+        .join(TextOps.qualityScore(TextOps.tokenStats(d))
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        .join(TextOps.langIdAgg(d).select(col("doc_id"), col("pred_lang")),
+          Seq("doc_id"))
+        .join(Dedup.exactDedup(d).select("doc_id"), Seq("doc_id"))
+        .join(Dedup.duplicateSpanCoverage(d)
+          .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+        .join(TextOps.lmScore(d)
+          .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
+        .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "unknown"
+          && col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
+        .orderBy("doc_id")
+    }),
+
     // Overlapping token chunks (embedding/RAG prep): 32-token windows
     // advancing by 24, chunk text hashed for the compare.
     "chunk_docs" -> ((s, dir) =>
@@ -1631,6 +1654,48 @@ object SparkEntry {
        |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Per-doc duplicated-span coverage oracle — also embedded as a CTE of
+    * the `curation_pipeline_v2` oracle.
+    */
+  private val dupSpanCoverageSql: String =
+    s"""WITH $dupSpansCteSql,
+       |cov AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |    SUM(span_len) AS dup_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+       |    AS dup_frac
+       |FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Fixed-point bigram LM score oracle — also embedded as a CTE of the
+    * `curation_pipeline_v2` oracle.
+    */
+  private val lmScoreSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+      |  FROM t),
+      |tk AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM p),
+      |uni AS (SELECT w1 AS w, COUNT(*) AS c1 FROM tk GROUP BY w1),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM tk
+      |  WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      |sc AS (SELECT tk.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(bi.c2 * 100000000 // uni.c1) AS BIGINT)
+      |      AS prob_fp_sum
+      |  FROM tk
+      |  JOIN bi ON tk.w1 = bi.w1 AND tk.w2 = bi.w2
+      |  JOIN uni ON tk.w1 = uni.w
+      |  WHERE tk.w2 IS NOT NULL GROUP BY tk.doc_id)
+      |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(sc.prob_fp_sum, 0) AS prob_fp_sum,
+      |  CAST(sc.prob_fp_sum AS DOUBLE) / (sc.n_bigrams * 100000000)
+      |    AS avg_prob
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private val enList = "('the','a','of','and','to','in','is','it')"
   private val deList = "('der','die','das','und','ist','mit','ein','zu')"
   private val frList = "('le','la','les','et','est','une','dans','que')"
@@ -1765,18 +1830,7 @@ object SparkEntry {
          |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    "dup_span_coverage" ->
-      s"""WITH $dupSpansCteSql,
-         |cov AS (SELECT doc_id, COUNT(*) AS n_spans,
-         |    SUM(span_len) AS dup_tokens
-         |  FROM spans GROUP BY doc_id)
-         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |  CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
-         |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-         |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / len(t.toks)
-         |    AS dup_frac
-         |FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+    "dup_span_coverage" -> dupSpanCoverageSql,
 
     // DSIR importance weights: hashed-bigram buckets (integer value of
     // the first 3 md5 hex digits), fixed-point per-bucket frequency
@@ -1816,28 +1870,7 @@ object SparkEntry {
     // Fixed-point bigram LM score: integer `(c2·10^8) // c1` per
     // transition, exact BIGINT per-doc sums, one final IEEE division —
     // replaying TextOps.lmScore's arithmetic step for step.
-    "lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
-        |  FROM t),
-        |tk AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM p),
-        |uni AS (SELECT w1 AS w, COUNT(*) AS c1 FROM tk GROUP BY w1),
-        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM tk
-        |  WHERE w2 IS NOT NULL GROUP BY w1, w2),
-        |sc AS (SELECT tk.doc_id, COUNT(*) AS n_bigrams,
-        |    CAST(SUM(bi.c2 * 100000000 // uni.c1) AS BIGINT)
-        |      AS prob_fp_sum
-        |  FROM tk
-        |  JOIN bi ON tk.w1 = bi.w1 AND tk.w2 = bi.w2
-        |  JOIN uni ON tk.w1 = uni.w
-        |  WHERE tk.w2 IS NOT NULL GROUP BY tk.doc_id)
-        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(sc.prob_fp_sum, 0) AS prob_fp_sum,
-        |  CAST(sc.prob_fp_sum AS DOUBLE) / (sc.n_bigrams * 100000000)
-        |    AS avg_prob
-        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "lm_score" -> lmScoreSql,
 
     "key_skew" ->
       """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
@@ -2394,6 +2427,24 @@ object SparkEntry {
          |JOIN band USING (doc_id) JOIN q USING (doc_id)
          |JOIN l USING (doc_id) JOIN reps USING (doc_id)
          |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "curation_pipeline_v2" ->
+      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
+         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(text)))),
+         |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
+         |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  q.quality_score, l.pred_lang, dsc.dup_frac, lm.avg_prob
+         |FROM documents d
+         |JOIN band USING (doc_id) JOIN q USING (doc_id)
+         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
+         |JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
+         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
+         |  AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL
          |ORDER BY d.doc_id""".stripMargin
   )
 

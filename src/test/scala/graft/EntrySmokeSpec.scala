@@ -26,4 +26,13 @@ class EntrySmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("rows-only queries are exactly the documented engine-specific set") {
+    // Every new query must ship with a DuckDB oracle unless it joins this
+    // explicitly-documented list (engine-specific hashes/sketches/floats,
+    // each equivalence- or error-bound-tested in ScalaTest instead).
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("approx_event_quantiles",
+      "approx_users_per_type", "multimodal_features", "simhash_pairs"))
+  }
 }
