@@ -173,6 +173,21 @@ object SparkEntry {
       .otherwise(concat(lit("{"), core, lit("}"))).as("line"))
   }
 
+  /** The v1 curation gates (corpus-quantile length band ∩ quality ≥ 0.5 ∩
+    * language known ∩ exact-dedup representative) — the shared base of
+    * `curation_pipeline` and `curation_pipeline_v2`, so a change to any
+    * gate reaches both surfaces.
+    */
+  private def curationBase(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(TextOps.lengthBandFilter(d).select("doc_id"), Seq("doc_id"))
+      .join(TextOps.qualityScore(TextOps.tokenStats(d))
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .join(TextOps.langIdAgg(d).select(col("doc_id"), col("pred_lang")),
+        Seq("doc_id"))
+      .join(Dedup.exactDedup(d).select("doc_id"), Seq("doc_id"))
+      .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "unknown")
+
   /** Flagship query (SURVEY.md §7.1) on sf0.001; driver smoke-checks rows>0:
     * scan → broadcast join → m:m join → exact sum → bround → dense rank →
     * sort.
@@ -869,18 +884,8 @@ object SparkEntry {
     // exact-dedup representative. Proves the curation operators compose
     // (each is also oracle-checked standalone); Catalyst fuses the four
     // doc_id equi-joins into one shuffle-stage chain.
-    "curation_pipeline" -> ((s, dir) => {
-      val d = docs(s, dir)
-      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .join(TextOps.lengthBandFilter(d).select("doc_id"), Seq("doc_id"))
-        .join(TextOps.qualityScore(TextOps.tokenStats(d))
-          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
-        .join(TextOps.langIdAgg(d).select(col("doc_id"), col("pred_lang")),
-          Seq("doc_id"))
-        .join(Dedup.exactDedup(d).select("doc_id"), Seq("doc_id"))
-        .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "unknown")
-        .orderBy("doc_id")
-    }),
+    "curation_pipeline" -> ((s, dir) =>
+      curationBase(docs(s, dir)).orderBy("doc_id")),
 
     // The round-5 cleaning pipeline: v1's four gates PLUS the two new
     // per-doc signals — duplicated-span coverage ≤ 0.5 (drop docs that
@@ -889,19 +894,12 @@ object SparkEntry {
     // the six doc_id equi-joins into one shuffle-stage pipeline.
     "curation_pipeline_v2" -> ((s, dir) => {
       val d = docs(s, dir)
-      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .join(TextOps.lengthBandFilter(d).select("doc_id"), Seq("doc_id"))
-        .join(TextOps.qualityScore(TextOps.tokenStats(d))
-          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
-        .join(TextOps.langIdAgg(d).select(col("doc_id"), col("pred_lang")),
-          Seq("doc_id"))
-        .join(Dedup.exactDedup(d).select("doc_id"), Seq("doc_id"))
+      curationBase(d)
         .join(Dedup.duplicateSpanCoverage(d)
           .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
         .join(TextOps.lmScore(d)
           .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
-        .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "unknown"
-          && col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
+        .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
         .orderBy("doc_id")
     }),
 

@@ -405,8 +405,6 @@ object Similarity {
     val vecs = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val cb = books.getOrElse(pqCodebooks(embeddings))
-    val m = cb.length
-    val subDim = cb(0)(0).length
     val q = vecs.where(col("vec_id") === queryId)
       .select(col("v")).head().getSeq[Double](0).toArray
     val coded = pqEncode(vecs.where(col("vec_id") =!= queryId), cb)

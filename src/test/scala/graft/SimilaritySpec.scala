@@ -223,8 +223,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("ivfPqTopK routes the planted duplicate through the coarse cells " +
-       "to the ADC minimum; results are a subset of pqTopK's cell-probed " +
-       "corpus") {
+       "to the ADC minimum, and every result lies in a probed cell") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where($"vec_id" === 0L).head().getSeq[Float](1).toArray
@@ -243,6 +242,26 @@ class SimilaritySpec extends AnyFunSuite {
     val planted = out.find(_._1 === 88888L)
     assert(planted.isDefined, s"planted duplicate missing from ${out.toSeq}")
     assert(planted.get._2 === out.map(_._2).min)
+    // The routing claim itself: every returned vector's coarse cell
+    // (argmax cosine, ties to the higher cell) must be one of the 4
+    // query-closest cells (ties to the lower cell) — a degenerate
+    // probe-everything implementation would fail this for any corpus
+    // vector ranked into the top-10 from an unprobed cell.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val qd = q.map(_.toDouble)
+    val probes = cb.zipWithIndex
+      .map { case (cv, i) => (i, cos(qd, cv)) }
+      .sortBy { case (i, c) => (-c, i) }.take(4).map(_._1).toSet
+    val byId = all.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    out.foreach { case (id, _) =>
+      val cell = cb.zipWithIndex
+        .map { case (cv, i) => (cos(byId(id), cv), i) }.max._2
+      assert(probes.contains(cell), s"vec $id routed from unprobed cell")
+    }
   }
 
   test("pqCodebooks are invariant to input partitioning") {
