@@ -735,6 +735,21 @@ object SparkEntry {
           threshold = 0.9, planes = 12, tables = 3, dim = EmbDim)
         .orderBy("vec_a", "vec_b")),
 
+    // Contrastive triplets over the planted near-dup pair graph: each
+    // (anchor, positive) pair gets a deterministic pseudo-random
+    // negative from the raw corpus — the embedding-model training-data
+    // endpoint downstream of the pair search.
+    "contrastive_triplets" -> ((s, dir) => {
+      val pv = plantedVecs(s, dir)
+      val pool = emb(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      Similarity.contrastiveTriplets(pv,
+          Similarity.lshNearDupPairsFromVecs(pv, threshold = 0.9,
+            planes = 12, tables = 3, dim = EmbDim),
+          pool)
+        .orderBy("anchor", "positive")
+    }),
+
     // SemDeDup-style semantic dedup: the TRAINED k-means codebook assigns
     // every vector (corpus + the same planted perturbations) to a cell;
     // near-dup pairs are searched only within cells. Cross-checks the LSH
@@ -843,6 +858,27 @@ object SparkEntry {
     // asc — a total order, so the k-cut is deterministic cross-engine).
     "vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(docs(s, dir))),
+
+    // Dataset card: the one-row corpus summary a curation run publishes
+    // (doc/token counts, stratum cardinalities, exact-dup rate). ONE
+    // partial-aggregated pass; ratios are single IEEE divisions of
+    // exact counts.
+    "corpus_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col("text")), " ")).cast("long"))
+          .as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(lower(trim(col("text"))))).as("n_fingerprints"))
+      .select(col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("avg_doc_tokens"),
+        col("n_langs"), col("n_sources"), col("n_fingerprints"),
+        (lit(1.0) - col("n_fingerprints").cast("double") / col("n_docs"))
+          .as("exact_dup_rate"))
+    }),
 
     // Exact heavy hitters through a Misra–Gries sketch pre-screen + exact
     // re-count of the ≤127 candidates — deterministic despite the sketch
@@ -1497,6 +1533,32 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Contrastive-triplet twin: the pair graph is [[embNearDupSql]] as a
+    * CTE; the negative replays the Knuth-hash-modulo-pool-size draw with
+    * the two collision bumps (plain `%` — operands non-negative, so it
+    * equals Spark's `pmod`), and `sim_neg` is the same 6dp cosine.
+    */
+  private val contrastiveTripletsSql: String =
+    s"""WITH pairs0 AS (SELECT * FROM ($embNearDupSql)),
+       |$pvecsSql,
+       |n AS (SELECT COUNT(*) AS n FROM vecs0),
+       |t0 AS (SELECT vec_a, vec_b, sim, n.n AS nn,
+       |    (vec_a * 2654435761 + vec_b) % n.n AS n0
+       |  FROM pairs0, n),
+       |t1 AS (SELECT vec_a, vec_b, sim, nn,
+       |    CASE WHEN n0 = vec_a OR n0 = vec_b THEN (n0 + 1) % nn
+       |         ELSE n0 END AS n1 FROM t0),
+       |t2 AS (SELECT vec_a, vec_b, sim,
+       |    CASE WHEN n1 = vec_a OR n1 = vec_b THEN (n1 + 1) % nn
+       |         ELSE n1 END AS negative FROM t1)
+       |SELECT t2.vec_a AS anchor, t2.vec_b AS positive, t2.negative,
+       |  t2.sim AS sim_pos,
+       |  roundbankers(${cosSql("a.v", "g.v")}, 6) AS sim_neg
+       |FROM t2
+       |JOIN pvecs a ON t2.vec_a = a.vec_id
+       |JOIN vecs0 g ON t2.negative = g.vec_id
+       |ORDER BY anchor, positive""".stripMargin
+
   /** Shared CTE chain for the duplicate-span oracles: md5-hashed 8-token
     * windows with 0-based positions, windows occurring in ≥ 2 distinct
     * docs, and the gaps-and-islands merge (new island when the position
@@ -1755,6 +1817,8 @@ object SparkEntry {
 
     "semantic_dedup" -> semanticDedupSql,
 
+    "contrastive_triplets" -> contrastiveTripletsSql,
+
     "incremental_neardup" -> incNearDupSql,
 
     "incremental_dedup" -> incDedupSql,
@@ -1789,6 +1853,20 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "corpus_card" ->
+      """WITH a AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+        |    AS total_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_fingerprints
+        |  FROM documents)
+        |SELECT n_docs, total_tokens,
+        |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+        |  n_langs, n_sources, n_fingerprints,
+        |  1.0 - CAST(n_fingerprints AS DOUBLE) / n_docs AS exact_dup_rate
+        |FROM a""".stripMargin,
 
     // Exact oracle for the sketch-prescreened heavy hitters: the
     // Misra–Gries candidate set provably contains every token above the

@@ -493,6 +493,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Contrastive training triplets from a near-dup pair graph — the
+    * embedding-model data-prep endpoint: every (anchor, positive) pair
+    * gets a deterministic pseudo-random negative drawn from `pool`
+    * (Knuth multiplicative hash of the pair ids, modulo the pool size,
+    * stepped past collisions with the pair itself — at most two steps,
+    * since anchor ≠ positive). Requires pool ids dense in [0, |pool|)
+    * (the embeddings table's layout). Output: (anchor, positive,
+    * negative, sim_pos, sim_neg) with both similarities 6dp-bround.
+    *
+    * Plan shape: the pool count attaches as a broadcast 1-row frame (no
+    * driver collect), negatives are pure integer arithmetic, and the two
+    * vector re-attaches are id equi-joins — triplet count scales with
+    * the pair graph, never the corpus².
+    */
+  def contrastiveTriplets(vecs: DataFrame, pairs: DataFrame,
+                          pool: DataFrame): DataFrame = {
+    val n = pool.agg(count(lit(1)).as("_n"))
+    def bump(c: Column) =
+      when(c === col("vec_a") || c === col("vec_b"),
+        pmod(c + 1, col("_n"))).otherwise(c)
+    pairs.crossJoin(broadcast(n))
+      .withColumn("_n0",
+        pmod(col("vec_a") * lit(2654435761L) + col("vec_b"), col("_n")))
+      .withColumn("negative", bump(bump(col("_n0"))))
+      .join(vecs.select(col("vec_id"), col("v").as("_va")),
+        col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(pool.select(col("vec_id"), col("v").as("_vn")),
+        col("negative") === col("vec_id")).drop("vec_id")
+      .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
+        col("negative"), col("sim").as("sim_pos"),
+        bround(cosine(col("_va"), col("_vn")), 6).as("sim_neg"))
+  }
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 4,
               codebook: Option[Array[Array[Double]]] = None): DataFrame = {

@@ -273,6 +273,36 @@ class SimilaritySpec extends AnyFunSuite {
       b.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("contrastiveTriplets draws deterministic negatives distinct from " +
+       "the pair") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pool = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val planted = pool.where(col("vec_id") < 8)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.01)),
+          slice(col("v"), 2, 63)).as("v"))
+    val all = pool.unionAll(planted)
+    val pairs = Similarity.lshNearDupPairsFromVecs(all, threshold = 0.9,
+      dim = 64)
+    def run() = Similarity.contrastiveTriplets(all, pairs, pool)
+      .orderBy("anchor", "positive").collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Long]("negative"), r.getAs[Double]("sim_pos"),
+        r.getAs[Double]("sim_neg")))
+    val t = run()
+    val poolN = pool.count()
+    assert(t.nonEmpty)
+    t.foreach { case (a, p, neg, sp, _) =>
+      assert(neg != a && neg != p, s"negative $neg collides with ($a,$p)")
+      assert(neg >= 0L && neg < poolN)
+      assert(sp >= 0.9)
+    }
+    // deterministic: a second run yields the identical triplets
+    assert(run().toSeq === t.toSeq)
+  }
+
   test("kmeansCodebook is invariant to input partitioning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.kmeansCodebook(emb, nCells = 8, iters = 2)
