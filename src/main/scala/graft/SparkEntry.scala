@@ -741,8 +741,10 @@ object SparkEntry {
     // endpoint downstream of the pair search.
     "contrastive_triplets" -> ((s, dir) => {
       val pv = plantedVecs(s, dir)
-      val pool = emb(s, dir)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // Negatives pool = the raw corpus slice of pv (ids < the planted
+      // offset) — reuses the frame the pair search persists instead of
+      // re-scanning + re-upcasting the embeddings table.
+      val pool = pv.where(col("vec_id") < 10000000L)
       Similarity.contrastiveTriplets(pv,
           Similarity.lshNearDupPairsFromVecs(pv, threshold = 0.9,
             planes = 12, tables = 3, dim = EmbDim),
@@ -867,11 +869,15 @@ object SparkEntry {
       val d = docs(s, dir)
       d.agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(lower(col("text")), " ")).cast("long"))
+        // no lower(): case cannot change a whitespace-split token count
+        sum(size(split(col("text"), " ")).cast("long"))
           .as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(col("source")).as("n_sources"),
-        countDistinct(md5(lower(trim(col("text"))))).as("n_fingerprints"))
+        // the canonical exact-dup fingerprint — same normalization as
+        // the dedup operators this rate summarizes
+        countDistinct(TextOps.fingerprint(col("text")))
+          .as("n_fingerprints"))
       .select(col("n_docs"), col("total_tokens"),
         (col("total_tokens").cast("double") / col("n_docs"))
           .as("avg_doc_tokens"),
@@ -1856,7 +1862,7 @@ object SparkEntry {
 
     "corpus_card" ->
       """WITH a AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |    AS total_tokens,
         |  COUNT(DISTINCT lang) AS n_langs,
         |  COUNT(DISTINCT source) AS n_sources,

@@ -519,8 +519,18 @@ object Similarity {
       .withColumn("negative", bump(bump(col("_n0"))))
       .join(vecs.select(col("vec_id"), col("v").as("_va")),
         col("vec_a") === col("vec_id")).drop("vec_id")
+      // Left join + loud failure instead of an inner join: with a
+      // non-dense pool the drawn index matches no row, and an inner
+      // join would silently DROP the triplet — a training pair
+      // vanishing without an error. The raise_error fires lazily only
+      // on a violating row (codegen'd, no extra job).
       .join(pool.select(col("vec_id"), col("v").as("_vn")),
-        col("negative") === col("vec_id")).drop("vec_id")
+        col("negative") === col("vec_id"), "left")
+      .drop("vec_id")
+      .withColumn("_vn", coalesce(col("_vn"),
+        raise_error(concat(lit("contrastiveTriplets: negative id "),
+          col("negative"),
+          lit(" absent from pool — pool ids must be dense in [0, N)")))))
       .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
         col("negative"), col("sim").as("sim_pos"),
         bround(cosine(col("_va"), col("_vn")), 6).as("sim_neg"))

@@ -303,6 +303,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run().toSeq === t.toSeq)
   }
 
+  test("contrastiveTriplets collision bumps: forced single and double " +
+       "bumps with wraparound; sparse pool fails loudly") {
+    import org.apache.spark.sql.functions._
+    // Pool ids 0..4 (n = 5). 2654435761 ≡ 1 (mod 5), so the draw is
+    // (a + b) mod 5. Pair (0, 3): n0 = 3 = positive → one bump → 4.
+    // Pair (0, 4): n0 = 4 = positive → bump → (4+1)%5 = 0 = anchor →
+    // second bump → 1. Exercises both bump steps AND the modular wrap.
+    val pool = (0L until 5L).map(i =>
+        (i, Array.fill(4)(i.toDouble + 1.0).toSeq))
+      .toDF("vec_id", "v")
+    val pairs = Seq((0L, 3L, 0.95), (0L, 4L, 0.95))
+      .toDF("vec_a", "vec_b", "sim")
+    val negs = Similarity.contrastiveTriplets(pool, pairs, pool)
+      .orderBy("positive").collect()
+      .map(r => (r.getAs[Long]("positive"), r.getAs[Long]("negative")))
+    assert(negs.toSeq === Seq((3L, 4L), (4L, 1L)))
+
+    // A pool with an id gap (no vec_id = 1) must raise, not silently
+    // drop the triplet: pair (0, 4) resolves to negative 1.
+    val sparse = pool.where(col("vec_id") =!= 1L)
+    val ex = intercept[Exception] {
+      Similarity.contrastiveTriplets(pool,
+        Seq((0L, 4L, 0.95)).toDF("vec_a", "vec_b", "sim"), sparse)
+        .collect()
+    }
+    assert(ex.getMessage.contains("dense") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("dense"))
+  }
+
   test("kmeansCodebook is invariant to input partitioning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.kmeansCodebook(emb, nCells = 8, iters = 2)
