@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS): read as long (epoch nanos)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SPARK_GRAFT_AQE=false runs the gate without adaptive execution —
+      // the sweep that proves no result depends on AQE's runtime
+      // re-planning (coalesced partitions, demoted joins), only on the
+      // operators' own determinism contracts.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
