@@ -61,12 +61,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Stdout gets drowned in sbt log noise; also write the line to a file
     // the driver can parse reliably, and echo it on stderr as the very
-    // last lines so a tail-reader finds it either way.
+    // last lines so a tail-reader finds it either way. The raw JSON is
+    // printed AFTER spark.stop() so no shutdown logging can land below
+    // it: a last-line tail parse must see the bare JSON object.
     val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.writeString(outPath, json + "\n")
-    println(json)
     spark.stop()
     System.err.println(s"BENCH_JSON_FILE=$outPath")
     System.err.println(json)
+    println(s"BENCH_JSON_FILE=$outPath")
+    println(json)
+    System.out.flush()
   }
 }

@@ -154,6 +154,18 @@ object SparkEntry {
     pqBooks.get(s, dir)((s2, d) =>
       Similarity.pqCodebooks(emb(s2, d), m = 8, kCents = 16, iters = 2))
 
+  /** PQ codebooks trained on coarse-cell residuals (the full FAISS IVFPQ
+    * recipe) — same once-per-corpus-version contract; depends on the
+    * trained coarse book, so the memo chain trains coarse-then-residual.
+    */
+  private val pqResidBooks = new SessionMemo[Array[Array[Array[Double]]]]()
+
+  private def pqResidBook(s: SparkSession,
+                          dir: String): Array[Array[Array[Double]]] =
+    pqResidBooks.get(s, dir)((s2, d) =>
+      Similarity.pqResidualBooks(emb(s2, d), kmeansBook(s2, d),
+        m = 8, kCents = 16, iters = 2))
+
   /** Packed `{id_name_email_dob_address_created}` lines synthesized from
     * the customer table (with deliberately malformed rows), fed to the P2-P9
     * parser — both sides of the oracle build the identical input.
@@ -724,6 +736,16 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb(s, dir), queryId = 0L,
         codebook = kmeansBook(s, dir), books = pqBook(s, dir))),
 
+    // Residual-encoding IVF-PQ — the full FAISS recipe: corpus vectors
+    // are PQ-encoded as `v − centroid(cell)` residuals (smaller norm →
+    // smaller ADC error for the same byte budget), and the query builds
+    // one LUT per probed cell from its own residual against that cell.
+    // The oracle replays coarse training, residual computation, residual
+    // PQ training, encode, and the per-cell LUT join in one statement.
+    "ann_topk_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(emb(s, dir), queryId = 0L,
+        codebook = kmeansBook(s, dir), books = pqResidBook(s, dir))),
+
     // The raw corpus has no cosine ≥ 0.9 pairs at small SFs, which made
     // this oracle row vacuously green (VERDICT r3 wrong.1). Deterministic
     // perturbed copies of the first 8 vectors are unioned in (new id =
@@ -869,8 +891,13 @@ object SparkEntry {
       val d = docs(s, dir)
       d.agg(
         count(lit(1)).as("n_docs"),
-        // no lower(): case cannot change a whitespace-split token count
-        sum(size(split(col("text"), " ")).cast("long"))
+        // no lower(): case cannot change a whitespace-split token count.
+        // Null texts contribute null (skipped by SUM), matching the
+        // oracle's SUM-over-CASE — under the repo's legacy sizeOfNull
+        // conf a bare size(null) would be -1 and silently deflate the
+        // total (same guard as duplicateSpanCoverage).
+        sum(when(col("text").isNotNull,
+          size(split(col("text"), " ")).cast("long")))
           .as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(col("source")).as("n_sources"),
@@ -1606,23 +1633,24 @@ object SparkEntry {
     */
   private val PqM = 8; private val PqSub = 8; private val PqK = 16
 
-  private def pqLloydSql(prev: String, n: Int): String =
-    s"""pa$n AS (SELECT vec_id, s, sv, c FROM (
-       |  SELECT sub.vec_id, sub.s, sub.sv, cc.c,
-       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+  private def pqLloydSql(prev: String, n: Int, sub: String = "sub",
+                         p: String = "p"): String =
+    s"""${p}a$n AS (SELECT vec_id, s, sv, c FROM (
+       |  SELECT $sub.vec_id, $sub.s, $sub.sv, cc.c,
+       |    ROW_NUMBER() OVER (PARTITION BY $sub.vec_id, $sub.s
        |      ORDER BY list_inner_product(cc.cv, cc.cv)
-       |        - 2 * list_inner_product(sub.sv, cc.cv) ASC, cc.c ASC)
+       |        - 2 * list_inner_product($sub.sv, cc.cv) ASC, cc.c ASC)
        |      AS rn
-       |  FROM sub JOIN $prev cc ON sub.s = cc.s) WHERE rn = 1),
-       |pm$n AS (SELECT s, c, pos,
+       |  FROM $sub JOIN $prev cc ON $sub.s = cc.s) WHERE rn = 1),
+       |${p}m$n AS (SELECT s, c, pos,
        |  CAST(SUM(CAST(sv[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
        |    AS mval
-       |  FROM pa$n, (SELECT unnest(range(1, ${PqSub + 1})) AS pos) p
+       |  FROM ${p}a$n, (SELECT unnest(range(1, ${PqSub + 1})) AS pos) p
        |  GROUP BY s, c, pos),
-       |pg$n AS (SELECT s, c, list(mval ORDER BY pos) AS mv FROM pm$n
+       |${p}g$n AS (SELECT s, c, list(mval ORDER BY pos) AS mv FROM ${p}m$n
        |  GROUP BY s, c),
-       |pcent$n AS (SELECT cc.s, cc.c, COALESCE(g.mv, cc.cv) AS cv
-       |  FROM $prev cc LEFT JOIN pg$n g ON cc.s = g.s AND cc.c = g.c)"""
+       |${p}cent$n AS (SELECT cc.s, cc.c, COALESCE(g.mv, cc.cv) AS cv
+       |  FROM $prev cc LEFT JOIN ${p}g$n g ON cc.s = g.s AND cc.c = g.c)"""
 
   /** CTE chain replaying PQ training over `vecs` (ends at `pcent2`),
     * corpus encode (`enc`, queryId 0 excluded), and the query-side
@@ -1696,6 +1724,71 @@ object SparkEntry {
        |JOIN vecs v ON p.vec_id = v.vec_id
        |JOIN asg a ON p.vec_id = a.vec_id
        |JOIN probe pr ON a.cell = pr.cell
+       |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
+
+  /** Residual IVF-PQ twin: coarse codebook and probe cells exactly as in
+    * [[annIvfPqSql]]; the PQ chain trains over RESIDUALS `v − cv(cell)`
+    * (CTE `rv`, elementwise double subtraction — the Spark side's
+    * `zip_with`), with the same Lloyd contract under `r`-prefixed names;
+    * the query side builds one LUT per probed cell from the query's
+    * residual against that cell's centroid, joined back through each
+    * vector's coarse cell — a residual code is only comparable inside
+    * its own cell's frame of reference.
+    */
+  private val annIvfPqResidualSql: String =
+    s"""WITH $vecsSql,
+       |$kmeansCent2Sql,
+       |asg AS (SELECT vec_id, v, cell FROM (
+       |  SELECT vecs.vec_id, vecs.v, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM vecs, cent2 c) WHERE rn = 1),
+       |rv AS (SELECT a.vec_id,
+       |  list_transform(range(1, ${EmbDim + 1}), i -> a.v[i] - c.cv[i])
+       |    AS v, a.cell
+       |  FROM asg a JOIN cent2 c ON a.cell = c.cell),
+       |pss AS (SELECT unnest(range(0, $PqM)) AS s),
+       |rsub AS (SELECT vec_id, s,
+       |  list_slice(v, s*$PqSub + 1, s*$PqSub + $PqSub) AS sv
+       |  FROM rv, pss),
+       |rcent0 AS (SELECT s,
+       |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS c,
+       |    sv AS cv
+       |  FROM rsub WHERE vec_id IN
+       |    (SELECT vec_id FROM rv ORDER BY vec_id LIMIT $PqK)),
+       |${pqLloydSql("rcent0", 1, "rsub", "r")},
+       |${pqLloydSql("rcent1", 2, "rsub", "r")},
+       |renc AS (SELECT vec_id, s, c FROM (
+       |  SELECT rsub.vec_id, rsub.s, cc.c,
+       |    ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |      ORDER BY list_inner_product(cc.cv, cc.cv)
+       |        - 2 * list_inner_product(rsub.sv, cc.cv) ASC, cc.c ASC)
+       |      AS rn
+       |  FROM rsub JOIN rcent2 cc ON rsub.s = cc.s
+       |  WHERE rsub.vec_id <> 0) WHERE rn = 1),
+       |kq AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+       |probe AS (SELECT cell FROM (
+       |  SELECT c.cell, ROW_NUMBER() OVER (
+       |    ORDER BY ${cosSql("kq.qv", "c.cv")} DESC, c.cell ASC) AS rn
+       |  FROM cent2 c, kq) WHERE rn <= 4),
+       |qr AS (SELECT c.cell,
+       |  list_transform(range(1, ${EmbDim + 1}), i -> kq.qv[i] - c.cv[i])
+       |    AS qv
+       |  FROM cent2 c JOIN probe pr ON c.cell = pr.cell, kq),
+       |qsub AS (SELECT cell, s,
+       |  list_slice(qv, s*$PqSub + 1, s*$PqSub + $PqSub) AS qsv
+       |  FROM qr, pss),
+       |lut AS (SELECT qs.cell, cc.s, cc.c,
+       |  list_inner_product(qs.qsv, qs.qsv)
+       |    - 2 * list_inner_product(qs.qsv, cc.cv)
+       |    + list_inner_product(cc.cv, cc.cv) AS d
+       |  FROM rcent2 cc JOIN qsub qs ON cc.s = qs.s),
+       |terms AS (SELECT e.vec_id, e.s, l.d
+       |  FROM renc e JOIN rv a ON e.vec_id = a.vec_id
+       |  JOIN lut l ON a.cell = l.cell AND e.s = l.s AND e.c = l.c),
+       |piv AS (SELECT vec_id, $pqPivots FROM terms GROUP BY vec_id)
+       |SELECT p.vec_id, v.label, roundbankers($pqTermsSum, 6) AS adist
+       |FROM piv p JOIN vecs v ON p.vec_id = v.vec_id
        |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
 
   /** Random-projection twin: the 16 reduction hyperplanes (salt 7 —
@@ -1818,6 +1911,8 @@ object SparkEntry {
     "ann_topk_rp" -> annRpSql,
 
     "ann_topk_ivfpq" -> annIvfPqSql,
+
+    "ann_topk_ivfpq_residual" -> annIvfPqResidualSql,
 
     "embedding_neardup_lsh" -> embNearDupSql,
 

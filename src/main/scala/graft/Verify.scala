@@ -16,9 +16,15 @@ object Verify {
       // SPARK_GRAFT_AQE=false runs the gate without adaptive execution —
       // the sweep that proves no result depends on AQE's runtime
       // re-planning (coalesced partitions, demoted joins), only on the
-      // operators' own determinism contracts.
+      // operators' own determinism contracts. Validated here so a bad
+      // value ('0', 'no') fails naming the env var instead of surfacing
+      // as an opaque conf-parse error at session creation.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true") match {
+          case v @ ("true" | "false") => v
+          case v => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_AQE must be 'true' or 'false', got '$v'")
+        })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -332,10 +332,20 @@ object Similarity {
     * `m × kCents × dim/m` mean values.
     */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, kCents: Int = 16,
-                  iters: Int = 2): Array[Array[Array[Double]]] = {
-    val vecs = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dim = dimOf(embeddings)
+                  iters: Int = 2): Array[Array[Array[Double]]] =
+    pqCodebooksFromVecs(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      dimOf(embeddings), m, kCents, iters)
+
+  /** [[pqCodebooks]] over a prepared `(vec_id, v: array<double>)` frame —
+    * the entry point for training on DERIVED vectors (residuals in
+    * [[pqResidualBooks]]) with the identical determinism contract:
+    * lowest-vec_id init, squared-L2 Lloyd with reduced distances, exact
+    * DECIMAL(28,14) means.
+    */
+  def pqCodebooksFromVecs(vecs: DataFrame, dim: Int, m: Int = 8,
+                          kCents: Int = 16,
+                          iters: Int = 2): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     var books: Array[Array[Array[Double]]] =
@@ -489,6 +499,81 @@ object Similarity {
     pqEncode(assigned, books)
       .select(col("vec_id"), col("label"),
         bround(adcDist(qRow, books), 6).as("adist"))
+      .orderBy(asc("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** `v − centroid(cell)` as a column: the coarse codebook rides as an
+    * array-of-arrays literal indexed by the `cell` column, and the
+    * subtraction is one codegen'd `zip_with` — elementwise double, the
+    * exact arithmetic the SQL twin's `v[i] - cv[i]` replays.
+    */
+  private def residualCol(v: Column, cell: Column,
+                          codebook: Array[Array[Double]]): Column =
+    zip_with(v,
+      element_at(typedLit(codebook.map(_.toSeq).toSeq), cell + 1),
+      (a, b) => a - b)
+
+  /** Train PQ codebooks on coarse-cell RESIDUALS `v − centroid(cell)` —
+    * the full FAISS IVFPQ recipe: residuals have far smaller norm than
+    * raw vectors (the coarse codebook has already absorbed the cell
+    * mean), so the same `m × kCents` budget quantizes them with smaller
+    * ADC error. One shared residual codebook across cells (the standard
+    * memory/accuracy middle ground); training is the same
+    * once-per-corpus-version job as [[pqCodebooks]] with the identical
+    * determinism contract, over residuals of the WHOLE corpus.
+    */
+  def pqResidualBooks(embeddings: DataFrame,
+                      codebook: Array[Array[Double]], m: Int = 8,
+                      kCents: Int = 16,
+                      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centroids = codebook.zipWithIndex.map { case (cv, i) => (i, cv) }
+    val resid = vecs
+      .withColumn("cell", cellOf(col("v"), centroids))
+      .select(col("vec_id"),
+        residualCol(col("v"), col("cell"), codebook).as("v"))
+    pqCodebooksFromVecs(resid, dimOf(embeddings), m, kCents, iters)
+  }
+
+  /** Residual-encoding IVF-PQ top-k — [[ivfPqTopK]] upgraded to the full
+    * FAISS recipe: corpus vectors are PQ-encoded as residuals
+    * `v − centroid(cell)` (books from [[pqResidualBooks]]), and the
+    * query side builds ONE lookup table PER PROBED CELL from the query's
+    * residual against that cell's centroid (`q − centroid(cell)`), since
+    * a residual code is only comparable inside its own cell's frame of
+    * reference. `nProbe` is small, so the per-cell LUTs are a handful of
+    * driver-side `m × kCents` tables inlined as literals and selected by
+    * a `when` chain on the cell column — the scan still touches only
+    * byte codes plus one small int per row, zero full vectors.
+    */
+  def ivfPqResidualTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+                        nProbe: Int = 4,
+                        codebook: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]]): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val centroids = codebook.zipWithIndex.map { case (cv, i) => (i, cv) }
+    val qRow = vecs.where(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probes = probeCellsOf(qRow, centroids, nProbe)
+    val assigned = vecs.withColumn("cell", cellOf(col("v"), centroids))
+      .where(col("cell").isin(probes.toSeq.map(Integer.valueOf): _*) &&
+             col("vec_id") =!= queryId)
+      .withColumn("v", residualCol(col("v"), col("cell"), codebook))
+    def qResidual(cell: Int): Array[Double] =
+      qRow.indices.map(i => qRow(i) - codebook(cell)(i)).toArray
+    // Per-probed-cell ADC distance, selected by cell: each branch is the
+    // same fixed-order 8-term literal chain as the raw path, with that
+    // cell's query-residual LUT.
+    val adist = probes.tail.foldLeft(
+        when(col("cell") === probes.head,
+          adcDist(qResidual(probes.head), books))) { (acc, c) =>
+      acc.when(col("cell") === c, adcDist(qResidual(c), books))
+    }
+    pqEncode(assigned, books)
+      .select(col("vec_id"), col("label"), bround(adist, 6).as("adist"))
       .orderBy(asc("adist"), col("vec_id"))
       .limit(k)
   }

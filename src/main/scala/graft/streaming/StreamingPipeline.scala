@@ -196,11 +196,23 @@ object StreamingPipeline {
     * within Hamming ≤ 3 shares at least one intact 16-bit chunk, so its
     * later member always gets a true vote. State is O(bucket occupancy)
     * per key; intra-batch order is made deterministic by processing each
-    * bucket's rows in doc_id order. A production deployment would bound
-    * bucket sets with a TTL timeout (`GroupStateTimeout`) — omitted here
-    * so replays stay deterministic for the spec.
+    * bucket's rows in doc_id order.
+    *
+    * `stateTtl` bounds the keyed state for a long-running deployment:
+    * when set (e.g. `Some("24 hours")`), a bucket untouched for the TTL
+    * is evicted via `GroupStateTimeout.ProcessingTimeTimeout`, so state
+    * is O(buckets active within one TTL window) instead of growing with
+    * the whole stream's signature population. The trade is explicit:
+    * a duplicate arriving more than one TTL after its twin's bucket was
+    * last touched is no longer flagged (the dedup horizon), and because
+    * eviction keys off processing-time batch timestamps, a replay of the
+    * same files on a different wall clock can evict at different batch
+    * boundaries. The default (`None`, NoTimeout) keeps the exact
+    * replay-deterministic contract the spec pins: output depends only on
+    * the data and its batch partitioning, never on the clock.
     */
-  def streamingSimhashVotes(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def streamingSimhashVotes(docs: DataFrame, maxHamming: Int = 3,
+                            stateTtl: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sig = docs
@@ -213,24 +225,38 @@ object StreamingPipeline {
             shiftright(col("sig"), 16 * b).bitwiseAND(0xFFFFL))): _*))
           .as("bucket"))
       .as[(Long, Long, String)]
+    val timeoutConf = stateTtl match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None    => GroupStateTimeout.NoTimeout()
+    }
     banded
       .groupByKey(_._3)
       .flatMapGroupsWithState[Array[Long], (Long, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[(Long, Long, String)],
          state: GroupState[Array[Long]]) =>
-          // Buffer-backed: per-signature append is amortized O(1) (an
-          // immutable :+ would copy the whole bucket per new signature).
-          val seen = scala.collection.mutable.ArrayBuffer.from(
-            state.getOption.getOrElse(Array.empty[Long]))
-          val out = rows.toSeq.sortBy(_._1).map { case (id, s, _) =>
-            val dup = seen.exists(p =>
-              java.lang.Long.bitCount(p ^ s) <= maxHamming)
-            if (!seen.contains(s)) seen += s
-            (id, dup)
+          if (state.hasTimedOut) {
+            // TTL expired with no new rows for this bucket: evict. (A key
+            // with data in the same batch is invoked with the data and
+            // hasTimedOut=false, so an in-flight bucket is never dropped.)
+            state.remove()
+            Iterator.empty
+          } else {
+            // Buffer-backed: per-signature append is amortized O(1) (an
+            // immutable :+ would copy the whole bucket per new signature).
+            val seen = scala.collection.mutable.ArrayBuffer.from(
+              state.getOption.getOrElse(Array.empty[Long]))
+            val out = rows.toSeq.sortBy(_._1).map { case (id, s, _) =>
+              val dup = seen.exists(p =>
+                java.lang.Long.bitCount(p ^ s) <= maxHamming)
+              if (!seen.contains(s)) seen += s
+              (id, dup)
+            }
+            state.update(seen.toArray)
+            // Sliding TTL: each touch re-arms the eviction clock.
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(seen.toArray)
-          out.iterator
       }
       .toDF("doc_id", "is_dup_vote")
   }

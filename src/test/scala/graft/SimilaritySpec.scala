@@ -264,6 +264,73 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqResidualTopK retrieves the planted duplicate; residual ADC " +
+       "error beats raw ADC error on the planted near-duplicates") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" === 0L).head().getSeq[Float](1).toArray
+    val all = emb.unionByName(
+      Seq((77777L, q, 9)).toDF("vec_id", "embedding", "label"))
+    val cb = Similarity.kmeansCodebook(all, nCells = 16, iters = 2)
+    val rawBooks = Similarity.pqCodebooks(all, m = 8, kCents = 16, iters = 2)
+    val resBooks = Similarity.pqResidualBooks(all, cb, m = 8, kCents = 16,
+      iters = 2)
+    val out = Similarity.ivfPqResidualTopK(all, queryId = 0L, k = 10,
+        codebook = cb, books = resBooks).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist")))
+    assert(out.nonEmpty && out.length <= 10)
+    assert(!out.map(_._1).contains(0L))
+    // The exact copy shares the query's best coarse cell, its residual
+    // equals the query's residual there, and its codes are that
+    // residual's per-subspace argmin — the ADC minimum.
+    val planted = out.find(_._1 === 77777L)
+    assert(planted.isDefined, s"planted duplicate missing from ${out.toSeq}")
+    assert(planted.get._2 === out.map(_._2).min)
+
+    // The reason residual encoding exists: residuals have far smaller
+    // norm than raw vectors, so the same byte budget quantizes them more
+    // finely. Check on held-out near-duplicates (the 8 perturbed twins —
+    // in no training set): mean |ADC(q, x) − L2²(q, x)| must be smaller
+    // under residual books than raw books.
+    def dotr(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def sub(a: Array[Double], b: Array[Double]): Array[Double] =
+      a.indices.map(i => a(i) - b(i)).toArray
+    def adcEst(qv: Array[Double], x: Array[Double],
+               books: Array[Array[Array[Double]]]): Double =
+      (0 until 8).map { s =>
+        val sv = x.slice(s * 8, s * 8 + 8)
+        val qs = qv.slice(s * 8, s * 8 + 8)
+        val cv = books(s).zipWithIndex.minBy { case (c, i) =>
+          (dotr(c, c) - 2.0 * dotr(sv, c), i) }._1
+        dotr(qs, qs) - 2.0 * dotr(qs, cv) + dotr(cv, cv)
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotr(a, b) / math.sqrt(dotr(a, a) * dotr(b, b))
+    def cellOf(x: Array[Double]): Int =
+      cb.zipWithIndex.map { case (cv, i) => (cos(x, cv), i) }.max._2
+    val qd = q.map(_.toDouble)
+    val baseById = emb.where($"vec_id" < 8).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val errs = (0L until 8L).map { i =>
+      val x = baseById(i).clone(); x(0) += 0.01   // the planted twin
+      val truth = { val d = sub(qd, x); dotr(d, d) }
+      val errRaw = math.abs(adcEst(qd, x, rawBooks) - truth)
+      val c = cellOf(x)
+      val errRes = math.abs(
+        adcEst(sub(qd, cb(c)), sub(x, cb(c)), resBooks) - truth)
+      (errRaw, errRes)
+    }
+    val meanRaw = errs.map(_._1).sum / errs.size
+    val meanRes = errs.map(_._2).sum / errs.size
+    assert(meanRes <= meanRaw,
+      s"residual ADC error $meanRes should not exceed raw $meanRaw")
+  }
+
   test("pqCodebooks are invariant to input partitioning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.pqCodebooks(emb, m = 8, kCents = 16, iters = 2)

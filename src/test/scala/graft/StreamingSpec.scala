@@ -219,6 +219,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSimhashVotes TTL evicts idle buckets, within-TTL dups still vote") {
+    val dir = Files.createTempDirectory("graft_sttl").toString
+    val src = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps on the warm mat near the door in the hall tonight"
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(src)
+    // With ProcessingTimeTimeout, Spark keeps scheduling no-data batches
+    // to fire pending timeouts, so the stream never quiesces and
+    // processAllAvailable would block forever — this test polls the sink
+    // with a deadline instead, and uses an explicit trigger (as a real
+    // TTL deployment would) so the timeout batches tick at a bounded
+    // rate rather than back-to-back.
+    val q = graft.streaming.StreamingPipeline
+      .streamingSimhashVotes(stream, stateTtl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("ttl_votes")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      def votesOf(id: Long): Seq[Boolean] = spark.table("ttl_votes")
+        .collect().filter(_.getLong(0) == id).map(_.getBoolean(1)).toSeq
+      def awaitVotes(id: Long, deadlineMs: Long = 60000): Seq[Boolean] = {
+        val deadline = System.currentTimeMillis + deadlineMs
+        while (votesOf(id).size < 4 &&
+               System.currentTimeMillis < deadline) Thread.sleep(200)
+        votesOf(id)
+      }
+      assert(awaitVotes(1L).size === 4)
+
+      // a duplicate landing well within the TTL must still vote true on
+      // all four bands (each touch re-arms the bucket's clock)
+      Seq((2L, base)).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      val v2 = awaitVotes(2L)
+      assert(v2.size === 4 && v2.forall(identity), s"doc 2 votes: $v2")
+
+      // idle past the TTL: the timeout batches evict all four base
+      // buckets — observed via the state operator's row count
+      def stateRows: Long = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      val deadline = System.currentTimeMillis + 60000
+      while (stateRows != 0L && System.currentTimeMillis < deadline)
+        Thread.sleep(250)
+      assert(stateRows === 0L,
+        s"expected empty state after TTL eviction, got $stateRows rows")
+
+      // past the dedup horizon, a copy of the evicted doc is NOT flagged
+      Seq((3L, base)).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      val v3 = awaitVotes(3L)
+      assert(v3.size === 4 && !v3.exists(identity), s"doc 3 votes: $v3")
+    } finally q.stop()
+  }
+
   test("workbook landing stream drives the stateful pipeline via foreachBatch") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
     assume(Files.exists(java.nio.file.Paths.get(sample)))
