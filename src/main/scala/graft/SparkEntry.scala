@@ -760,13 +760,17 @@ object SparkEntry {
     // Contrastive triplets over the planted near-dup pair graph: each
     // (anchor, positive) pair gets a deterministic pseudo-random
     // negative from the raw corpus — the embedding-model training-data
-    // endpoint downstream of the pair search.
+    // endpoint downstream of the pair search. The pool is DELIBERATELY
+    // gapped (every 7th id dropped) to exercise the rank-based draw:
+    // negatives come from the pool's id-order ranks, so no density
+    // precondition exists.
     "contrastive_triplets" -> ((s, dir) => {
       val pv = plantedVecs(s, dir)
       // Negatives pool = the raw corpus slice of pv (ids < the planted
-      // offset) — reuses the frame the pair search persists instead of
-      // re-scanning + re-upcasting the embeddings table.
-      val pool = pv.where(col("vec_id") < 10000000L)
+      // offset) minus the id gap — reuses the frame the pair search
+      // persists instead of re-scanning the embeddings table.
+      val pool = pv.where(col("vec_id") < 10000000L &&
+        col("vec_id") % 7 =!= 3)
       Similarity.contrastiveTriplets(pv,
           Similarity.lshNearDupPairsFromVecs(pv, threshold = 0.9,
             planes = 12, tables = 3, dim = EmbDim),
@@ -1567,29 +1571,42 @@ object SparkEntry {
   }
 
   /** Contrastive-triplet twin: the pair graph is [[embNearDupSql]] as a
-    * CTE; the negative replays the Knuth-hash-modulo-pool-size draw with
-    * the two collision bumps (plain `%` — operands non-negative, so it
-    * equals Spark's `pmod`), and `sim_neg` is the same 6dp cosine.
+    * CTE; the negative replays the rank-based Knuth-hash draw over the
+    * gapped pool (plain `%` — operands non-negative, so it equals
+    * Spark's `pmod`): ROW_NUMBER over vec_id gives the pool ranks, the
+    * three stepped candidate ranks join back to ids, and the CASE chain
+    * is the first-valid-candidate pick; `sim_neg` is the same 6dp
+    * cosine.
     */
   private val contrastiveTripletsSql: String =
     s"""WITH pairs0 AS (SELECT * FROM ($embNearDupSql)),
        |$pvecsSql,
-       |n AS (SELECT COUNT(*) AS n FROM vecs0),
-       |t0 AS (SELECT vec_a, vec_b, sim, n.n AS nn,
-       |    (vec_a * 2654435761 + vec_b) % n.n AS n0
+       |pool AS (SELECT vec_id, v FROM vecs0 WHERE vec_id % 7 <> 3),
+       |pr AS (SELECT vec_id, v,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk FROM pool),
+       |n AS (SELECT COUNT(*) AS nn FROM pool),
+       |t0 AS (SELECT vec_a, vec_b, sim, n.nn AS nn,
+       |    (vec_a * 2654435761 + vec_b) % n.nn AS r0
        |  FROM pairs0, n),
-       |t1 AS (SELECT vec_a, vec_b, sim, nn,
-       |    CASE WHEN n0 = vec_a OR n0 = vec_b THEN (n0 + 1) % nn
-       |         ELSE n0 END AS n1 FROM t0),
-       |t2 AS (SELECT vec_a, vec_b, sim,
-       |    CASE WHEN n1 = vec_a OR n1 = vec_b THEN (n1 + 1) % nn
-       |         ELSE n1 END AS negative FROM t1)
-       |SELECT t2.vec_a AS anchor, t2.vec_b AS positive, t2.negative,
-       |  t2.sim AS sim_pos,
-       |  roundbankers(${cosSql("a.v", "g.v")}, 6) AS sim_neg
-       |FROM t2
-       |JOIN pvecs a ON t2.vec_a = a.vec_id
-       |JOIN vecs0 g ON t2.negative = g.vec_id
+       |c AS (SELECT t0.vec_a, t0.vec_b, t0.sim,
+       |    p0.vec_id AS id0, p1.vec_id AS id1, p2.vec_id AS id2,
+       |    p0.v AS v0, p1.v AS v1, p2.v AS v2
+       |  FROM t0 JOIN pr p0 ON p0.rk = t0.r0
+       |  JOIN pr p1 ON p1.rk = (t0.r0 + 1) % t0.nn
+       |  JOIN pr p2 ON p2.rk = (t0.r0 + 2) % t0.nn),
+       |sel AS (SELECT vec_a, vec_b, sim,
+       |    CASE WHEN id0 <> vec_a AND id0 <> vec_b THEN id0
+       |         WHEN id1 <> vec_a AND id1 <> vec_b THEN id1
+       |         ELSE id2 END AS negative,
+       |    CASE WHEN id0 <> vec_a AND id0 <> vec_b THEN v0
+       |         WHEN id1 <> vec_a AND id1 <> vec_b THEN v1
+       |         ELSE v2 END AS nv
+       |  FROM c)
+       |SELECT sel.vec_a AS anchor, sel.vec_b AS positive, sel.negative,
+       |  sel.sim AS sim_pos,
+       |  roundbankers(${cosSql("a.v", "sel.nv")}, 6) AS sim_neg
+       |FROM sel
+       |JOIN pvecs a ON sel.vec_a = a.vec_id
        |ORDER BY anchor, positive""".stripMargin
 
   /** Shared CTE chain for the duplicate-span oracles: md5-hashed 8-token

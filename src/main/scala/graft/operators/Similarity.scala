@@ -582,43 +582,64 @@ object Similarity {
     * embedding-model data-prep endpoint: every (anchor, positive) pair
     * gets a deterministic pseudo-random negative drawn from `pool`
     * (Knuth multiplicative hash of the pair ids, modulo the pool size,
-    * stepped past collisions with the pair itself — at most two steps,
-    * since anchor ≠ positive). Requires pool ids dense in [0, |pool|)
-    * (the embeddings table's layout). Output: (anchor, positive,
-    * negative, sim_pos, sim_neg) with both similarities 6dp-bround.
+    * as a RANK into the pool's vec_id order — any id set works, no
+    * density precondition; on a dense [0, N) pool rank r holds id r, so
+    * the draw reproduces the earlier dense-layout behavior exactly).
+    * Collisions with the pair itself step to the next rank (mod n): the
+    * three candidate ranks are distinct, at most two ids can collide
+    * with the pair, so a valid negative always exists once the pool has
+    * ≥ 3 rows — pools smaller than that fail loudly (codegen'd
+    * `raise_error`) instead of emitting a degenerate triplet. Output:
+    * (anchor, positive, negative, sim_pos, sim_neg), similarities
+    * 6dp-bround.
     *
-    * Plan shape: the pool count attaches as a broadcast 1-row frame (no
-    * driver collect), negatives are pure integer arithmetic, and the two
-    * vector re-attaches are id equi-joins — triplet count scales with
-    * the pair graph, never the corpus².
+    * Plan shape: pool ranks come from the shared two-phase range-
+    * partition machinery ([[Relational.prefixOffsets]] — no
+    * unpartitioned window), the pool count attaches as a broadcast
+    * 1-row frame (no driver collect), and the candidate resolution is
+    * ONE rank equi-join at 3× pair fan-out plus a pair-keyed `min_by`
+    * — triplet count scales with the pair graph, never the corpus².
     */
   def contrastiveTriplets(vecs: DataFrame, pairs: DataFrame,
                           pool: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = pool.agg(count(lit(1)).as("_n"))
-    def bump(c: Column) =
-      when(c === col("vec_a") || c === col("vec_b"),
-        pmod(c + 1, col("_n"))).otherwise(c)
+      .select(when(col("_n") < 3, raise_error(concat(
+          lit("contrastiveTriplets: pool must hold >= 3 vectors "),
+          lit("(got "), col("_n"),
+          lit(") to guarantee a negative distinct from the pair"))))
+        .otherwise(col("_n")).as("_n"))
+    // 0-based global rank of pool ids (ascending) without an
+    // unpartitioned window: per-range-partition row_number + broadcast
+    // prefix offsets — the twoPhaseDenseRank recipe.
+    val local = pool.select(col("vec_id"), col("v"))
+      .repartitionByRange(32, asc("vec_id"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid").orderBy(asc("vec_id"))))
+    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val ranked = local
+      .join(broadcast(Relational.prefixOffsets(counts)), Seq("_pid"))
+      .select((col("_lrn") + col("_off") - 1).as("_rk"),
+        col("vec_id").as("_cand"), col("v").as("_vn"))
     pairs.crossJoin(broadcast(n))
-      .withColumn("_n0",
+      .withColumn("_r0",
         pmod(col("vec_a") * lit(2654435761L) + col("vec_b"), col("_n")))
-      .withColumn("negative", bump(bump(col("_n0"))))
+      .withColumn("_off", explode(typedLit(Seq(0, 1, 2))))
+      .withColumn("_rk", pmod(col("_r0") + col("_off"), col("_n")))
+      .join(ranked, Seq("_rk"))
+      .where(col("_cand") =!= col("vec_a") &&
+             col("_cand") =!= col("vec_b"))
+      // First valid candidate in rank-step order — the deterministic
+      // pick the SQL twin's CASE chain replays.
+      .groupBy(col("vec_a"), col("vec_b"), col("sim"))
+      .agg(min_by(struct(col("_cand"), col("_vn")), col("_off"))
+        .as("_neg"))
       .join(vecs.select(col("vec_id"), col("v").as("_va")),
         col("vec_a") === col("vec_id")).drop("vec_id")
-      // Left join + loud failure instead of an inner join: with a
-      // non-dense pool the drawn index matches no row, and an inner
-      // join would silently DROP the triplet — a training pair
-      // vanishing without an error. The raise_error fires lazily only
-      // on a violating row (codegen'd, no extra job).
-      .join(pool.select(col("vec_id"), col("v").as("_vn")),
-        col("negative") === col("vec_id"), "left")
-      .drop("vec_id")
-      .withColumn("_vn", coalesce(col("_vn"),
-        raise_error(concat(lit("contrastiveTriplets: negative id "),
-          col("negative"),
-          lit(" absent from pool — pool ids must be dense in [0, N)")))))
       .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
-        col("negative"), col("sim").as("sim_pos"),
-        bround(cosine(col("_va"), col("_vn")), 6).as("sim_neg"))
+        col("_neg._cand").as("negative"), col("sim").as("sim_pos"),
+        bround(cosine(col("_va"), col("_neg._vn")), 6).as("sim_neg"))
   }
 
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,

@@ -370,13 +370,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run().toSeq === t.toSeq)
   }
 
-  test("contrastiveTriplets collision bumps: forced single and double " +
-       "bumps with wraparound; sparse pool fails loudly") {
+  test("contrastiveTriplets collision steps: forced single and double " +
+       "steps with wraparound; gapped pool draws by rank; tiny pool " +
+       "fails loudly") {
     import org.apache.spark.sql.functions._
-    // Pool ids 0..4 (n = 5). 2654435761 ≡ 1 (mod 5), so the draw is
-    // (a + b) mod 5. Pair (0, 3): n0 = 3 = positive → one bump → 4.
-    // Pair (0, 4): n0 = 4 = positive → bump → (4+1)%5 = 0 = anchor →
-    // second bump → 1. Exercises both bump steps AND the modular wrap.
+    // Pool ids 0..4 (n = 5, dense → rank r holds id r). 2654435761 ≡ 1
+    // (mod 5), so the draw is (a + b) mod 5. Pair (0, 3): r0 = 3 =
+    // positive → step → 4. Pair (0, 4): r0 = 4 = positive → step →
+    // (4+1)%5 = 0 = anchor → second step → 1. Exercises both collision
+    // steps AND the modular wrap — identical to the pre-rank dense
+    // behavior by construction.
     val pool = (0L until 5L).map(i =>
         (i, Array.fill(4)(i.toDouble + 1.0).toSeq))
       .toDF("vec_id", "v")
@@ -387,16 +390,26 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("positive"), r.getAs[Long]("negative")))
     assert(negs.toSeq === Seq((3L, 4L), (4L, 1L)))
 
-    // A pool with an id gap (no vec_id = 1) must raise, not silently
-    // drop the triplet: pair (0, 4) resolves to negative 1.
+    // A pool with an id gap draws by RANK: ids {0,2,3,4}, n = 4,
+    // 2654435761 ≡ 1 (mod 4), pair (0, 4) → r0 = 4 % 4 = 0 → rank 0 is
+    // id 0 = anchor → rank 1 is id 2, valid → negative 2. The old dense
+    // draw raised here; the rank draw yields a triplet.
     val sparse = pool.where(col("vec_id") =!= 1L)
+    val gapped = Similarity.contrastiveTriplets(pool,
+        Seq((0L, 4L, 0.95)).toDF("vec_a", "vec_b", "sim"), sparse)
+      .collect().map(r => r.getAs[Long]("negative"))
+    assert(gapped.toSeq === Seq(2L))
+
+    // A pool smaller than 3 cannot guarantee a negative distinct from
+    // the pair — loud failure, not a degenerate triplet.
+    val tiny = pool.where(col("vec_id") <= 1L)
     val ex = intercept[Exception] {
       Similarity.contrastiveTriplets(pool,
-        Seq((0L, 4L, 0.95)).toDF("vec_a", "vec_b", "sim"), sparse)
+        Seq((0L, 1L, 0.95)).toDF("vec_a", "vec_b", "sim"), tiny)
         .collect()
     }
-    assert(ex.getMessage.contains("dense") ||
-      ex.getCause != null && ex.getCause.getMessage.contains("dense"))
+    assert(ex.getMessage.contains(">= 3") ||
+      ex.getCause != null && ex.getCause.getMessage.contains(">= 3"))
   }
 
   test("kmeansCodebook is invariant to input partitioning") {
