@@ -887,6 +887,13 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(docs(s, dir))),
 
+    // BPE tokenizer training: 16 most-frequent-adjacent-pair merges over
+    // the frequency-weighted word vocabulary (driver-looped like the
+    // Lloyd iterations; ties lexicographic on (lhs, rhs)). The oracle
+    // replays every merge stage in one 16-stage CTE chain.
+    "bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(docs(s, dir)).orderBy("merge_rank")),
+
     // Dataset card: the one-row corpus summary a curation run publishes
     // (doc/token counts, stratum cardinalities, exact-dup rate). ONE
     // partial-aggregated pass; ratios are single IEEE divisions of
@@ -1570,6 +1577,50 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Generated BPE-training oracle: replays
+    * [[graft.operators.TextOps.bpeMerges]]'s 16 merge stages in ONE CTE
+    * chain (the Lloyd-chain pattern). Per stage: split the
+    * chr(31)-suffix-delimited symbol strings, count adjacent pairs
+    * weighted by word frequency (SUM over BIGINT — cast back from
+    * HUGEINT at the end), argmax with the lexicographic (lhs, rhs)
+    * tie-break, and apply the merge as one literal `replace` — which
+    * scans left-to-right non-overlapping in both engines, i.e. greedy
+    * BPE application. The suffix (not infix) delimiter is what makes
+    * consecutive merge sites independent occurrences for `replace`.
+    */
+  private val BpeN = 16
+
+  private val bpeMergesSql: String = {
+    val sep = "chr(31)"
+    // Each stage consumes bv{k-1} TWICE (pair count + merge apply):
+    // without MATERIALIZED, CTE inlining doubles the tree per stage and
+    // bv16 expands to 2^16 scans of documents.parquet.
+    val stages = (1 to BpeN).map { k =>
+      s"""bs$k AS (SELECT list_filter(string_split(seq, $sep),
+         |    x -> x <> '') AS s, n FROM bv${k - 1}),
+         |bp$k AS (SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(n) AS c
+         |  FROM (SELECT s, n, unnest(range(1, len(s))) AS i
+         |        FROM bs$k WHERE len(s) >= 2)
+         |  GROUP BY lhs, rhs),
+         |bm$k AS MATERIALIZED (SELECT lhs, rhs, c FROM bp$k
+         |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |bv$k AS MATERIALIZED (SELECT replace(seq,
+         |    lhs || $sep || rhs || $sep, lhs || rhs || $sep) AS seq, n
+         |  FROM bv${k - 1}, bm$k)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BpeN).map { k =>
+      s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
+        s"lhs || rhs AS merged, CAST(c AS BIGINT) AS n_occ FROM bm$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH bw AS (SELECT word, COUNT(*) AS n FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |bv0 AS (SELECT regexp_replace(word, '(.)', '\\1' || $sep, 'g')
+       |    AS seq, n FROM bw),
+       |$stages
+       |SELECT * FROM ($rows) ORDER BY merge_rank""".stripMargin
+  }
+
   /** Contrastive-triplet twin: the pair graph is [[embNearDupSql]] as a
     * CTE; the negative replays the rank-based Knuth-hash draw over the
     * gapped pool (plain `%` — operands non-negative, so it equals
@@ -1971,6 +2022,8 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "bpe_merges" -> bpeMergesSql,
 
     "corpus_card" ->
       """WITH a AS (SELECT COUNT(*) AS n_docs,

@@ -705,6 +705,93 @@ object TextOps {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Symbol delimiter for the BPE working representation: every symbol
+    * is SUFFIXED with this char (`"he"` → `"h␟e␟"`), so a merge of
+    * (l, r) is one literal `replace` of `"l␟r␟"` with `"lr␟"` — and
+    * literal replace scans left-to-right non-overlapping in both Spark
+    * and DuckDB, which IS greedy BPE application. A suffix (not infix)
+    * delimiter matters: with symbols separated by single infix spaces,
+    * consecutive merge sites share the boundary separator and the
+    * second occurrence is missed.
+    */
+  private val BpeSep = "\u001f"
+
+  /** BPE merge-pair training over the corpus — the tokenizer-training
+    * operator of an LLM data pipeline. Classic frequency-weighted BPE:
+    * the corpus is scanned ONCE into a weighted word vocabulary
+    * (whitespace words × occurrence counts — the only corpus-sized
+    * job); every iteration then counts adjacent symbol pairs over the
+    * VOCABULARY (weighted by word frequency), picks the most frequent
+    * pair (ties broken lexicographically on (lhs, rhs) — a total
+    * order, so training is deterministic and SQL-replayable), and
+    * merges it everywhere. The driver loop is the [[graft.operators
+    * .Similarity.kmeansCodebook]] Lloyd pattern: one row (the argmax
+    * pair) crosses to the driver per iteration, and the working vocab
+    * is re-persisted per step so each iteration pays one small
+    * vocab-sized job, never a re-derivation chain. At 100 TB the
+    * corpus pass is the same one-shuffle word count every batch job
+    * runs; iterations touch only the bounded vocabulary.
+    *
+    * Returns one row per learned merge:
+    * (merge_rank, lhs, rhs, merged, n_occ) — n_occ the weighted pair
+    * count at the time of the merge. Stops early if no pair remains.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("word"), "(.)", "$1" + BpeSep)
+        .as("seq"), col("n"))
+    val vocab = base.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (k <- 0 until nMerges if !exhausted) {
+      // Working sequences = base sequences with ALL merges so far
+      // applied as one chained codegen'd `replace` projection. The
+      // merge list is tiny driver state, so re-deriving from the single
+      // persisted base each iteration (O(k·|vocab|) string work, zero
+      // extra caching) beats a 16-deep persist chain by a wide margin —
+      // an earlier chained-persist version paid seconds per iteration
+      // in cache/plan overhead.
+      val seqCol = merges.foldLeft(col("seq")) {
+        case (acc, (_, l, r, _, _)) =>
+          call_function("replace", acc,
+            lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep))
+      }
+      // Adjacent symbol pairs of every word, weighted by word count.
+      // The trailing delimiter yields one empty split cell — filtered
+      // identically in the SQL twin.
+      val top = vocab
+        .select(filter(split(seqCol, BpeSep), _ =!= "").as("s"),
+          col("n"))
+        // single-symbol words have no pairs (and sequence(0, -1) would
+        // walk backwards): drop them before the position explode
+        .where(size(col("s")) >= 2)
+        .select(col("s"), col("n"),
+          explode(sequence(lit(0), size(col("s")) - 2)).as("i"))
+        .select(element_at(col("s"), col("i") + 1).as("lhs"),
+          element_at(col("s"), col("i") + 2).as("rhs"), col("n"))
+        .groupBy("lhs", "rhs").agg(sum("n").as("c"))
+        .orderBy(desc("c"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, l + r, c))
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "n_occ")
+      .select(col("merge_rank").cast("long"), col("lhs"), col("rhs"),
+        col("merged"), col("n_occ"))
+  }
+
   // Small per-language stopword lists for the heuristic. Deliberately tiny:
   // the point is the (portable, codegen'd) mechanism, not lexicon coverage.
   val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")

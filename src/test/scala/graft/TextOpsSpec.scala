@@ -8,6 +8,29 @@ class TextOpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bpeMerges: hand-computed merges, greedy application, " +
+       "lexicographic tie-break, weighted counts, early stop") {
+    // One word "aaab" occurring 3 times (frequency-weighted), plus a
+    // single-symbol word (no pairs — must not break the position walk).
+    val d = Seq((0L, "aaab aaab x"), (1L, "aaab"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(d, nMerges = 5).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("n_occ")))
+    // merge 0: pairs of a␟a␟a␟b␟ weighted ×3 → (a,a)=6, (a,b)=3 →
+    //   (a,a); greedy left-to-right gives aa␟a␟b␟ (NOT aa␟aa — the
+    //   second (a,a) overlaps the first)
+    // merge 1: (aa,a)=3 ties (a,b)=3 → lexicographic lhs: "a" < "aa"
+    //   → (a,b) → aa␟ab␟
+    // merge 2: (aa,ab)=3 → aaab; then no pairs remain → early stop
+    //   (the x word never has a pair)
+    assert(out.toSeq === Seq(
+      (0L, "a", "a", "aa", 6L),
+      (1L, "a", "b", "ab", 3L),
+      (2L, "aa", "ab", "aaab", 3L)))
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
