@@ -57,8 +57,56 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Streaming-ingest throughput: N synthetic 3-sheet workbooks through
+    // the foreachBatch landing stream (the reference's upload loop end to
+    // end — xlsx parse, CDC, upsert, export), reported as tx rows/s in a
+    // "stream" field of the same JSON object so the driver's single-line
+    // parse is unaffected. Skipped only under a query filter (the
+    // SPARK_GRAFT_ONLY fast path times batch queries alone).
+    val streamJson = if (only.isDefined) "" else {
+      try {
+        val nWb = sys.env.getOrElse("SPARK_GRAFT_STREAM_WB", "6").toInt
+        val txPerWb = 2000
+        val dir = java.nio.file.Files.createTempDirectory("graft_sbench")
+        val landing = dir.resolve("landing")
+        java.nio.file.Files.createDirectories(landing)
+        import spark.implicits._
+        for (w <- 0 until nWb) {
+          val rnd = new scala.util.Random(w)
+          val tx = (1 to txPerWb).map(i => (s"TXN${w}_$i",
+              s"C${rnd.nextInt(500)}", (45000 + rnd.nextInt(300)).toString,
+              s"P${rnd.nextInt(8)}", (rnd.nextInt(100000) / 100.0).toString,
+              "Cash"))
+            .toDF("transaction_id", "customer_id", "transaction_date",
+              "product_code", "amount", "payment_type")
+          val cust = (0 until 500)
+            .map(i => s"{C${i}_Name ${i}_n$i@x_1990-01-01_Addr $w-${i}_43899.5}")
+            .map(Tuple1(_))
+            .toDF("customer_id-name-email-dob-address-created-date")
+          val prod = (0 until 8).map(i =>
+              (s"P$i", s"Prod $i", s"Cat${i % 4}", "10"))
+            .toDF("product_code", "product_name", "category", "unit_price")
+          graft.sources.Xlsx.write(s"$landing/wb_$w.xlsx",
+            Seq("Transactions" -> tx, "Customers" -> cust,
+              "Products" -> prod))
+        }
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamingPipeline.workbookStream(spark,
+          landing.toString, dir.resolve("state").toString,
+          dir.resolve("processed").toString, dir.resolve("ckpt").toString)
+        q.processAllAvailable()
+        q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = nWb.toLong * txPerWb
+        s""","stream":{"workbooks":$nWb,"tx_rows":$rows,"sec":$sec,""" +
+          s""""rows_per_sec":${rows / sec}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream ingest failed: ${e.getMessage}")
+        ""
+      }
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$streamJson}"""
     // Stdout gets drowned in sbt log noise; also write the line to a file
     // the driver can parse reliably, and echo it on stderr as the very
     // last lines so a tail-reader finds it either way. The raw JSON is
