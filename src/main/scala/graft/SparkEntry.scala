@@ -367,6 +367,19 @@ object SparkEntry {
     "sessionize" -> ((s, dir) =>
       EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
 
+    // Spark-native session_window sessionization (the batch twin of the
+    // streaming sessionCounts): the oracle replays the merge rule at
+    // MICROSECOND precision — Spark merges windows on internal micros,
+    // and the source timestamps carry sub-millisecond digits.
+    "session_windows" -> ((s, dir) =>
+      EventOps.sessionWindows(events(s, dir))
+        .orderBy("user_id", "session_start_ms")),
+
+    // Ordered-step funnel view → click → purchase: per-step user counts
+    // under earliest-completion semantics (step k strictly after the
+    // step-(k-1) completion time).
+    "funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
+
     // Full J3 algebra against persistent state, simulated by splitting the
     // event log at max(event_id)/2: first half folds into per-key state
     // (last value wins), second half is the incoming batch.
@@ -686,6 +699,15 @@ object SparkEntry {
 
     "ann_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L)),
 
+    // ANN index evaluation: recall@10 of the fixed-grid IVF probe against
+    // the exact top-10 — the metric that prices every approximate index's
+    // accuracy trade. The oracle composes the two result oracles and
+    // intersects on vec_id.
+    "ann_recall_ivf" -> ((s, dir) =>
+      Similarity.recallAtK(
+        Similarity.topK(emb(s, dir), queryId = 0L),
+        Similarity.ivfTopK(emb(s, dir), queryId = 0L), k = 10)),
+
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), queryId = 0L)),
 
@@ -887,12 +909,28 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(docs(s, dir))),
 
+    // Deterministic train/val/test holdout split (90/5/5 by Knuth
+    // multiplicative hash of doc_id — a pure projection, so assignment
+    // is stable across machines and reruns); per-split doc/char summary.
+    "split_assign" -> ((s, dir) => TextOps.holdoutSplit(docs(s, dir))),
+
     // BPE tokenizer training: 16 most-frequent-adjacent-pair merges over
     // the frequency-weighted word vocabulary (driver-looped like the
     // Lloyd iterations; ties lexicographic on (lhs, rhs)). The oracle
     // replays every merge stage in one 16-stage CTE chain.
     "bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(docs(s, dir)).orderBy("merge_rank")),
+
+    // BPE tokenizer APPLY: train the 16-merge tokenizer, then encode the
+    // corpus with it and emit the token vocabulary with frequencies. The
+    // merge list crossing the driver is ≤16 (lhs, rhs) pairs — the same
+    // bounded-state contract as the k-means codebooks; the oracle reuses
+    // the training CTE chain and tokenizes its final vocab stage.
+    "bpe_encode" -> ((s, dir) => {
+      val merges = TextOps.bpeMerges(docs(s, dir)).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncodeTokens(docs(s, dir), merges)
+    }),
 
     // Dataset card: the one-row corpus summary a curation run publishes
     // (doc/token counts, stratum cardinalities, exact-dup rate). ONE
@@ -1451,6 +1489,20 @@ object SparkEntry {
     * cell, probing takes the 4 query-closest cells with ties to the lower
     * cell — exactly [[graft.operators.Similarity.ivfTopK]]'s rules.
     */
+  /** Exact brute-force cosine top-10 for query vec 0 — also the ground
+    * truth side of [[annRecallIvfSql]]. */
+  private val annExactSql: String =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |  AS qv FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id, label,
+      |  roundbankers(list_inner_product(v, qv) /
+      |    sqrt(list_inner_product(v, v) * list_inner_product(qv, qv)), 6)
+      |    AS sim
+      |FROM c, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   private val annIvfSql =
     s"""WITH $vecsSql,
        |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -1590,7 +1642,7 @@ object SparkEntry {
     */
   private val BpeN = 16
 
-  private val bpeMergesSql: String = {
+  private val bpeChainSql: String = {
     val sep = "chr(31)"
     // Each stage consumes bv{k-1} TWICE (pair count + merge apply):
     // without MATERIALIZED, CTE inlining doubles the tree per stage and
@@ -1608,18 +1660,35 @@ object SparkEntry {
          |    lhs || $sep || rhs || $sep, lhs || rhs || $sep) AS seq, n
          |  FROM bv${k - 1}, bm$k)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to BpeN).map { k =>
-      s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
-        s"lhs || rhs AS merged, CAST(c AS BIGINT) AS n_occ FROM bm$k"
-    }.mkString("\nUNION ALL ")
-    s"""WITH bw AS (SELECT word, COUNT(*) AS n FROM (
+    s"""bw AS (SELECT word, COUNT(*) AS n FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS word
        |    FROM documents) WHERE word <> '' GROUP BY word),
        |bv0 AS (SELECT regexp_replace(word, '(.)', '\\1' || $sep, 'g')
        |    AS seq, n FROM bw),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private val bpeMergesSql: String = {
+    val rows = (1 to BpeN).map { k =>
+      s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
+        s"lhs || rhs AS merged, CAST(c AS BIGINT) AS n_occ FROM bm$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeChainSql
        |SELECT * FROM ($rows) ORDER BY merge_rank""".stripMargin
   }
+
+  /** Tokenizer-apply twin: the training chain's final vocab stage
+    * (`bv$BpeN` — all merges applied) tokenized back into symbols and
+    * frequency-counted, mirroring [[graft.operators.TextOps
+    * .bpeEncodeTokens]] run on [[graft.operators.TextOps.bpeMerges]]'s
+    * output.
+    */
+  private val bpeEncodeSql: String =
+    s"""WITH $bpeChainSql,
+       |tok AS (SELECT unnest(list_filter(string_split(seq, chr(31)),
+       |    x -> x <> '')) AS token, n FROM bv$BpeN)
+       |SELECT token, CAST(SUM(n) AS BIGINT) AS n_occ FROM tok
+       |GROUP BY token ORDER BY n_occ DESC, token""".stripMargin
 
   /** Contrastive-triplet twin: the pair graph is [[embNearDupSql]] as a
     * CTE; the negative replays the rank-based Knuth-hash draw over the
@@ -2025,6 +2094,17 @@ object SparkEntry {
 
     "bpe_merges" -> bpeMergesSql,
 
+    "bpe_encode" -> bpeEncodeSql,
+
+    "split_assign" ->
+      """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM (SELECT CASE
+        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 90 THEN 'train'
+        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 95 THEN 'val'
+        |    ELSE 'test' END AS split, n_chars FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
     "corpus_card" ->
       """WITH a AS (SELECT COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
@@ -2299,6 +2379,48 @@ object SparkEntry {
         |SELECT user_id, session_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) AS session_end_ms, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session_window twin: gap comparisons in MICROSECONDS (Spark merges
+    // windows at its internal micros precision and the timestamps carry
+    // sub-ms digits); two events exactly `gap` apart MERGE — the merge
+    // boundary is inclusive (EventOpsSpec pins this), so the island rule
+    // is strict `>`, the same rule as sessionize only in micros.
+    "session_windows" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us, lag(us) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, us, CASE WHEN prev IS NULL
+        |  OR us - prev > 1800000000 THEN 1 ELSE 0 END AS flag FROM l),
+        |s AS (SELECT user_id, us, SUM(flag) OVER (
+        |  PARTITION BY user_id ORDER BY us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id,
+        |  CAST(MIN(us) // 1000 AS BIGINT) AS session_start_ms,
+        |  CAST((MAX(us) + 1800000000) // 1000 AS BIGINT) AS session_end_ms,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |s0 AS (SELECT user_id, MIN(ms) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ms > s0.t GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms > s1.t
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+        |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+        |    CAST(COUNT(*) AS BIGINT) FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |    CAST(COUNT(*) AS BIGINT) FROM s2)
+        |ORDER BY step_idx""".stripMargin,
 
     "running_total" ->
       """SELECT o_orderkey, o_custkey,
@@ -2628,17 +2750,13 @@ object SparkEntry {
          |SELECT cluster, doc_id, n_chars FROM k WHERE rn = 1
          |ORDER BY cluster""".stripMargin,
 
-    "ann_topk" ->
-      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
-        |  AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (SELECT vec_id, label,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings WHERE vec_id <> 0)
-        |SELECT vec_id, label,
-        |  roundbankers(list_inner_product(v, qv) /
-        |    sqrt(list_inner_product(v, v) * list_inner_product(qv, qv)), 6)
-        |    AS sim
-        |FROM c, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_topk" -> annExactSql,
+
+    "ann_recall_ivf" ->
+      s"""SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  roundbankers(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM ($annExactSql) ex
+         |JOIN ($annIvfSql) ap ON ex.vec_id = ap.vec_id""".stripMargin,
 
     "token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks

@@ -155,6 +155,67 @@ object EventOps {
            count(lit(1)).as("n_events"))
   }
 
+  /** Spark-native sessionization via the built-in `session_window` — the
+    * batch twin of [[graft.streaming.StreamingPipeline.sessionCounts]],
+    * exposed with epoch-millis bounds so the built-in's gap semantics are
+    * themselves oracle-checkable. A session's end is last-event time +
+    * gap; window merging happens at Spark's internal MICROSECOND
+    * precision, which is why the oracle compares gaps in epoch-micros,
+    * not millis (the source carries sub-millisecond timestamps). The
+    * merge boundary is inclusive — events exactly `gap` apart share a
+    * session (measured, pinned by EventOpsSpec) — i.e. [[sessionize]]'s
+    * `diff > gap` rule at micros precision.
+    * One shuffle on `user_id`; session merging is per-key.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .select(col("user_id"), eventTs(events).as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"))
+
+  /** Ordered-step funnel: step k's cohort is the users whose earliest
+    * step-k event is strictly later than their step-(k-1) completion time
+    * (earliest-completion semantics, so cohorts are monotone
+    * non-increasing). Returns one row per step:
+    * (step_idx, step, n_users).
+    *
+    * Scale: one filtered min-aggregate per step joined to the previous
+    * cohort on `user_id` — every shuffle is keyed on `user_id`; there is
+    * no global window and no event-log self-join fan-out. Cohort frames
+    * are one row per user; for deep funnels persist intermediate cohorts
+    * to avoid re-deriving the chain per step count.
+    */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"),
+      eventMs(events).as("ms"))
+    val cohorts = steps.zipWithIndex
+      .foldLeft(List.empty[(Int, String, DataFrame)]) {
+        case (acc, (step, i)) =>
+          val hits = e.where(col("event_type") === step)
+          val cohort = acc.headOption match {
+            case None =>
+              hits.groupBy("user_id").agg(min("ms").as("t"))
+            case Some((_, _, prev)) =>
+              hits.join(prev.withColumnRenamed("t", "prev_t"), Seq("user_id"))
+                .where(col("ms") > col("prev_t"))
+                .groupBy("user_id").agg(min("ms").as("t"))
+          }
+          (i, step, cohort) :: acc
+      }
+    cohorts.reverse.map { case (i, step, c) =>
+      c.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy("step_idx")
+  }
+
   private def cast2dp(c: org.apache.spark.sql.Column) =
     round(c, 2).cast("double")
 }

@@ -786,4 +786,19 @@ object Similarity {
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
+
+  /** ANN evaluation: recall@k of an approximate top-k result against the
+    * exact top-k — the metric that closes the loop on every index in this
+    * family (how much accuracy did the IVF/PQ/LSH shortcut trade for its
+    * speed?). Both inputs are k-row frames, so the id-intersection join
+    * is broadcast-scale regardless of corpus size; the recall is the one
+    * final IEEE division of two exact integers (identical bits on any
+    * engine). Returns one row: (k, n_hits, recall).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select("vec_id")
+      .join(approx.select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_hits"),
+        bround(col("n_hits").cast("double") / k, 6).as("recall"))
 }

@@ -716,6 +716,71 @@ object TextOps {
     */
   private val BpeSep = "\u001f"
 
+  /** Weighted word vocabulary in the suffix-delimited BPE working
+    * representation — the ONE corpus-sized scan both [[bpeMerges]]
+    * (train) and [[bpeEncodeTokens]] (apply) start from.
+    */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("word"), "(.)", "$1" + BpeSep)
+        .as("seq"), col("n"))
+
+  /** Tokenizer APPLY: encode the corpus with a trained merge list
+    * (rank-ordered (lhs, rhs) pairs from [[bpeMerges]]) and return the
+    * resulting token vocabulary with corpus frequencies — the operator
+    * that turns a trained tokenizer into training-ready token
+    * statistics. The merge list is tiny driver state compiled into one
+    * chained codegen'd literal `replace` projection (left-to-right
+    * non-overlapping = greedy BPE application, same contract as
+    * training); the corpus is scanned once into the weighted word vocab
+    * and the token counts are one more hash-aggregate. Returns
+    * (token, n_occ) ordered by frequency desc, token asc.
+    */
+  def bpeEncodeTokens(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val seqCol = merges.foldLeft(col("seq")) { case (acc, (l, r)) =>
+      call_function("replace", acc,
+        lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep))
+    }
+    bpeVocab(docs)
+      .select(explode(filter(split(seqCol, BpeSep), _ =!= "")).as("token"),
+        col("n"))
+      .groupBy("token").agg(sum("n").as("n_occ"))
+      .orderBy(desc("n_occ"), asc("token"))
+  }
+
+  /** Deterministic train/val/test holdout assignment by multiplicative
+    * hash of `doc_id` — the split every training pipeline runs before
+    * packing, and it must be a pure per-row projection (no shuffle, no
+    * sampling state) so the same document lands in the same split on
+    * every machine and every rerun. Bucket =
+    * (doc_id · 2654435761) mod 1000000007 mod 100 (Knuth multiplicative
+    * hashing — `doc_id` must stay below ~3.4e9 for the product to fit a
+    * signed 64-bit; at larger id spaces swap in `xxhash64`, which has no
+    * SQL-oracle twin). Returns the per-split summary (split, n_docs,
+    * n_chars) — one hash-aggregate over three keys; the assignment
+    * itself is the pure projection inside it.
+    */
+  def holdoutSplit(docs: DataFrame, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket =
+      col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(100L)
+    docs
+      .select(
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("split")
+  }
+
   /** BPE merge-pair training over the corpus — the tokenizer-training
     * operator of an LLM data pipeline. Classic frequency-weighted BPE:
     * the corpus is scanned ONCE into a weighted word vocabulary
@@ -738,12 +803,7 @@ object TextOps {
     */
   def bpeMerges(docs: DataFrame, nMerges: Int = 16): DataFrame = {
     val spark = docs.sparkSession
-    val base = docs
-      .select(explode(split(lower(col("text")), " ")).as("word"))
-      .where(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(regexp_replace(col("word"), "(.)", "$1" + BpeSep)
-        .as("seq"), col("n"))
+    val base = bpeVocab(docs)
     val vocab = base.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer

@@ -38,6 +38,55 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((7L, 1L, 3L), (7L, 2L, 1L), (8L, 1L, 2L)))
   }
 
+  test("sessionWindows: same gap grouping as sessionize on clear gaps") {
+    val out = EventOps.sessionWindows(events)
+      .orderBy("user_id", "session_start_ms")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"),
+        r.getAs[Long]("session_end_ms") - r.getAs[Long]("session_start_ms")))
+    // end = last event + gap, so a single-event session spans exactly 30m
+    assert(out.toSeq === Seq((7L, 3L, 2L * 60000 + 1800000),
+      (7L, 1L, 1800000L), (8L, 2L, 5L * 60000 + 1800000)))
+  }
+
+  test("sessionWindows boundary: events exactly gap apart DO merge") {
+    // Pins the oracle's strict-`>` micros rule: session_window merges a
+    // window starting exactly at the previous window's end (measured,
+    // Spark 4.1 — the merge treats the boundary inclusively), matching
+    // sessionize's `diff > gap` rule, only at microsecond precision.
+    val boundary = Seq((1L, ts(0), 1L, "view", 0.0),
+                       (2L, ts(30), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sw = EventOps.sessionWindows(boundary).collect()
+    assert(sw.length === 1)
+    assert(sw(0).getAs[Long]("n_events") === 2L)
+    // and one microsecond past the gap splits
+    val past = Seq((1L, ts(0), 1L, "view", 0.0),
+                   (2L, new Timestamp(ts(30).getTime + 1), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventOps.sessionWindows(past).collect().length === 2)
+  }
+
+  test("funnel: earliest-completion cohorts are monotone and ordered") {
+    def m(min: Int) = ts(min)
+    val ev = Seq(
+      // user 1 completes the whole funnel in order
+      (1L, m(0), 1L, "view", 0.0), (2L, m(10), 1L, "click", 0.0),
+      (3L, m(20), 1L, "purchase", 0.0),
+      // user 2 stops after the click
+      (4L, m(0), 2L, "view", 0.0), (5L, m(5), 2L, "click", 0.0),
+      // user 3 clicked BEFORE the first view — never reaches step 1
+      (6L, m(0), 3L, "click", 0.0), (7L, m(10), 3L, "view", 0.0),
+      // user 4 has no view at all
+      (8L, m(0), 4L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.funnel(ev).collect()
+      .map(r => (r.getAs[Long]("step_idx"), r.getAs[String]("step"),
+        r.getAs[Long]("n_users")))
+    assert(out.toSeq === Seq((0L, "view", 3L), (1L, "click", 2L),
+      (2L, "purchase", 1L)))
+  }
+
   test("asofJoin: latest right value at or before each left row, per key") {
     val clicks = Seq((7L, 10L, 100L), (7L, 20L, 300L), (7L, 30L, 250L),
                      (8L, 40L, 100L))

@@ -25,6 +25,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(3)._2 === -1.0)
   }
 
+  test("recallAtK: self-recall is 1, disjoint is 0, partial is exact") {
+    val exact = Similarity.topK(vecs, queryId = 0L, k = 4)
+    val self = Similarity.recallAtK(exact, exact, k = 4).collect()(0)
+    assert(self.getAs[Long]("k") === 4L)
+    assert(self.getAs[Long]("n_hits") === 4L)
+    assert(self.getAs[Double]("recall") === 1.0)
+    val disjoint = Seq(99L, 98L).toDF("vec_id")
+    assert(Similarity.recallAtK(exact, disjoint, k = 4).collect()(0)
+      .getAs[Double]("recall") === 0.0)
+    val half = Seq(1L, 2L, 99L, 98L).toDF("vec_id")
+    assert(Similarity.recallAtK(exact, half, k = 4).collect()(0)
+      .getAs[Double]("recall") === 0.5)
+  }
+
   test("lshNearDupPairs catches identical vectors, skips opposites") {
     val pairs = Similarity.lshNearDupPairs(vecs, threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))

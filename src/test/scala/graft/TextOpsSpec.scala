@@ -31,6 +31,48 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, "aa", "ab", "aaab", 3L)))
   }
 
+  test("bpeEncodeTokens: trained merges tokenize the corpus, chars " +
+       "conserved") {
+    val d = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
+    // merge 0: (a,a)=2 beats (a,b)=1 → "aa"; merge 1: (a,b)=1 → "ab";
+    // encoding then yields exactly the two merged tokens.
+    val merges = TextOps.bpeMerges(d, nMerges = 2).orderBy("merge_rank")
+      .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      .toSeq
+    assert(merges === Seq(("a", "a"), ("a", "b")))
+    val enc = TextOps.bpeEncodeTokens(d, merges).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_occ")))
+    assert(enc.toSeq === Seq(("aa", 2L), ("ab", 1L)))
+    // with NO merges, encoding falls back to characters — and total
+    // characters are conserved under any merge list
+    val chars = TextOps.bpeEncodeTokens(d, Seq.empty).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_occ")))
+    assert(chars.toSeq === Seq(("a", 5L), ("b", 1L)))
+    assert(enc.map { case (t, n) => t.length * n }.sum ===
+      chars.map(_._2).sum)
+  }
+
+  test("holdoutSplit: splits partition the corpus, assignment is a " +
+       "pure deterministic projection") {
+    val d = (0L until 200L).map(i => (i, "t " * 3, i % 7))
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextOps.holdoutSplit(d).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chars"))).toSeq
+    assert(out.map(_._1) === Seq("test", "train", "val"))
+    assert(out.map(_._2).sum === 200L)
+    assert(out.map(_._3).sum === (0L until 200L).map(_ % 7).sum)
+    // exact bucket arithmetic for one known id: 1·2654435761 mod 1e9+7
+    // mod 100 = (2654435761 - 2·1000000007) % 100 = 654435747 % 100 = 47
+    // → train
+    val one = TextOps.holdoutSplit(
+      Seq((1L, "x", 1L)).toDF("doc_id", "text", "n_chars")).collect()
+    assert(one.map(_.getAs[String]("split")).toSeq === Seq("train"))
+    // deterministic across invocations
+    assert(TextOps.holdoutSplit(d).collect().map(_.toString).toSeq ===
+      out.map(t => s"[${t._1},${t._2},${t._3}]"))
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
