@@ -380,6 +380,12 @@ object SparkEntry {
     // step-(k-1) completion time).
     "funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
 
+    // Weekly cohort retention triangle: users cohorted by first-event
+    // week; each cell counts the cohort's users active k weeks later.
+    // All-integer epoch-ms arithmetic.
+    "retention_cohorts" -> ((s, dir) =>
+      EventOps.retentionCohorts(events(s, dir))),
+
     // Full J3 algebra against persistent state, simulated by splitting the
     // event log at max(event_id)/2: first half folds into per-key state
     // (last value wins), second half is the incoming batch.
@@ -1055,6 +1061,14 @@ object SparkEntry {
           TextOps.rollingMinFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Full winnowing signatures (MOSS scheme): every w-run of 8-gram
+    // rolling hashes contributes its leftmost-minimal (hash, position)
+    // pair — the bounded-density near-dup blocking key. Oracle replays
+    // the Rabin–Karp mod-2^64 hash in HUGEINT and the selection rule as
+    // a ROW_NUMBER window.
+    "winnow_fingerprints" -> ((s, dir) =>
+      TextOps.winnowFingerprints(docs(s, dir))),
+
     // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
 
     "multimodal_features" -> ((s, dir) => {  // rows-only check
@@ -1627,6 +1641,42 @@ object SparkEntry {
        |SELECT s.doc_id, m.f AS fingerprint
        |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
        |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** Generated winnowing oracle: the [[rollingFingerprintSql]] HUGEINT
+    * mod-2^64 Rabin–Karp replay at gram = 8, then the
+    * Schleimer–Wilkerson–Aiken selection — every window of 4 consecutive
+    * hashes keeps its (hash, position)-minimal element (leftmost tie) —
+    * as a per-(doc, window-start) ROW_NUMBER pick, deduplicated.
+    * Mirrors [[graft.operators.TextOps.winnowFingerprints]] step for
+    * step (the ×4 candidate unnest is the same bounded fan-out).
+    */
+  private val winnowFingerprintsSql: String = {
+    val W = 8
+    val Wn = 4
+    val powers = Iterator.iterate(1L)(_ * 257L).take(W).toArray
+    val terms = (0 until W).map(t =>
+      s"CAST(b[i+${W - 1 - t}] AS HUGEINT) * " +
+        java.lang.Long.toUnsignedString(powers(t)))
+      .mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       |bs AS (SELECT doc_id, list_transform(range(1, len(t)+1),
+       |    i -> ord(substr(t, i, 1))) AS b, len(t) AS n FROM s),
+       |w AS (SELECT doc_id, unnest(range(1, n - $W + 2)) AS i, b,
+       |    n - $W + 1 AS nh FROM bs WHERE n >= ${W + Wn - 1}),
+       |h0 AS (SELECT doc_id, i - 1 AS hi, nh,
+       |  ($terms) % 18446744073709551616 AS hu FROM w),
+       |h AS (SELECT doc_id, hi, nh,
+       |  CAST(CASE WHEN hu >= 9223372036854775808
+       |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS f
+       |  FROM h0),
+       |cand AS (SELECT doc_id, hi, f, unnest(range(
+       |    greatest(0, hi - ${Wn - 1}), least(hi, nh - $Wn) + 1)) AS p
+       |  FROM h),
+       |sel AS (SELECT doc_id, p, f, hi, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id, p ORDER BY f, hi) AS rn FROM cand)
+       |SELECT DISTINCT doc_id, hi AS pos, f AS fp FROM sel WHERE rn = 1
+       |ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Generated BPE-training oracle: replays
@@ -2219,6 +2269,17 @@ object SparkEntry {
     "simhash_pairs_md5" -> simhashMd5Sql,
 
     "rolling_fingerprint" -> rollingFingerprintSql,
+
+    "winnow_fingerprints" -> winnowFingerprintsSql,
+
+    "retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 604800000 AS bucket FROM events),
+        |c AS (SELECT user_id, bucket, MIN(bucket) OVER (
+        |    PARTITION BY user_id) AS cohort_bucket FROM a)
+        |SELECT cohort_bucket, bucket - cohort_bucket AS bucket_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "resize_assets" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM documents)

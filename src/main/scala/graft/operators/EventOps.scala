@@ -223,6 +223,32 @@ object EventOps {
       .orderBy("step_idx")
   }
 
+  /** Weekly cohort retention: users are cohorted by the bucket (default
+    * 7 days) of their FIRST event; each (cohort_bucket, bucket_offset)
+    * cell counts the cohort's users active that many buckets later —
+    * the classic retention triangle. All-integer arithmetic (epoch-ms
+    * floor division), so the matrix is bit-identical cross-engine.
+    *
+    * Scale: distinct (user, bucket) pairs first — one shuffle that also
+    * collapses the event volume to at most users × buckets — then a
+    * per-user window min for the cohort and one hash-aggregate. No scan
+    * of the raw log beyond the first projection.
+    */
+  def retentionCohorts(events: DataFrame,
+                       bucketMs: Long = 7L * 86400000L): DataFrame = {
+    val active = events
+      .select(col("user_id"), eventMs(events).as("ms"))
+      .select(col("user_id"), expr(s"ms div $bucketMs").as("bucket"))
+      .distinct()
+    val cohort = Window.partitionBy("user_id")
+    active
+      .withColumn("cohort_bucket", min("bucket").over(cohort))
+      .groupBy(col("cohort_bucket"),
+        (col("bucket") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_bucket", "bucket_offset")
+  }
+
   private def cast2dp(c: org.apache.spark.sql.Column) =
     round(c, 2).cast("double")
 }

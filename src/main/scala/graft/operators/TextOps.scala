@@ -442,6 +442,47 @@ object TextOps {
   def rollingMinFingerprint(text: Column, window: Int = 32): Column =
     array_min(graft.functions.RollingHashWindows(lower(trim(text)), window))
 
+  /** Winnowing document signatures (Schleimer–Wilkerson–Aiken, the MOSS
+    * fingerprinting scheme): over the Rabin–Karp hashes of every
+    * `gram`-byte window of the normalized text
+    * ([[graft.functions.RollingHashWindows]] — one codegen'd O(n) pass),
+    * every run of `w` consecutive hashes contributes its minimal
+    * (hash, position) pair, leftmost on hash ties. Any two documents
+    * sharing a run of `gram + w − 1` bytes are guaranteed at least one
+    * common selected fingerprint — the property that makes the signature
+    * a drop-in near-dup blocking key with bounded density ~2/(w+1),
+    * unlike [[rollingMinFingerprint]]'s single global min.
+    *
+    * Returns (doc_id, pos, fp) — the selected fingerprint set, 0-based
+    * hash positions. Documents shorter than `gram + w − 1` bytes yield
+    * no fingerprints. Scale: the candidate fan-out is a fixed ×w explode
+    * (no pair join, no per-doc collect); selection is one
+    * (doc_id, window-start) hash-aggregate on a struct min.
+    */
+  def winnowFingerprints(docs: DataFrame, gram: Int = 8, w: Int = 4,
+                         textCol: String = "text"): DataFrame = {
+    val hashes = docs
+      .select(col("doc_id"),
+        graft.functions.RollingHashWindows(
+          lower(trim(col(textCol))), gram).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("nh"),
+        posexplode(col("hs")).as(Seq("i", "h")))
+      .where(col("nh") >= w)
+    // window starts whose w-run covers hash i: p ∈ [max(0, i−w+1),
+    // min(i, nh−w)] — non-empty whenever nh ≥ w, so the ANSI sequence()
+    // never walks backwards.
+    hashes
+      .select(col("doc_id"), col("i"), col("h"),
+        explode(sequence(greatest(lit(0), col("i") - (w - 1)),
+          least(col("i"), col("nh") - w))).as("p"))
+      .groupBy("doc_id", "p")
+      .agg(min(struct(col("h"), col("i"))).as("sel"))
+      .select(col("doc_id"), col("sel.i").cast("long").as("pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
   /** Deterministic stratified downsampling for data mixing: keep one in
     * `rates(stratum)` documents per stratum (default `defaultRate`),
     * selected by id residue — reproducible across runs and engines. At

@@ -87,6 +87,17 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, "purchase", 1L)))
   }
 
+  test("retentionCohorts: first-bucket cohorts, offset counts") {
+    // 1-minute buckets so the fixture's minute offsets are the buckets:
+    // user 7 active in buckets {0,1,2,90}, user 8 in {0,5} (relative to
+    // the shared epoch minute), both cohorted at the same first bucket.
+    val out = EventOps.retentionCohorts(events, bucketMs = 60000L)
+      .collect().map(r => (r.getAs[Long]("bucket_offset"),
+        r.getAs[Long]("n_users")))
+    assert(out.toSeq === Seq((0L, 2L), (1L, 1L), (2L, 1L), (5L, 1L),
+      (90L, 1L)))
+  }
+
   test("asofJoin: latest right value at or before each left row, per key") {
     val clicks = Seq((7L, 10L, 100L), (7L, 20L, 300L), (7L, 30L, 250L),
                      (8L, 40L, 100L))

@@ -73,6 +73,33 @@ class TextOpsSpec extends AnyFunSuite {
       out.map(t => s"[${t._1},${t._2},${t._3}]"))
   }
 
+  test("winnowFingerprints: shared-run guarantee, density bound, " +
+       "determinism, short-doc empty") {
+    val shared = "the quick brown fox jumps over it"   // 33 chars
+    val a = s"AAAA $shared zzz"
+    val b = s"totally different prefix $shared"
+    val d = Seq((0L, a), (1L, b), (2L, a), (3L, "tiny")).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("fp")))
+    val byDoc = fps.groupBy(_._1).map { case (k, v) =>
+      (k, v.map(_._3).toSet)
+    }
+    // winnowing guarantee: a shared run of ≥ gram + w − 1 = 11 bytes
+    // yields at least one common fingerprint
+    assert(byDoc(0L).intersect(byDoc(1L)).nonEmpty)
+    // identical docs → identical signatures (and identical positions)
+    assert(fps.filter(_._1 == 0L).map(t => (t._2, t._3)).toSet ===
+      fps.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet)
+    // density: at least one selection per disjoint w-run, at most one
+    // per window position
+    val nhA = a.length - 8 + 1
+    val nA = fps.count(_._1 == 0L)
+    assert(nA >= (nhA - 4 + 1 + 3) / 4 && nA <= nhA)
+    // doc shorter than gram + w − 1 bytes has no signature
+    assert(!byDoc.contains(3L))
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
