@@ -1069,6 +1069,11 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) =>
       TextOps.winnowFingerprints(docs(s, dir))),
 
+    // Winnowing applied: candidate near-dup pairs sharing ≥ 2 rare
+    // (df ≤ 10) selected fingerprints — the signature family's blocking
+    // join, fan-out capped like the rare-gram Jaccard path.
+    "winnow_pairs" -> ((s, dir) => Dedup.winnowPairs(docs(s, dir))),
+
     // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
 
     "multimodal_features" -> ((s, dir) => {  // rows-only check
@@ -2271,6 +2276,17 @@ object SparkEntry {
     "rolling_fingerprint" -> rollingFingerprintSql,
 
     "winnow_fingerprints" -> winnowFingerprintsSql,
+
+    "winnow_pairs" ->
+      s"""WITH wfp AS (SELECT DISTINCT doc_id, fp
+         |  FROM ($winnowFingerprintsSql)),
+         |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wfp
+         |  GROUP BY fp) WHERE df BETWEEN 2 AND 10),
+         |bl AS (SELECT doc_id, fp FROM wfp JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM bl a JOIN bl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
     "retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id,

@@ -80,6 +80,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))  // unrelated
   }
 
+  test("winnowPairs: shared-run pairs surface, unrelated docs don't, " +
+       "boilerplate fingerprints are capped") {
+    val pairs = Dedup.winnowPairs(docs).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+                 r.getAs[Long]("n_shared"))).toMap
+    // the exact-duplicate pair shares every rare fingerprint
+    assert(pairs.contains((0L, 1L)))
+    // the near-dup (one word substituted) still shares plenty
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs((0L, 1L)) >= pairs((0L, 2L)))
+    // unrelated docs never pair with the duplicate group
+    assert(!pairs.keys.exists(p => p._1 >= 3L || p._2 >= 3L))
+    // a fingerprint present in MORE than maxDf docs is dropped: with
+    // maxDf = 2 the triple {0,1,2}'s common-run fingerprints exceed the
+    // cap, so only fingerprints distinguishing the pair survive — the
+    // (0,1) exact pair must still surface via runs 2 lacks
+    val capped = Dedup.winnowPairs(docs, maxDf = 2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped.contains((0L, 1L)))
+    assert(!capped.contains((0L, 2L)) && !capped.contains((1L, 2L)))
+  }
+
   test("jaccardNgramPairs: blocked candidates carry exact Jaccard values") {
     val pairs = Dedup.jaccardNgramPairs(docs, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
