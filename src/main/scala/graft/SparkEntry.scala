@@ -143,6 +143,21 @@ object SparkEntry {
     kmeansBooks.get(s, dir)((s2, d) =>
       Similarity.kmeansCodebook(emb(s2, d), nCells = 16, iters = 2))
 
+  /** Trained BPE merge table — the same once-per-corpus-version training
+    * contract as [[kmeansBook]]: both tokenizer queries draw from one
+    * training run per (session, corpus); `bpe_encode` re-pays only the
+    * encode pass. Rows are (merge_rank, lhs, rhs, merged, n_occ).
+    */
+  private val bpeMergeRows =
+    new SessionMemo[Seq[(Long, String, String, String, Long)]]()
+
+  private def bpeMergeTable(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] =
+    bpeMergeRows.get(s, dir)((s2, d) =>
+      TextOps.bpeMerges(docs(s2, d)).orderBy("merge_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq)
+
   /** Trained product-quantization codebooks (8 subspaces × 16 centroids)
     * — the same once-per-corpus-version training contract as
     * [[kmeansBook]]; `ann_topk_pq` re-pays only the encode + ADC scan.
@@ -924,19 +939,21 @@ object SparkEntry {
     // the frequency-weighted word vocabulary (driver-looped like the
     // Lloyd iterations; ties lexicographic on (lhs, rhs)). The oracle
     // replays every merge stage in one 16-stage CTE chain.
-    "bpe_merges" -> ((s, dir) =>
-      TextOps.bpeMerges(docs(s, dir)).orderBy("merge_rank")),
-
-    // BPE tokenizer APPLY: train the 16-merge tokenizer, then encode the
-    // corpus with it and emit the token vocabulary with frequencies. The
-    // merge list crossing the driver is ≤16 (lhs, rhs) pairs — the same
-    // bounded-state contract as the k-means codebooks; the oracle reuses
-    // the training CTE chain and tokenizes its final vocab stage.
-    "bpe_encode" -> ((s, dir) => {
-      val merges = TextOps.bpeMerges(docs(s, dir)).orderBy("merge_rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      TextOps.bpeEncodeTokens(docs(s, dir), merges)
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeMergeTable(s, dir)
+        .toDF("merge_rank", "lhs", "rhs", "merged", "n_occ")
+        .orderBy("merge_rank")
     }),
+
+    // BPE tokenizer APPLY: encode the corpus with the trained merge
+    // table (memoized once per corpus, like the k-means codebooks) and
+    // emit the token vocabulary with frequencies. The merge list
+    // crossing the driver is ≤16 (lhs, rhs) pairs; the oracle reuses
+    // the training CTE chain and tokenizes its final vocab stage.
+    "bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncodeTokens(docs(s, dir),
+        bpeMergeTable(s, dir).map(t => (t._2, t._3)))),
 
     // Dataset card: the one-row corpus summary a curation run publishes
     // (doc/token counts, stratum cardinalities, exact-dup rate). ONE
