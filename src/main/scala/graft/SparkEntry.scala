@@ -590,6 +590,15 @@ object SparkEntry {
     "neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // PageRank over the MinHash-LSH near-dup pair graph: fixed-point
+    // BIGINT arithmetic (floor divisions only — no float sums), so the
+    // 4-round BSP scores are bit-identical across engines and
+    // partitionings; ranks hub copies (connected boilerplate) above
+    // leaves inside duplicate neighborhoods.
+    "pagerank_neardup" -> ((s, dir) =>
+      Dedup.pageRank(
+        Dedup.nearDupPairs(docs(s, dir)).select("doc_a", "doc_b"))),
+
     // Near-dup clustering: connected components over the MinHash-LSH pair
     // graph — every doc labeled with its cluster's canonical (minimum)
     // doc_id, singletons labeling themselves. The post-pair step an LLM
@@ -1291,6 +1300,39 @@ object SparkEntry {
     * it), cluster = min reachable doc_id, singletons via the left join.
     * Also embedded as the cluster CTE of the `dedup_apply` oracle.
     */
+  /** Fixed-point PageRank twin: replays [[graft.operators.Dedup
+    * .pageRank]]'s 4 BSP rounds over the near-dup pair graph as a CTE
+    * chain — every division a positive floor division (`//` here, `div`
+    * in Spark), sums over exact BIGINTs (cast back from DuckDB's
+    * HUGEINT), so both engines produce identical integers. `adj` and the
+    * pair CTE are MATERIALIZED: four rounds would otherwise re-inline
+    * the whole MinHash-LSH pair search per stage.
+    */
+  private val pageRankSql: String = {
+    val S = 1000000000000L
+    val stages = (1 to 4).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT a.dst AS v, CAST(
+         |    (15 * $S) // (100 * (SELECT nn FROM nv)) +
+         |    (85 * SUM(p.p // a.d)) // 100 AS BIGINT) AS p
+         |  FROM adj a JOIN p${k - 1} p ON a.src = p.v GROUP BY a.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pr0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+       |$nearDupPairsSql
+       |)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr0
+       |  UNION ALL SELECT doc_b, doc_a FROM pr0),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |adj AS MATERIALIZED (SELECT e.src, e.dst, d.d FROM edges e
+       |  JOIN deg d ON e.src = d.src),
+       |nv AS (SELECT COUNT(DISTINCT src) AS nn FROM adj),
+       |p0 AS (SELECT DISTINCT src AS v,
+       |    CAST($S // (SELECT nn FROM nv) AS BIGINT) AS p FROM adj),
+       |$stages
+       |SELECT v AS doc_id, p AS pr_fp, CAST(p AS DOUBLE) / $S AS pr
+       |FROM p4 ORDER BY pr_fp DESC, doc_id""".stripMargin
+  }
+
   private val nearDupClustersSql: String =
     s"""WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM (
        |$nearDupPairsSql
@@ -2768,6 +2810,8 @@ object SparkEntry {
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "neardup_pairs" -> nearDupPairsSql,
+
+    "pagerank_neardup" -> pageRankSql,
 
     // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
     // filter 2..10, blocking self-join, exact Jaccard over full gram sets.

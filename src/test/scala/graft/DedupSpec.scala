@@ -80,6 +80,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))  // unrelated
   }
 
+  test("pageRank: hand-computed fixed-point round on a path graph, " +
+       "hub ranks first, empty graph is empty") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // N=3, S=1e12: p0 = 333333333333 each; base = 15e12/300 = 5e10.
+    // Round 1: deg = (1,2,1); node 1 and 3 receive p(2)//2 =
+    // 166666666666 → 5e10 + 85·166666666666//100 = 191666666666;
+    // node 2 receives 2·333333333333 → 5e10 + 85·666666666666//100
+    // = 616666666666.
+    val one = Dedup.pageRank(path, iters = 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pr_fp")))
+    assert(one.toSeq === Seq((2L, 616666666666L), (1L, 191666666666L),
+      (3L, 191666666666L)))
+    // after the default 4 rounds the hub still ranks first and the
+    // symmetric leaves stay tied
+    val four = Dedup.pageRank(path).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pr_fp")))
+    assert(four.head._1 === 2L)
+    assert(four(1)._2 === four(2)._2)
+    // empty pair set → empty result, no division by zero
+    val empty = Dedup.pageRank(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.collect().isEmpty)
+  }
+
   test("winnowPairs: shared-run pairs surface, unrelated docs don't, " +
        "boilerplate fingerprints are capped") {
     val pairs = Dedup.winnowPairs(docs).collect()
