@@ -401,6 +401,18 @@ object SparkEntry {
     "retention_cohorts" -> ((s, dir) =>
       EventOps.retentionCohorts(events(s, dir))),
 
+    // First-order Markov transition matrix over per-user event sequences:
+    // fixed-point row-normalized probabilities (n·10^6 floor-divided by
+    // the source-row total) — bit-identical across engines.
+    "event_transitions" -> ((s, dir) =>
+      EventOps.transitionMatrix(events(s, dir))),
+
+    // SCD Type-2 dimension build from the event-sourced value: each
+    // user's change timeline as versioned validity intervals
+    // [effective_from_ms, effective_to_ms), open while current.
+    "scd2_users" -> ((s, dir) =>
+      EventOps.scd2(events(s, dir))),
+
     // Full J3 algebra against persistent state, simulated by splitting the
     // event log at max(event_id)/2: first half folds into per-key state
     // (last value wins), second half is the incoming batch.
@@ -598,6 +610,14 @@ object SparkEntry {
     "pagerank_neardup" -> ((s, dir) =>
       Dedup.pageRank(
         Dedup.nearDupPairs(docs(s, dir)).select("doc_a", "doc_b"))),
+
+    // Triangle enumeration over the (dense) SimHash pair graph: 3-cliques
+    // listed once as doc_a < doc_b < doc_c via the ordered wedge join —
+    // the clustering-coefficient evidence that a duplicate neighborhood
+    // is one mutual template rather than a chain of borderline pairs.
+    "triangle_count" -> ((s, dir) =>
+      Dedup.triangles(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
 
     // Near-dup clustering: connected components over the MinHash-LSH pair
     // graph — every doc labeled with its cluster's canonical (minimum)
@@ -849,6 +869,18 @@ object SparkEntry {
           col("n_distinct").cast("long").as("n_distinct"),
           col("avg_token_len"), col("stopword_ratio"), col("distinct_ratio"))
         .orderBy("doc_id")),
+
+    // Equi-depth token-count histogram: every document ntile'd into 10
+    // equal-population bins under a TOTAL order (n_tokens, doc_id), each
+    // bin summarized — the length-distribution profile read before
+    // choosing packing/truncation thresholds.
+    "token_deciles" -> ((s, dir) =>
+      TextOps.tokenDeciles(docs(s, dir))
+        .select(col("decile"), col("n_docs"),
+          col("min_tokens").cast("long").as("min_tokens"),
+          col("max_tokens").cast("long").as("max_tokens"),
+          col("sum_tokens").cast("long").as("sum_tokens"))
+        .orderBy("decile")),
 
     "lang_id" -> ((s, dir) =>
       TextOps.langIdAgg(docs(s, dir))
@@ -2356,6 +2388,44 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Fixed-point row-normalized transition matrix: n·10^6 floor-divided
+    // by the per-source total (SUM over BIGINT is HUGEINT in DuckDB —
+    // cast back), ONE final exact division for the readable double.
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |p AS (SELECT event_type AS src_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS dst_type
+        |  FROM e),
+        |c AS (SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  CAST((n * 1000000) // CAST(SUM(n) OVER (
+        |    PARTITION BY src_type) AS BIGINT) AS BIGINT) AS prob_fp,
+        |  CAST((n * 1000000) // CAST(SUM(n) OVER (
+        |    PARTITION BY src_type) AS BIGINT) AS DOUBLE) / 1000000
+        |    AS prob
+        |FROM c ORDER BY src_type, dst_type""".stripMargin,
+
+    // SCD2 twin: survivors are rows whose value differs from the
+    // previous event's (adjacent-equal runs collapse); validity bounds
+    // and versions then come from windows over the survivors only.
+    "scd2_users" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, value, ms, lag(value) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, event_id, value, ms FROM l
+        |  WHERE prev IS NULL OR prev <> value)
+        |SELECT user_id, value, ms AS effective_from_ms,
+        |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    AS effective_to_ms,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS BIGINT) AS version,
+        |  (lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    IS NULL) AS is_current
+        |FROM s ORDER BY user_id, version""".stripMargin,
+
     "resize_assets" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM documents)
         |SELECT unnest(range((SELECT c FROM n))) AS asset_id,
@@ -2813,6 +2883,19 @@ object SparkEntry {
 
     "pagerank_neardup" -> pageRankSql,
 
+    // Ordered wedge join over the a<b SimHash pair list: (a<b)⋈(b<c)
+    // closed against (a<c) — each 3-clique exactly once. The pair CTE is
+    // MATERIALIZED (three self-join arms would otherwise re-inline the
+    // whole 64-bit-sum SimHash pipeline three times).
+    "triangle_count" ->
+      s"""WITH sp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |$simhashMd5Sql
+         |))
+         |SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+         |FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
+         |JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+         |ORDER BY 1, 2, 3""".stripMargin,
+
     // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
     // filter 2..10, blocking self-join, exact Jaccard over full gram sets.
     "jaccard_pairs" -> {
@@ -2911,6 +2994,21 @@ object SparkEntry {
          |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
          |    AS distinct_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Equi-depth deciles: ntile under the identical TOTAL order
+    // (n_tokens, doc_id) — both engines use the standard "first
+    // (total mod n) buckets get the extra row" rule, so bin boundaries
+    // match exactly. Null texts excluded on both sides.
+    "token_deciles" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, n_tokens, CAST(ntile(10) OVER (
+        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS decile FROM t)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "lang_id" -> langIdSql,
 

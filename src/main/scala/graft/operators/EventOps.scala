@@ -249,6 +249,77 @@ object EventOps {
       .orderBy("cohort_bucket", "bucket_offset")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every ordered adjacent pair of events within a user's timeline,
+    * count (src_type → dst_type) transitions and row-normalize into a
+    * probability. The probability is FIXED-POINT — `n · 10^6` floor-divided
+    * by the source row total — so the matrix is bit-identical on any
+    * engine; the readable double is one final exact division by 10^6.
+    * This is the sequence-statistics pass a training pipeline runs to
+    * sanity-check event logs (and the sampler behind synthetic replay).
+    *
+    * Scale: one shuffle on `user_id` for the lead window (per-user sort,
+    * never global), then a hash-aggregate on the (src, dst) pair — the
+    * aggregate's cardinality is |types|², independent of event volume.
+    * The row total comes from a window over the tiny aggregated matrix.
+    */
+  def transitionMatrix(events: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val seq = Window.partitionBy("user_id")
+      .orderBy(col("_ms"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        eventMs(events).as("_ms"))
+      .withColumn("dst_type", lead(col("event_type"), 1).over(seq))
+      .where(col("dst_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("prob_fp",
+        expr(s"(n * $scale) div sum(n) over (partition by src_type)"))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        col("prob_fp"),
+        (col("prob_fp").cast("double") / scale).as("prob"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  /** SCD Type-2 dimension build from an event-sourced attribute: collapse
+    * each key's timeline to the rows where `valueCol` actually changed,
+    * then stamp every surviving version with its validity interval —
+    * `effective_from_ms` (the change time), `effective_to_ms` (the next
+    * change time, NULL while current), `version` (1-based per key), and
+    * `is_current`. This is the warehouse-side twin of the CDC capture the
+    * reference's upload loop performs (/root/reference/app.py:110-116):
+    * S8 records the change log, this operator serves the as-of dimension.
+    *
+    * Tie and dedup semantics: events are ordered by (event-time ms,
+    * event_id); a row survives iff its value differs from the previous
+    * surviving row's (lag over the full per-key sequence — adjacent
+    * equal values collapse, A→B→A yields three versions).
+    *
+    * Scale: two window passes over the same (key, time) partitioning —
+    * Catalyst plans them in a single shuffle+sort — and the second runs
+    * on the already-collapsed change rows.
+    */
+  def scd2(events: DataFrame, keyCol: String = "user_id",
+           valueCol: String = "value"): DataFrame = {
+    val seq = Window.partitionBy(keyCol)
+      .orderBy(col("_ms"), col("event_id"))
+    val changes = events
+      .select(col(keyCol), col("event_id"), col(valueCol),
+        eventMs(events).as("_ms"))
+      .withColumn("_prev", lag(col(valueCol), 1).over(seq))
+      .where(col("_prev").isNull || col("_prev") =!= col(valueCol))
+    val ver = Window.partitionBy(keyCol).orderBy(col("_ms"), col("event_id"))
+    changes
+      .withColumn("effective_to_ms", lead(col("_ms"), 1).over(ver))
+      .withColumn("version", row_number().over(ver).cast("long"))
+      .select(col(keyCol), col(valueCol),
+        col("_ms").as("effective_from_ms"), col("effective_to_ms"),
+        col("version"), col("effective_to_ms").isNull.as("is_current"))
+      .orderBy(keyCol, "version")
+  }
+
   private def cast2dp(c: org.apache.spark.sql.Column) =
     round(c, 2).cast("double")
 }

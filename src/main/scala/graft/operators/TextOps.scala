@@ -45,6 +45,39 @@ object TextOps {
         .as("distinct_ratio"))
   }
 
+  /** Equi-depth token-count histogram: rank every document into one of
+    * `n` equal-population deciles (bins) by whitespace token count and
+    * summarize each bin (population, token min/max, total tokens). This
+    * is the length-distribution profile a curation pipeline reads before
+    * choosing truncation/packing thresholds — equi-depth, not equi-width,
+    * because token counts are heavy-tailed and fixed-width bins would put
+    * 99% of documents in bin 1.
+    *
+    * Determinism: `ntile` is only well-defined under a TOTAL order, so
+    * ties break on doc_id; null texts are excluded (a null has no length,
+    * and `size(null)` differs across engines' legacy modes). The bin
+    * boundaries are then identical on any engine.
+    *
+    * Scale: ntile needs a single global sort — the one operator here
+    * that is inherently single-ordered. The sort runs on the 2-column
+    * (n_tokens, doc_id) projection, not the corpus (range-partitioned
+    * sort, ~16 bytes/row); the summary is a hash-aggregate of `n` rows.
+    */
+  def tokenDeciles(docs: DataFrame, n: Int = 10,
+                   textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"), col("doc_id"))
+    docs.where(col(textCol).isNotNull)
+      .select(col("doc_id"), size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("decile", ntile(n).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .orderBy("decile")
+  }
+
   /** Aggregate twin of [[tokenStats]]: the same eight columns computed as
     * explode → codegen'd hash aggregate instead of per-row higher-order
     * functions (which evaluate interpreted — `ArrayFilter`/`ArrayDistinct`

@@ -104,6 +104,21 @@ class DedupSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty)
   }
 
+  test("triangles: each 3-clique listed once as a<b<c, chains excluded") {
+    // K3 on {1,2,3}, plus a second triangle {2,3,4} sharing an edge,
+    // plus the isolated edge (5,6) and the open wedge 7-8-9.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (7L, 8L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.triangles(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("doc_c")))
+    assert(out.toSeq === Seq((1L, 2L, 3L), (2L, 3L, 4L)))
+    // triangle-free graph → empty, not an error
+    val none = Dedup.triangles(Seq((1L, 2L), (2L, 3L))
+      .toDF("doc_a", "doc_b"))
+    assert(none.collect().isEmpty)
+  }
+
   test("winnowPairs: shared-run pairs surface, unrelated docs don't, " +
        "boilerplate fingerprints are capped") {
     val pairs = Dedup.winnowPairs(docs).collect()

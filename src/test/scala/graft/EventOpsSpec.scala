@@ -98,6 +98,35 @@ class EventOpsSpec extends AnyFunSuite {
       (90L, 1L)))
   }
 
+  test("transitionMatrix: fixed-point row-normalized adjacent-pair counts") {
+    // user 7's sequence click,click,view,view → click→click, click→view,
+    // view→view; user 8's click,click → click→click.
+    // Totals per src: click=3, view=1.
+    val out = EventOps.transitionMatrix(events).collect()
+      .map(r => (r.getAs[String]("src_type"), r.getAs[String]("dst_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("prob_fp")))
+    assert(out.toSeq === Seq(
+      ("click", "click", 2L, 666666L),   // (2·10^6) // 3
+      ("click", "view", 1L, 333333L),    // (1·10^6) // 3
+      ("view", "view", 1L, 1000000L)))
+  }
+
+  test("scd2: adjacent-equal values collapse, intervals chain, " +
+       "last version per key is current") {
+    // user 7: 1.0 → 2.0 → 2.0 (collapses) → 3.0; user 8: constant 5.0.
+    val out = EventOps.scd2(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        r.getAs[Long]("effective_from_ms"),
+        Option(r.getAs[java.lang.Long]("effective_to_ms")).map(_.toLong),
+        r.getAs[Long]("version"), r.getAs[Boolean]("is_current")))
+    val t0 = 1700000000000L
+    assert(out.toSeq === Seq(
+      (7L, 1.0, t0, Some(t0 + 60000L), 1L, false),
+      (7L, 2.0, t0 + 60000L, Some(t0 + 90 * 60000L), 2L, false),
+      (7L, 3.0, t0 + 90 * 60000L, None, 3L, true),
+      (8L, 5.0, t0, None, 1L, true)))
+  }
+
   test("asofJoin: latest right value at or before each left row, per key") {
     val clicks = Seq((7L, 10L, 100L), (7L, 20L, 300L), (7L, 30L, 250L),
                      (8L, 40L, 100L))

@@ -100,6 +100,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!byDoc.contains(3L))
   }
 
+  test("tokenDeciles: equi-depth bins under total order, nulls excluded, " +
+       "remainder rows land in the first bins") {
+    // Token counts 1..5 plus a null text; ntile(2) over 5 rows → the
+    // first tile takes the extra row: {1,2,3} then {4,5}.
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "a b c d e"), (6L, null))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenDeciles(d, n = 2).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Int]("min_tokens"), r.getAs[Int]("max_tokens"),
+        r.getAs[Long]("sum_tokens")))
+    assert(out.toSeq === Seq((1L, 3L, 1, 3, 6L), (2L, 2L, 4, 5, 9L)))
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
