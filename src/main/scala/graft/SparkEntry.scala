@@ -582,6 +582,46 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // Unpivot twin: the wide per-user matrix back to long form — stack()
+    // keeps the zero-filled cells, so pivot∘unpivot is lossless.
+    "events_unpivot" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), expr(
+          "stack(5, 'click', click, 'view', view, 'purchase', purchase, " +
+          "'signup', signup, 'error', error) AS (event_type, n_events)"))
+        .orderBy("user_id", "event_type")),
+
+    // Multi-level CUBE: event counts + DECIMAL-exact value totals at
+    // every (event_type × day) marginal, grouping_id disambiguating the
+    // aggregation level exactly as docs_rollup does for ROLLUP.
+    "events_cube" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000000) div 86400000").as("day"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n_events"),
+          bround(sum("v"), 2).cast("double").as("total_value"),
+          grouping_id().cast("long").as("level"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("total_value"), col("level"))
+        .orderBy(col("level"), asc_nulls_first("event_type"),
+          asc_nulls_first("day"))),
+
+    // Exact-DECIMAL power sums finished by one fixed double expression —
+    // the deterministic var_samp (see EventOps.valueVariance).
+    "value_variance" -> ((s, dir) =>
+      EventOps.valueVariance(events(s, dir))),
+
+    // Time-weighted average value per user: DECIMAL-exact value×Δms
+    // sums, one final IEEE division.
+    "twap_users" -> ((s, dir) =>
+      EventOps.twap(events(s, dir))),
+
     // ---- Dedup family ---------------------------------------------------
 
     "exact_dedup" -> ((s, dir) =>
@@ -601,6 +641,14 @@ object SparkEntry {
 
     "neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Exact Levenshtein verify over the LSH-blocked candidate pairs —
+    // the O(len²) last step of fuzzy matching, never run all-pairs.
+    "edit_distance_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.editDistancePairs(
+        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d)
+    }),
 
     // PageRank over the MinHash-LSH near-dup pair graph: fixed-point
     // BIGINT arithmetic (floor divisions only — no float sums), so the
@@ -913,6 +961,14 @@ object SparkEntry {
           col("level").cast("long").as("level"))
         .orderBy(col("level"), asc_nulls_first("lang"),
           asc_nulls_first("source"))),
+
+    // Order-insensitive md5-fold XOR checksum per source — the
+    // cross-system reconciliation digest (any engine, any row order,
+    // same 60-bit checksum).
+    "table_checksum" -> ((s, dir) =>
+      Relational.tableChecksum(docs(s, dir), "source",
+        Seq(col("doc_id"), coalesce(col("text"), lit("")), col("lang"),
+          col("source"), col("n_chars")))),
 
     // Deterministic stratified downsampling (data mixing): 1/2 of English
     // docs, 1/4 of everything else.
@@ -2669,6 +2725,63 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // pivot∘unpivot is lossless: the same wide CTE fanned back out to
+    // long form, zero cells kept.
+    "events_unpivot" ->
+      """WITH w AS (SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1)
+        |SELECT user_id, event_type, n_events FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n_events FROM w
+        |  UNION ALL SELECT user_id, 'view', view FROM w
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM w
+        |  UNION ALL SELECT user_id, 'signup', signup FROM w
+        |  UNION ALL SELECT user_id, 'error', error FROM w)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "events_cube" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(roundbankers(SUM(v), 2) AS DOUBLE) AS total_value,
+        |  CAST(GROUPING(event_type, day) AS BIGINT) AS level
+        |FROM e GROUP BY CUBE(event_type, day)
+        |ORDER BY level, event_type NULLS FIRST, day NULLS FIRST"""
+        .stripMargin,
+
+    // Exact DECIMAL power sums; variance finished by the identical fixed
+    // double expression on both engines.
+    "value_variance" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |    SUM(CAST(value AS DECIMAL(18,4)) *
+        |        CAST(value AS DECIMAL(18,4))) AS svv
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS mean,
+        |  (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) -
+        |   CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_samp
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "twap_users" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v, epoch_ms(ts) AS ms
+        |  FROM events),
+        |l AS (SELECT user_id, v, ms, lead(ms) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS nxt FROM e),
+        |i AS (SELECT user_id, v, nxt - ms AS w FROM l
+        |  WHERE nxt IS NOT NULL)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(w) AS BIGINT) AS span_ms,
+        |  CAST(SUM(v * w) AS DOUBLE) /
+        |    CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS twap
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
         |  FROM events WHERE event_type = 'click'),
@@ -2754,6 +2867,25 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // md5-fold XOR digest: the first 15 hex nibbles parsed positionally
+    // (DuckDB has no conv(); 16^k weights are exact BIGINT literals),
+    // then commutative bit_xor — row order and partitioning free.
+    "table_checksum" -> {
+      val fold = (0 until 15).map { k =>
+        val w = BigInt(16).pow(14 - k)
+        s"(CAST(strpos('0123456789abcdef', substr(m, ${k + 1}, 1)) - 1 " +
+          s"AS BIGINT) * $w)"
+      }.mkString(" +\n        |    ")
+      s"""WITH h AS (SELECT source,
+         |    $fold AS hh
+         |  FROM (SELECT source, md5(concat_ws('|', doc_id,
+         |      COALESCE(text, ''), lang, source, n_chars)) AS m
+         |    FROM documents))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(hh) AS BIGINT) AS checksum
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
@@ -2880,6 +3012,21 @@ object SparkEntry {
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "neardup_pairs" -> nearDupPairsSql,
+
+    // Levenshtein verify joined over the MATERIALIZED LSH pair CTE (two
+    // join arms would otherwise re-run the MinHash pipeline twice).
+    "edit_distance_pairs" ->
+      s"""WITH ndp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |$nearDupPairsSql
+         |))
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+         |  CAST((CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000000)
+         |    // GREATEST(length(a.text), length(b.text), 1) AS BIGINT)
+         |    AS norm_fp
+         |FROM ndp p JOIN documents a ON p.doc_a = a.doc_id
+         |JOIN documents b ON p.doc_b = b.doc_id
+         |ORDER BY 1, 2""".stripMargin,
 
     "pagerank_neardup" -> pageRankSql,
 

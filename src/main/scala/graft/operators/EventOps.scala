@@ -320,6 +320,63 @@ object EventOps {
       .orderBy(keyCol, "version")
   }
 
+  /** Time-weighted average value per user (the TWAP of a price-like
+    * signal over an event timeline): each observation is held from its
+    * timestamp until the next one, so it contributes value × Δms.
+    * The weighted sum is EXACT — DECIMAL(18,4) value × BIGINT interval,
+    * summed as DECIMAL — and the average is ONE final IEEE division of
+    * two exactly-determined numbers, so the result is hash-portable.
+    * Users with fewer than two events have no holding interval and are
+    * excluded (their TWAP would be 0/0).
+    *
+    * Scale: one shuffle on `user_id` shared by the lead window and the
+    * aggregate; state per user is three scalars.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("_ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("_v"), eventMs(events).as("_ms"))
+      .withColumn("_next", lead(col("_ms"), 1).over(seq))
+      .where(col("_next").isNotNull)
+      .withColumn("_w", col("_next") - col("_ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("_w").as("span_ms"),
+        sum(col("_v") * col("_w")).as("_vw"))
+      .select(col("user_id"), col("n_intervals"), col("span_ms"),
+        (col("_vw").cast("double") / col("span_ms").cast("double"))
+          .as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** Per-type mean and sample variance of the event value, computed from
+    * EXACT DECIMAL power sums (Σv as DECIMAL(18,4)-summed, Σv² as
+    * DECIMAL(37,8)-summed — no float accumulation anywhere), finished by
+    * a FIXED scalar double expression: var = (n·Σv² − (Σv)²) / (n·(n−1)).
+    * Every engine casts the same exact decimals to the same doubles and
+    * evaluates the same expression tree, so the floats are bit-identical
+    * — the reason this exists instead of `var_samp`, whose float
+    * accumulation order is partition-dependent.
+    *
+    * Scale: a plain hash-aggregate with map-side partials; DECIMAL sums
+    * are Spark's unsafe-row decimals, still codegen'd.
+    */
+  def valueVariance(events: DataFrame): DataFrame = {
+    val v = col("value").cast("decimal(18,4)")
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("_sv"),
+        sum(v * v).as("_svv"))
+      .select(col("event_type"), col("n"),
+        (col("_sv").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("n").cast("double") * col("_svv").cast("double") -
+          col("_sv").cast("double") * col("_sv").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double")))
+          .as("var_samp"))
+      .orderBy("event_type")
+  }
+
   private def cast2dp(c: org.apache.spark.sql.Column) =
     round(c, 2).cast("double")
 }

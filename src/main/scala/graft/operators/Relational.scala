@@ -236,6 +236,30 @@ object Relational {
     * distributively, including for duplicate customer ids with differing
     * names.
     */
+  /** Order-insensitive table checksum per group — the reconciliation
+    * primitive for comparing a table across two systems (post-migration
+    * diff, replica audit) without moving the rows: every row folds to a
+    * 60-bit integer from its md5 fingerprint, and XOR aggregates them
+    * commutatively, so any row-order / any partitioning yields the same
+    * digest. md5 (not the engine's native hash) keeps the digest
+    * PORTABLE — any engine with md5 derives the identical checksum.
+    *
+    * The fold takes the first 15 hex nibbles (60 bits — fits BIGINT
+    * exactly, no sign issues); `conv` parses them in one codegen'd call.
+    *
+    * Scale: a hash-aggregate with map-side partial XOR — one narrow
+    * shuffle row per group per mapper, regardless of table size.
+    */
+  def tableChecksum(df: DataFrame, groupCol: String,
+                    cols: Seq[Column]): DataFrame =
+    df.select(col(groupCol),
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+          .cast("long").as("_h"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("checksum"))
+      .orderBy(groupCol)
+
   def nestDetails(categoryTotals: DataFrame): DataFrame =
     categoryTotals
       .withColumn("amount", bround(col("amount"), 2))

@@ -104,6 +104,20 @@ class DedupSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty)
   }
 
+  test("editDistancePairs: hand-computed distances and fixed-point " +
+       "normalizer, empty texts safe") {
+    val d = Seq((1L, "kitten"), (2L, "sitting"), (3L, ""), (4L, ""))
+      .toDF("doc_id", "text")
+    val p = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editDistancePairs(p, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("edit_distance"), r.getAs[Long]("norm_fp")))
+    // kitten→sitting = 3 edits over maxlen 7 → (3·10^6)//7 = 428571;
+    // two empty texts: distance 0, normalizer clamps at 1 — no ANSI
+    // division by zero
+    assert(out.toSeq === Seq((1L, 2L, 3L, 428571L), (3L, 4L, 0L, 0L)))
+  }
+
   test("triangles: each 3-clique listed once as a<b<c, chains excluded") {
     // K3 on {1,2,3}, plus a second triangle {2,3,4} sharing an edge,
     // plus the isolated edge (5,6) and the open wedge 7-8-9.

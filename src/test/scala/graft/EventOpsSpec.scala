@@ -127,6 +127,31 @@ class EventOpsSpec extends AnyFunSuite {
       (8L, 5.0, t0, None, 1L, true)))
   }
 
+  test("twap: interval-weighted mean, exact decimal sums, " +
+       "single-event users excluded") {
+    // user 7 holds 1.0 for 1min, 2.0 for 1min, 2.0 for 88min →
+    // twap = (1·60000 + 2·60000 + 2·5280000) / 5400000 = 10740000/5400000
+    // user 8 holds 5.0 for 5min → exactly 5.0
+    val out = EventOps.twap(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("span_ms"), r.getAs[Double]("twap")))
+    assert(out.toSeq === Seq(
+      (7L, 3L, 90 * 60000L, 10740000.0 / 5400000.0),
+      (8L, 1L, 5 * 60000L, 5.0)))
+  }
+
+  test("valueVariance: power-sum variance matches the textbook formula") {
+    // click values: 1.0, 2.0, 5.0, 5.0 → n=4, Σv=13, Σv²=55;
+    // var = (4·55 − 169) / (4·3) = 51/12; view values: 2.0, 3.0 →
+    // var = (2·13 − 25) / 2 = 0.5
+    val out = EventOps.valueVariance(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean"), r.getAs[Double]("var_samp")))
+    assert(out.toSeq === Seq(
+      ("click", 4L, 13.0 / 4.0, 51.0 / 12.0),
+      ("view", 2L, 2.5, 0.5)))
+  }
+
   test("asofJoin: latest right value at or before each left row, per key") {
     val clicks = Seq((7L, 10L, 100L), (7L, 20L, 300L), (7L, 30L, 250L),
                      (8L, 40L, 100L))

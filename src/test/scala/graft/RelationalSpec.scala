@@ -107,6 +107,30 @@ class RelationalSpec extends AnyFunSuite {
       Seq(("C1", 1), ("C2", 1), ("C3", 2)))  // dense: no gap
   }
 
+  test("tableChecksum: row-order- and partitioning-invariant, " +
+       "any row change flips the digest") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2"))
+    val base = rows.toDF("id", "v", "grp")
+    val cols = Seq(col("id"), col("v"), col("grp"))
+    val digest = Relational.tableChecksum(base, "grp", cols).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("checksum")))
+    // reversed row order, different partitioning → identical digests
+    val shuffled = Relational.tableChecksum(
+        rows.reverse.toDF("id", "v", "grp").repartition(7), "grp", cols)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("checksum")))
+    assert(digest.toSeq === shuffled.toSeq)
+    // a single changed value flips its group's checksum, not the other's
+    val changed = Relational.tableChecksum(
+        Seq((1L, "a", "g1"), (2L, "X", "g1"), (3L, "c", "g2"))
+          .toDF("id", "v", "grp"), "grp", cols)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("checksum")))
+    assert(changed(0)._2 !== digest(0)._3)
+    assert(changed(1)._2 === digest(1)._3)
+  }
+
   test("twoPhaseDenseRank matches the single-window dense_rank") {
     val totals = Seq(("C1", 30.0), ("C2", 20.0), ("C3", 30.0), ("C4", 10.0))
       .toDF("customer_id", "amount")
