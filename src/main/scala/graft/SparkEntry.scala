@@ -622,6 +622,11 @@ object SparkEntry {
     "twap_users" -> ((s, dir) =>
       EventOps.twap(events(s, dir))),
 
+    // Time-series resample: dense hourly grid per user, forward-filled
+    // from the last observation (ties broken by ms, event_id desc).
+    "gapfill_hourly" -> ((s, dir) =>
+      EventOps.gapFill(events(s, dir))),
+
     // ---- Dedup family ---------------------------------------------------
 
     "exact_dedup" -> ((s, dir) =>
@@ -2781,6 +2786,30 @@ object SparkEntry {
         |  CAST(SUM(v * w) AS DOUBLE) /
         |    CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS twap
         |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Dense per-user grid via range() (upper-exclusive → b1+1), bucket
+    // observations collapsed by (ms, event_id) DESC row_number, forward
+    // fill as last_value IGNORE NULLS over the running frame.
+    "gapfill_hourly" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) // 3600000 AS bucket FROM events),
+        |lb AS (SELECT user_id, bucket, value FROM (
+        |    SELECT user_id, bucket, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, bucket
+        |      ORDER BY ms DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        |  FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |    FROM e GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.bucket, lb.value FROM grid g
+        |  LEFT JOIN lb ON g.user_id = lb.user_id AND g.bucket = lb.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value,
+        |  (value IS NOT NULL) AS is_observed
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms

@@ -377,6 +377,50 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Time-series resample with forward fill: every user's sparse event
+    * timeline becomes a DENSE per-bucket grid (default hourly) from their
+    * first to their last event, each grid point carrying the last
+    * observed value at or before it (`filled_value`) and whether the
+    * bucket had a real observation. This is the gap-fill step feature
+    * pipelines run before windowed training joins — downstream ops can
+    * assume one row per (user, bucket).
+    *
+    * Determinism: "last observed in bucket" breaks ties by (ms,
+    * event_id) descending; the fill itself copies values — no arithmetic.
+    * The first grid bucket is the user's first event bucket, so
+    * `filled_value` is never null.
+    *
+    * Scale: the grid is users × span-buckets — generated per-user with
+    * `sequence`/`explode` (never a global cross join), joined to the
+    * bucket-collapsed observations (at most users × buckets rows, not
+    * raw events), and forward-filled with one per-user running window.
+    * Skew guard: a single user's span is bounded by the retention
+    * window, so per-user fan-out is bounded too.
+    */
+  def gapFill(events: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
+    val obs = events
+      .select(col("user_id"), col("event_id"), col("value"),
+        eventMs(events).as("_ms"))
+      .withColumn("bucket", expr(s"_ms div $bucketMs"))
+    val lastInBucket = Window.partitionBy("user_id", "bucket")
+      .orderBy(desc("_ms"), desc("event_id"))
+    val hourly = obs
+      .withColumn("_rn", row_number().over(lastInBucket))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("bucket"), col("value"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("bucket").as("_b0"), max("bucket").as("_b1"))
+      .select(col("user_id"),
+        explode(sequence(col("_b0"), col("_b1"))).as("bucket"))
+    val ff = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "bucket"), "left")
+      .withColumn("filled_value", last("value", ignoreNulls = true).over(ff))
+      .select(col("user_id"), col("bucket"), col("filled_value"),
+        col("value").isNotNull.as("is_observed"))
+      .orderBy("user_id", "bucket")
+  }
+
   private def cast2dp(c: org.apache.spark.sql.Column) =
     round(c, 2).cast("double")
 }

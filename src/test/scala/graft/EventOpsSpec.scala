@@ -152,6 +152,31 @@ class EventOpsSpec extends AnyFunSuite {
       ("view", 2L, 2.5, 0.5)))
   }
 
+  test("gapFill: dense grid, forward fill, in-bucket tiebreak, " +
+       "per-user spans") {
+    // minute buckets on the shared fixture: user 7 observes minutes
+    // 0,1,2,90 (values 1,2,2,3) → 91 grid rows, minutes 3..89 filled
+    // with 2.0; user 8 observes 0 and 5 → 6 rows, 1..4 filled with 5.0
+    val out = EventOps.gapFill(events, bucketMs = 60000L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bucket"),
+        r.getAs[Double]("filled_value"), r.getAs[Boolean]("is_observed")))
+    val u7 = out.filter(_._1 == 7L)
+    assert(u7.length === 91)
+    assert(u7.count(_._4) === 4)
+    assert(u7(2)._3 === 2.0 && u7(50)._3 === 2.0 && u7(90)._3 === 3.0)
+    val u8 = out.filter(_._1 == 8L)
+    assert(u8.length === 6)
+    assert(u8.map(_._3).forall(_ === 5.0))
+    // two observations in ONE bucket: the later (ms, event_id) wins
+    val sameBucket = Seq(
+      (1L, ts(0), 1L, "view", 10.0),
+      (2L, new java.sql.Timestamp(ts(0).getTime + 1), 1L, "view", 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val one = EventOps.gapFill(sameBucket, bucketMs = 60000L).collect()
+    assert(one.length === 1)
+    assert(one(0).getAs[Double]("filled_value") === 20.0)
+  }
+
   test("asofJoin: latest right value at or before each left row, per key") {
     val clicks = Seq((7L, 10L, 100L), (7L, 20L, 300L), (7L, 30L, 250L),
                      (8L, 40L, 100L))
