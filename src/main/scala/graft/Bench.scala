@@ -15,7 +15,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS): read as long (epoch nanos)
+      // Tolerance for a historical testdata encoding: if events.parquet
+      // ever stores TIMESTAMP(NANOS) again, read it as LongType nanos
+      // (EventOps.eventMs handles Long / TIMESTAMP / TIMESTAMP_NTZ alike;
+      // the conf is a no-op for the current TIMESTAMP_NTZ micros file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,15 +29,22 @@ object Bench {
     try SparkEntry.queries("flagship_rank")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // A query that throws must NOT contribute a timing: an analysis
+    // failure completes in ~0.05 s and would read as a 10× speedup
+    // (VERDICT r6 §wrong.2 — BENCH_r06 reported exactly that). Failures
+    // return None and are reported in a separate "failed" list, and the
+    // process exits non-zero so the driver's rc reflects the breakage.
     def timeOnce(name: String,
                  fn: (org.apache.spark.sql.SparkSession, String) =>
-                     org.apache.spark.sql.DataFrame): Double = {
+                     org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Cold-cache before EVERY timed run, not just per query pair: some
     // operators persist frames internally (two-phase rank totals, near-dup
@@ -42,20 +52,26 @@ object Bench {
     // would time only the tail of the plan — an unfair min-of-2.
     def timeCold(name: String,
                  fn: (org.apache.spark.sql.SparkSession, String) =>
-                     org.apache.spark.sql.DataFrame): Double = {
+                     org.apache.spark.sql.DataFrame): Option[Double] = {
       spark.catalog.clearCache()
       System.gc()
       timeOnce(name, fn)
     }
     // Optional comma-separated filter for quick single-query experiments.
     val only = SparkEntry.onlyFilter()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> math.min(timeCold(name, fn), timeCold(name, fn))
+        // min-of-2, but only over runs that succeeded; one failure marks
+        // the query failed (a flaky query is not a benchmarkable one).
+        name -> (for (a <- timeCold(name, fn); b <- timeCold(name, fn))
+          yield math.min(a, b))
       }
+    val results = attempts.collect { case (n, Some(t)) => n -> t }
+    val failed = attempts.collect { case (n, None) => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Streaming-ingest throughput: N synthetic 3-sheet workbooks through
     // the foreachBatch landing stream (the reference's upload loop end to
@@ -106,7 +122,16 @@ object Bench {
       }
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$streamJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"$streamJson}"""
+    // The full line is ~2.5 KB and has historically been truncated by the
+    // driver's tail window mid-object (VERDICT r3 §8, r5 §4, r6 §6). A
+    // compact summary object — small enough that any tail window holds it
+    // whole — is printed LAST so a last-line parse always sees complete
+    // JSON; the full per-query map lives in bench_out.json.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""failed":$failedJson,"sf":"$sfDir","detail":"bench_out.json"}"""
     // Stdout gets drowned in sbt log noise; also write the line to a file
     // the driver can parse reliably, and echo it on stderr as the very
     // last lines so a tail-reader finds it either way. The raw JSON is
@@ -117,8 +142,11 @@ object Bench {
     spark.stop()
     System.err.println(s"BENCH_JSON_FILE=$outPath")
     System.err.println(json)
+    System.err.println(summary)
     println(s"BENCH_JSON_FILE=$outPath")
     println(json)
+    println(summary)
     System.out.flush()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

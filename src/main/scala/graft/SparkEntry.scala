@@ -419,7 +419,7 @@ object SparkEntry {
     "cdc_state_join" -> ((s, dir) => {
       val ev = events(s, dir)
       val thr = ev.agg(max("event_id")).head().getLong(0) / 2
-      val ms = expr("ts div 1000000")
+      val ms = EventOps.eventMs(ev)
       val lastWins = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(desc_nulls_last("_ms"), desc("event_id"))
       val state = ev.where(col("event_id") <= thr)
@@ -438,7 +438,7 @@ object SparkEntry {
     // user to every click — checked against DuckDB's native ASOF JOIN.
     "asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
-      val ms = expr("ts div 1000000")
+      val ms = EventOps.eventMs(ev)
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), ms.as("_ms"))
       val lastPerMs = org.apache.spark.sql.expressions.Window
@@ -598,10 +598,12 @@ object SparkEntry {
     // Multi-level CUBE: event counts + DECIMAL-exact value totals at
     // every (event_type × day) marginal, grouping_id disambiguating the
     // aggregation level exactly as docs_rollup does for ROLLUP.
-    "events_cube" -> ((s, dir) =>
-      events(s, dir)
+    "events_cube" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev
+        .withColumn("_ms", EventOps.eventMs(ev))
         .select(col("event_type"),
-          expr("(ts div 1000000) div 86400000").as("day"),
+          expr("_ms div 86400000").as("day"),
           col("value").cast("decimal(18,4)").as("v"))
         .cube("event_type", "day")
         .agg(count(lit(1)).as("n_events"),
@@ -610,7 +612,8 @@ object SparkEntry {
         .select(col("event_type"), col("day"), col("n_events"),
           col("total_value"), col("level"))
         .orderBy(col("level"), asc_nulls_first("event_type"),
-          asc_nulls_first("day"))),
+          asc_nulls_first("day"))
+    }),
 
     // Exact-DECIMAL power sums finished by one fixed double expression —
     // the deterministic var_samp (see EventOps.valueVariance).

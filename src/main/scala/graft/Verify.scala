@@ -11,7 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS): read as long (epoch nanos)
+      // Tolerance for a historical testdata encoding (TIMESTAMP(NANOS) →
+      // LongType); a no-op for the current TIMESTAMP_NTZ micros file.
+      // EventOps.eventMs handles Long / TIMESTAMP / TIMESTAMP_NTZ alike.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // SPARK_GRAFT_AQE=false runs the gate without adaptive execution —
       // the sweep that proves no result depends on AQE's runtime
@@ -32,6 +34,10 @@ object Verify {
     // Optional filter (same contract as Bench's — SparkEntry.onlyFilter)
     // for iterating on a few queries without dumping all of them.
     val only = SparkEntry.onlyFilter()
+    // A query that throws is recorded in verify_errors.json, not just
+    // stderr: CORRECTNESS_r06 silently omitted 14 analysis-failing
+    // queries and the artifact read as an all-green round (ADVICE r6).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -39,6 +45,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(300)
       }
       // Drop frames some operators persist internally (near-dup shingle
       // sets) so a long verify run doesn't accumulate cached blocks.
@@ -64,6 +72,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so its absence vs
+    // emptiness is never ambiguous; non-zero exit mirrors Bench's
+    // failure-honesty contract.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -16,25 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** Event time in epoch millis, tolerant of how the nanosecond source
-    * column was read: `spark.sql.legacy.parquet.nanosAsLong=true` yields a
-    * LongType of nanos (Spark has no nanosecond TimestampType), otherwise
-    * a TimestampType.
+  /** Event time in epoch millis, tolerant of every reading the source
+    * parquet has shipped with: LongType (nanos, when
+    * `spark.sql.legacy.parquet.nanosAsLong=true` applied), TIMESTAMP_NTZ
+    * (parquet TIMESTAMP with isAdjustedToUTC=false — the current
+    * testdata), or plain TIMESTAMP. The session timezone is pinned UTC by
+    * every entry point, so casting NTZ→TIMESTAMP preserves the instant
+    * and matches DuckDB's `epoch_ms(ts)` on the same file.
     */
-  private def eventMs(df: DataFrame, tsCol: String = "ts"):
+  private[graft] def eventMs(df: DataFrame, tsCol: String = "ts"):
       org.apache.spark.sql.Column =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         expr(s"$tsCol div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col(tsCol).cast("timestamp"))
       case _ => unix_millis(col(tsCol))
     }
 
-  /** Event time as a (microsecond) TimestampType column for `window()`. */
-  private def eventTs(df: DataFrame, tsCol: String = "ts"):
+  /** Event time as a (microsecond) TimestampType column for `window()`,
+    * tolerant of the same three readings as [[eventMs]].
+    */
+  private[graft] def eventTs(df: DataFrame, tsCol: String = "ts"):
       org.apache.spark.sql.Column =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr(s"$tsCol div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(tsCol).cast("timestamp")
       case _ => col(tsCol)
     }
 
