@@ -106,16 +106,28 @@ object Bench {
             Seq("Transactions" -> tx, "Customers" -> cust,
               "Products" -> prod))
         }
-        val t0 = System.nanoTime()
-        val q = graft.streaming.StreamingPipeline.workbookStream(spark,
-          landing.toString, dir.resolve("state").toString,
-          dir.resolve("processed").toString, dir.resolve("ckpt").toString)
-        q.processAllAvailable()
-        q.stop()
-        val sec = (System.nanoTime() - t0) / 1e9
         val rows = nWb.toLong * txPerWb
-        s""","stream":{"workbooks":$nWb,"tx_rows":$rows,"sec":$sec,""" +
-          s""""rows_per_sec":${rows / sec}}"""
+        def runIngest(tag: String,
+                      start: (SparkSession, String, String, String, String)
+                        => org.apache.spark.sql.streaming.StreamingQuery)
+            : Double = {
+          val t0 = System.nanoTime()
+          val q = start(spark, landing.toString,
+            dir.resolve(s"state_$tag").toString,
+            dir.resolve(s"processed_$tag").toString,
+            dir.resolve(s"ckpt_$tag").toString)
+          q.processAllAvailable()
+          q.stop()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val secSeq =
+          runIngest("seq", graft.streaming.StreamingPipeline.workbookStream)
+        val secBat = runIngest("bat",
+          graft.streaming.StreamingPipeline.workbookStreamBatched)
+        s""","stream":{"workbooks":$nWb,"tx_rows":$rows,"sec":$secSeq,""" +
+          s""""rows_per_sec":${rows / secSeq}},""" +
+          s""""stream_batched":{"workbooks":$nWb,"tx_rows":$rows,""" +
+          s""""sec":$secBat,"rows_per_sec":${rows / secBat}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream ingest failed: ${e.getMessage}")
         ""

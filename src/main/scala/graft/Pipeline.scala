@@ -56,6 +56,19 @@ class Pipeline(spark: SparkSession, stateDir: String, processedDir: String) {
     require(allowedFile(filename), s"not an xlsx: $filename")
 
     val sheets = Xlsx.readSheets(spark, workbookPath)
+    runBatchSheets(sheets, filename, timestamp)
+  }
+
+  /** Same micro-batch against already-materialized sheet frames — the
+    * entry the batched landing stream uses after its one distributed
+    * parse across all of a micro-batch's workbooks
+    * ([[graft.streaming.StreamingPipeline.workbookStreamBatched]]): per
+    * workbook it passes filtered views of the shared parse output
+    * instead of re-parsing on the driver.
+    */
+  def runBatchSheets(sheets: Map[String, DataFrame], filename: String,
+                     timestamp: String = LocalDateTime.now().toString)
+      : BatchResult = {
     require(RequiredSheets.subsetOf(sheets.keySet),          // S2
       "File must contain Transactions, Customers, and Products sheets.")
 

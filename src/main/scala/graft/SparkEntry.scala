@@ -3065,11 +3065,19 @@ object SparkEntry {
     // Ordered wedge join over the a<b SimHash pair list: (a<b)⋈(b<c)
     // closed against (a<c) — each 3-clique exactly once. The pair CTE is
     // MATERIALIZED (three self-join arms would otherwise re-inline the
-    // whole 64-bit-sum SimHash pipeline three times).
+    // whole 64-bit-sum SimHash pipeline three times). Replays the
+    // operator's deterministic degree cap (256 smallest-id neighbors per
+    // vertex per orientation — exact at test SFs, a skew bound at scale).
     "triangle_count" ->
-      s"""WITH sp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
          |$simhashMd5Sql
-         |))
+         |)),
+         |sp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
+         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
+         |  FROM sp0)
+         |  WHERE ra <= 256 AND rb <= 256)
          |SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
          |FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
          |JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b

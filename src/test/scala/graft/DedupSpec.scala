@@ -133,6 +133,21 @@ class DedupSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
   }
 
+  test("triangles: deterministic degree cap keeps smallest-id neighbors") {
+    // K4 on {1,2,3,4} has 4 triangles. With maxDegree = 2, ranks are
+    // computed on the raw graph: (1,4) drops on the out side (ra=3 at
+    // vertex 1) and (3,4) drops on the in side (rb=3 at vertex 4); the
+    // surviving edges {(1,2),(1,3),(2,3),(2,4)} close exactly one
+    // triangle, (1,2,3).
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(Dedup.triangles(k4).count() === 4)
+    val capped = Dedup.triangles(k4, maxDegree = 2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("doc_c")))
+    assert(capped.toSeq === Seq((1L, 2L, 3L)))
+  }
+
   test("winnowPairs: shared-run pairs surface, unrelated docs don't, " +
        "boilerplate fingerprints are capped") {
     val pairs = Dedup.winnowPairs(docs).collect()
