@@ -13,11 +13,18 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query declares a resolvable plan on sf0.001") {
+  test("every query declares a resolvable, cartesian-free plan on " +
+       "sf0.001") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       withClue(s"query $name: ") {
-        fn(spark, dir).schema  // forces analysis
+        val df = fn(spark, dir)
+        df.schema  // forces analysis
+        // The one blanket plan contract: nothing may plan an all-pairs
+        // product. (1-row BroadcastNestedLoopJoin frames are fine and
+        // excluded — they are constant-size broadcasts, not n².)
+        assert(!df.queryExecution.sparkPlan.toString
+          .contains("CartesianProduct"))
       }
     }
   }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the 100-TB plan posture of representative queries — the
+  * promises the operators make (filters reach the parquet scan, small
+  * dimensions broadcast, columns prune, no cartesian products) as CI
+  * assertions instead of once-a-round PLANS_r* eyeballing. Assertions
+  * are deliberately loose string checks (operator names, pushed-filter
+  * entries) so Spark-version formatting drift doesn't flake them.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fmt(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("asof_join pushes event_type filters into both parquet scans") {
+    val p = fmt("asof_join")
+    assert(p.contains("EqualTo(event_type,click)"),
+      "clicks-side filter must reach the scan")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      "purchases-side filter must reach the scan")
+  }
+
+  test("merged_detail broadcasts all three dimension joins and prunes " +
+       "the orders scan to its join keys") {
+    val p = fmt("merged_detail")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3,
+      "part, customer, and orders joins must broadcast at this scale")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("struct<o_orderkey:bigint,o_custkey:bigint>"),
+      "orders scan must read only the two join keys")
+  }
+
+  test("neardup_pairs generates candidates via an equi-join, never a " +
+       "cartesian") {
+    val p = fmt("neardup_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band-bucket candidate join must be hash/merge, not nested-loop")
+  }
+
+  test("flagship_rank (two-phase rank) plans without a cartesian") {
+    val p = fmt("flagship_rank")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
