@@ -488,33 +488,25 @@ object TextOps {
     *
     * Returns (doc_id, pos, fp) — the selected fingerprint set, 0-based
     * hash positions. Documents shorter than `gram + w − 1` bytes yield
-    * no fingerprints. Scale: the candidate fan-out is a fixed ×w explode
-    * (no pair join, no per-doc collect); selection is one
-    * (doc_id, window-start) hash-aggregate on a struct min.
+    * no fingerprints. Scale: selection is per-document LOCAL and
+    * shuffle-free — one codegen'd O(n) deque pass
+    * ([[graft.functions.WinnowSelect]]) over the rolling hashes, so the
+    * only rows that ever leave the projection are the ~2·nh/(w+1)
+    * SELECTED fingerprints. (An earlier formulation exploded all nh×w
+    * (hash, window) rows into a (doc_id, window) hash-aggregate — a
+    * corpus-sized ×w shuffle for a computation with no cross-document
+    * dependency.)
     */
   def winnowFingerprints(docs: DataFrame, gram: Int = 8, w: Int = 4,
-                         textCol: String = "text"): DataFrame = {
-    val hashes = docs
+                         textCol: String = "text"): DataFrame =
+    docs
       .select(col("doc_id"),
-        graft.functions.RollingHashWindows(
-          lower(trim(col(textCol))), gram).as("hs"))
-      .select(col("doc_id"), size(col("hs")).as("nh"),
-        posexplode(col("hs")).as(Seq("i", "h")))
-      .where(col("nh") >= w)
-    // window starts whose w-run covers hash i: p ∈ [max(0, i−w+1),
-    // min(i, nh−w)] — non-empty whenever nh ≥ w, so the ANSI sequence()
-    // never walks backwards.
-    hashes
-      .select(col("doc_id"), col("i"), col("h"),
-        explode(sequence(greatest(lit(0), col("i") - (w - 1)),
-          least(col("i"), col("nh") - w))).as("p"))
-      .groupBy("doc_id", "p")
-      .agg(min(struct(col("h"), col("i"))).as("sel"))
+        explode(graft.functions.WinnowSelect(
+          graft.functions.RollingHashWindows(
+            lower(trim(col(textCol))), gram), w)).as("sel"))
       .select(col("doc_id"), col("sel.i").cast("long").as("pos"),
         col("sel.h").as("fp"))
-      .distinct()
       .orderBy("doc_id", "pos")
-  }
 
   /** Deterministic stratified downsampling for data mixing: keep one in
     * `rates(stratum)` documents per stratum (default `defaultRate`),

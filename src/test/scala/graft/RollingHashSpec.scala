@@ -65,4 +65,36 @@ class RollingHashSpec extends AnyFunSuite {
     assert((h1 & h3).isEmpty)       // unrelated → disjoint
     assert(fps.size === 3)
   }
+
+  /** Brute-force winnowing reference: every window's struct-min
+    * (hash asc, position asc on ties), distinct, in window order.
+    */
+  private def winnowRef(hs: Seq[Long], w: Int): Seq[(Long, Int)] =
+    if (hs.length < w) Seq.empty
+    else (0 to hs.length - w)
+      .map(p => (p until p + w).map(i => (hs(i), i)).min)
+      .distinct
+
+  test("WinnowSelect matches the brute-force per-window min, " +
+       "including hash ties and short arrays") {
+    val w = 4
+    val rnd = new scala.util.Random(7)
+    // deliberately small hash alphabet → many ties exercise the
+    // leftmost-on-tie rule; lengths straddle the < w edge
+    val cases = (0 until 40).map { k =>
+      val n = rnd.nextInt(12)  // 0..11, some below w
+      (k.toLong, (0 until n).map(_ => rnd.nextInt(4).toLong))
+    }
+    val df = cases.map { case (id, hs) => (id, hs) }
+      .toDF("id", "hs")
+      .select(col("id"),
+        graft.functions.WinnowSelect(col("hs"), w).as("sel"))
+    val got = df.collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getLong(0), s.getInt(1)))
+    }.toMap
+    cases.foreach { case (id, hs) =>
+      assert(got(id) === winnowRef(hs, w), s"case $id: $hs")
+    }
+  }
 }
