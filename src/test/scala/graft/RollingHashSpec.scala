@@ -97,4 +97,32 @@ class RollingHashSpec extends AnyFunSuite {
       assert(got(id) === winnowRef(hs, w), s"case $id: $hs")
     }
   }
+
+  test("TokenNgrams matches the split/concat_ws reference, including " +
+       "empty tokens, trailing separators, and multi-byte UTF-8") {
+    def ref(s: String, n: Int): Seq[String] = {
+      val toks = s.split(" ", -1).toSeq
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val texts = Seq(
+      "a b c d e", "one two", "", " ", "a  b", " lead", "trail ",
+      "solo", "héllo wörld déjà vu naïve", "日本 語 テスト です ね",
+      "a b c", "x " * 5 + "y")
+    for (n <- Seq(1, 2, 3, 6)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"),
+          graft.functions.TokenNgrams(col("t"), n).as("g"))
+      val got = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === ref(t, n), s"n=$n text='$t'")
+      }
+    }
+    // null text → null array (same as split(null))
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(graft.functions.TokenNgrams(col("t"), 3).as("g"))
+    assert(nul.head().isNullAt(0))
+  }
 }
