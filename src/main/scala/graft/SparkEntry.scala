@@ -80,6 +80,22 @@ object SparkEntry {
           lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
           lit("-0199"))).otherwise(lit(""))))
 
+  /** Deterministic boilerplate-line planting for `strip_boilerplate`:
+    * the corpus text has no newlines, so both engines wrap deterministic
+    * doc subsets with the same high-df banner/footer lines (removal
+    * targets) plus one id-derived RARE footer (df=1 — must survive).
+    */
+  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat(
+      when(col("doc_id") % 3 === 0,
+        lit("subscribe to our newsletter\n")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit("\nall rights reserved 2024")).otherwise(lit("")),
+      when(col("doc_id") % 97 === 0,
+        concat(lit("\nrare footer "), col("doc_id").cast("string")))
+        .otherwise(lit(""))))
+
   /** Per-(session, sf dir) memo for deterministic setup work — dimension
     * stats, trained codebooks, audit-state builds — so a repeated query
     * invocation (Bench's min-of-2) re-times the operator, not its setup.
@@ -1175,6 +1191,13 @@ object SparkEntry {
       TextOps.urlDomains(piiDocs(s, dir))
         .select(col("domain"), col("n_urls"), col("n_docs"))
         .orderBy("domain")),
+
+    // Line-level boilerplate removal (C4/RefinedWeb cleaning pass) over
+    // deterministically planted banner/footer lines: high-df lines drop,
+    // the df=1 rare footer survives; cleaned text compared by md5.
+    "strip_boilerplate" -> ((s, dir) =>
+      TextOps.stripBoilerplateLines(boilerplateDocs(s, dir))
+        .orderBy("doc_id")),
 
     // Winnowing-style rolling-hash fingerprint (custom codegen'd
     // expression; Long arithmetic not portable to the oracle: rows-only).
@@ -3019,6 +3042,41 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_urls,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays the banner/footer planting, per-line df over md5(trim),
+    // NOT-IN anti-join, and ordered string_agg reassembly.
+    "strip_boilerplate" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || 'all rights reserved 2024' ELSE '' END ||
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN chr(10) || 'rare footer ' || doc_id ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+        |f AS (SELECT doc_id, i - 1 AS idx, l[i] AS line,
+        |    md5(trim(l[i])) AS lf
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM ls)),
+        |b AS (SELECT lf FROM (SELECT lf, COUNT(DISTINCT doc_id) AS nd
+        |    FROM f GROUP BY 1) WHERE nd > 5),
+        |k AS (SELECT doc_id, idx, line FROM f
+        |  WHERE lf NOT IN (SELECT lf FROM b)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY idx)) AS cleaned_md5
+        |  FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0)
+        |    AS BIGINT) AS n_removed,
+        |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS doc_id,

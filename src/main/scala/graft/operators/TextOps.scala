@@ -538,6 +538,50 @@ object TextOps {
     docs.withColumn("canonical",
       graft.functions.UnicodeNormalize.normalize(col(textCol)))
 
+  /** Line-level boilerplate removal (the C4/RefinedWeb cleaning pass):
+    * drop every line whose trimmed content occurs in more than
+    * `maxLineDf` distinct documents — navigation menus, cookie banners,
+    * legal footers — and keep everything else in original order.
+    * Returns one row per document: (doc_id, n_lines, n_removed,
+    * cleaned_md5) where cleaned_md5 hashes the surviving lines rejoined
+    * with newlines (the full cleaned column is the production output;
+    * the hash is what a comparator can check).
+    *
+    * Scale: line df is a hash-aggregate on 32-byte md5 keys (the
+    * line-frequency index at cluster scale — never the line text); the
+    * boilerplate set is corpus-bounded-small and anti-joins back; doc
+    * reassembly is the same `array_sort`-of-`collect_list` per-doc
+    * aggregate as [[graft.operators.Dedup.clipDuplicateSpans]] —
+    * deterministic under any partitioning. The line frame is persisted
+    * once (feeds the df count, the anti-join, and per-doc totals).
+    */
+  def stripBoilerplateLines(docs: DataFrame, maxLineDf: Int = 5,
+                            textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("_lf", md5(trim(col("line"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.groupBy("_lf")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .where(col("_nd") > maxLineDf)
+      .select("_lf")
+    val agg = lines.join(boiler, Seq("_lf"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line")))).as("cleaned_md5"))
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    docs.select(col("doc_id")).join(totals, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** Corpus-level vocabulary: the `k` most frequent whitespace tokens
     * (lowercased), count-descending with a token-ascending tiebreak so
     * the k-cut is a total order — the vocabulary-building pass before

@@ -452,4 +452,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sketch === exact)
     assert(exact.map(_._1).contains("h1"))  // the test is not vacuous
   }
+
+  test("stripBoilerplateLines drops high-df lines, keeps rare lines in " +
+       "order, and trims for the df key only") {
+    import org.apache.spark.sql.functions.col
+    // banner appears in 7 docs (> maxLineDf 5, incl. one padded copy
+    // that must share the df key via trim), body lines are unique,
+    // doc 7 has no boilerplate at all, doc 8 is a single line.
+    val docs = (0L until 7L).map { i =>
+      val banner = if (i == 0) "  the banner  " else "the banner"
+      (i, s"$banner\nbody line $i\ntail $i")
+    } :+ (7L, "only body\nsecond line") :+ (8L, "solo")
+    val out = TextOps.stripBoilerplateLines(
+        docs.toDF("doc_id", "text"), maxLineDf = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // banner removed from all 7 carriers (trimmed copy too), bodies kept
+    (0 until 7).foreach { i =>
+      assert(out(i)._2 === 3L && out(i)._3 === 1L, s"doc $i")
+    }
+    assert(out(7) === ((7L, 2L, 0L,
+      TestSpark.spark.sql("SELECT md5('only body\nsecond line')")
+        .head().getString(0))))
+    assert(out(8)._2 === 1L && out(8)._3 === 0L)
+    // order preserved: doc 3 cleaned text = "body line 3\ntail 3"
+    val want3 = TestSpark.spark.sql("SELECT md5('body line 3\ntail 3')")
+      .head().getString(0)
+    assert(out(3)._4 === want3)
+  }
 }
