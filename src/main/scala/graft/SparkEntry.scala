@@ -1051,6 +1051,12 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(docs(s, dir))),
 
+    // Vocabulary coverage: per-doc OOV token fraction against the same
+    // deterministic top-100 vocab — the tokenizer-evaluation signal.
+    "vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(docs(s, dir))
+        .orderBy("doc_id")),
+
     // Deterministic train/val/test holdout split (90/5/5 by Knuth
     // multiplicative hash of doc_id — a pure projection, so assignment
     // is stable across machines and reruns); per-split doc/char summary.
@@ -2324,6 +2330,29 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // Replays the total-order vocab k-cut, then per-doc OOV counting via
+    // a NOT-IN over the vocab CTE; rate is one IEEE division.
+    "vocab_coverage" ->
+      """WITH v AS (SELECT token FROM (
+        |    SELECT token, COUNT(*) AS n
+        |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |          FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token LIMIT 100)),
+        |t AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN token NOT IN (SELECT token FROM v)
+        |        THEN 1 ELSE 0 END) AS n_oov
+        |  FROM t GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CASE WHEN coalesce(c.n_tokens, 0) > 0
+        |    THEN CAST(c.n_oov AS DOUBLE) / c.n_tokens END AS oov_rate
+        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "bpe_merges" -> bpeMergesSql,
 

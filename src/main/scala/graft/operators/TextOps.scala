@@ -596,6 +596,38 @@ object TextOps {
       .orderBy(desc("n"), asc("token"))
       .limit(k)
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-evaluation pass:
+    * for each document, the fraction of its whitespace tokens that fall
+    * OUTSIDE the corpus's top-`k` vocabulary ([[vocabTopK]] — total-order
+    * k-cut, so the vocab set is deterministic). The per-document signal a
+    * pipeline uses to decide whether a planned vocab size is adequate
+    * for a source mix, and the per-source roll-up feeds data-mixing
+    * decisions.
+    *
+    * Scale: the vocab is k rows and BROADCASTS against the exploded
+    * token stream (left join on the token key — no shuffle of the
+    * corpus); the per-doc aggregate combines map-side. `oov_rate` is a
+    * single IEEE division of exact counts; null for token-less docs.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 100,
+                    textCol: String = "text"): DataFrame = {
+    val vocab = vocabTopK(docs, k, textCol)
+      .select(col("token"), lit(1L).as("_in"))
+    val counts = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Exact heavy hitters in bounded memory — every token whose corpus
     * frequency exceeds `n / threshold`, found WITHOUT a full vocabulary
     * aggregate: a Misra–Gries sketch pass

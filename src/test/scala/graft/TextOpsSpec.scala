@@ -480,4 +480,21 @@ class TextOpsSpec extends AnyFunSuite {
       .head().getString(0)
     assert(out(3)._4 === want3)
   }
+
+  test("vocabCoverage: OOV fraction against the deterministic top-k " +
+       "vocab, null rate for token-less docs") {
+    import org.apache.spark.sql.functions.col
+    // vocab k=2 → {"a" (4x), "b" (3x)} (count desc, token asc cut);
+    // "c" and "z" are OOV. doc 3 has null text.
+    val d = Seq((0L, "a a b c"), (1L, "b b a z"), (2L, "a"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(d, k = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out(0) === ((0L, 4L, 1L, Some(0.25))))
+    assert(out(1) === ((1L, 4L, 1L, Some(0.25))))
+    assert(out(2) === ((2L, 1L, 0L, Some(0.0))))
+    assert(out(3) === ((3L, 0L, 0L, None)))
+  }
 }
