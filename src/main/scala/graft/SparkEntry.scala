@@ -666,6 +666,12 @@ object SparkEntry {
     "neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Classic b×r banding (2 bands × 2 rows): candidates need BOTH
+    // minima of some band to collide — the steeper s-curve that bounds
+    // verify cost as the corpus grows; same exact-Jaccard verify.
+    "neardup_pairs_banded" -> ((s, dir) =>
+      Dedup.nearDupPairsBanded(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
     // Exact Levenshtein verify over the LSH-blocked candidate pairs —
     // the O(len²) last step of fuzzy matching, never run all-pairs.
     "edit_distance_pairs" -> ((s, dir) => {
@@ -1405,6 +1411,26 @@ object SparkEntry {
        |$minhashBandsSql,
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |${jaccardVerifySql("doc_a", "doc_b")}""".stripMargin
+
+  /** b×r banding twin of [[nearDupPairsSql]] (b=2 bands of r=2
+    * concatenated slice minima — candidate iff BOTH minima of some band
+    * collide).
+    */
+  private val nearDupPairsBandedSql: String =
+    s"""$shinglesSql,
+       |bands2 AS (
+       |  SELECT doc_id, 0 AS band,
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) ||
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
+       |    AS sig FROM sh
+       |  UNION ALL SELECT doc_id, 1,
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) ||
+       |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
+       |    FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands2 a JOIN bands2 b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
        |${jaccardVerifySql("doc_a", "doc_b")}""".stripMargin
 
@@ -3131,6 +3157,8 @@ object SparkEntry {
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "neardup_pairs" -> nearDupPairsSql,
+
+    "neardup_pairs_banded" -> nearDupPairsBandedSql,
 
     // Levenshtein verify joined over the MATERIALIZED LSH pair CTE (two
     // join arms would otherwise re-run the MinHash pipeline twice).

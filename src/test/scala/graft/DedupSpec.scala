@@ -80,6 +80,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))  // unrelated
   }
 
+  test("nearDupPairsBanded: subset of the r=1 pairs at equal precision; " +
+       "exact duplicates always collide on every band") {
+    val r1 = Dedup.nearDupPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    val r2 = Dedup.nearDupPairsBanded(docs, rowsPerBand = 2,
+        threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    // verify is identical, banding only prunes candidates → subset
+    assert(r2.subsetOf(r1))
+    // identical shingle sets share every slice minimum, so exact
+    // duplicates survive ANY banding
+    assert(r2.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // r=4 (one band of all four minima) still catches exact duplicates
+    val r4 = Dedup.nearDupPairsBanded(docs, rowsPerBand = 4,
+        threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(r4.contains((0L, 1L)))
+  }
+
   test("pageRank: hand-computed fixed-point round on a path graph, " +
        "hub ranks first, empty graph is empty") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
