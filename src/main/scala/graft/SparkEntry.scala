@@ -672,6 +672,12 @@ object SparkEntry {
     "neardup_pairs_banded" -> ((s, dir) =>
       Dedup.nearDupPairsBanded(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Asymmetric containment (quote/subset detection): |A∩B|/|A| and
+    // /|B| over the LSH candidate pairs — the signal that finds a short
+    // doc embedded in a long one, which symmetric Jaccard misses.
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
     // Exact Levenshtein verify over the LSH-blocked candidate pairs —
     // the O(len²) last step of fuzzy matching, never run all-pairs.
     "edit_distance_pairs" -> ((s, dir) => {
@@ -1402,6 +1408,34 @@ object SparkEntry {
        |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
        |  (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
        |ORDER BY $aName, $bName""".stripMargin
+
+  /** Containment twin of the pair oracle: same band candidates, both
+    * asymmetric i/|A| and i/|B| directions, either ≥ 0.8 keeps the pair.
+    */
+  private val containmentPairsSql: String =
+    s"""$shinglesSql,
+       |$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+       |  FROM cand c JOIN shing x ON x.doc_id = c.da
+       |  JOIN shing y ON y.doc_id = c.db AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT c.da AS doc_a, c.db AS doc_b,
+       |  CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.n AS containment_a,
+       |  CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.n AS containment_b,
+       |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
+       |    (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+       |FROM cand c
+       |JOIN sizes sa ON c.da = sa.doc_id
+       |JOIN sizes sb ON c.db = sb.doc_id
+       |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+       |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.n >= 0.8
+       |   OR CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.n >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash-LSH near-dup pair oracle — also embedded as the edge set of
     * the `neardup_clusters` transitive-closure oracle.
@@ -3159,6 +3193,8 @@ object SparkEntry {
     "neardup_pairs" -> nearDupPairsSql,
 
     "neardup_pairs_banded" -> nearDupPairsBandedSql,
+
+    "containment_pairs" -> containmentPairsSql,
 
     // Levenshtein verify joined over the MATERIALIZED LSH pair CTE (two
     // join arms would otherwise re-run the MinHash pipeline twice).

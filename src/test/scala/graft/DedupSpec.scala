@@ -101,6 +101,28 @@ class DedupSpec extends AnyFunSuite {
     assert(r4.contains((0L, 1L)))
   }
 
+  test("containmentPairs: a short doc embedded in a long one scores " +
+       "containment ~1 on the short side with low Jaccard") {
+    val short0 = "alpha beta gamma delta epsilon zeta eta theta"
+    // modest filler: shared shingles stay the majority so the pair
+    // band-collides (deterministic for these fixed strings), while
+    // Jaccard drops well below a symmetric near-dup threshold
+    val long1 = short0 + " " + (1 to 8).map(i => s"filler$i").mkString(" ")
+    val d = Seq((0L, short0), (1L, long1),
+        (2L, "totally different content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"),
+        r.getAs[Double]("jaccard")))
+    assert(out.length === 1)
+    val (a, b, ca, cb, j) = out.head
+    assert((a, b) === ((0L, 1L)))
+    assert(ca === 1.0)         // every trigram of the short doc is in long
+    assert(cb < 0.8)           // long side is NOT contained in short
+    assert(j < 0.8)            // symmetric Jaccard would have missed it
+  }
+
   test("pageRank: hand-computed fixed-point round on a path graph, " +
        "hub ranks first, empty graph is empty") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
