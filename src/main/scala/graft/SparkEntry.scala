@@ -678,6 +678,20 @@ object SparkEntry {
     "containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Z-order (Morton) clustering key over (user_id, event day): rows
+    // sorted by this key cluster in BOTH dimensions, so parquet min/max
+    // stats prune scans for predicates on either column (ScaleSpec
+    // asserts the two-dimensional file skipping on a written layout).
+    "z_order_key" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.withColumn("_ms", EventOps.eventMs(ev))
+        .select(col("event_id"), col("user_id"),
+          expr("_ms div 86400000").as("day"))
+        .withColumn("z", graft.functions.BitInterleave(
+          col("user_id"), col("day"), 21))
+        .orderBy("event_id")
+    }),
+
     // Exact Levenshtein verify over the LSH-blocked candidate pairs —
     // the O(len²) last step of fuzzy matching, never run all-pairs.
     "edit_distance_pairs" -> ((s, dir) => {
@@ -3195,6 +3209,16 @@ object SparkEntry {
     "neardup_pairs_banded" -> nearDupPairsBandedSql,
 
     "containment_pairs" -> containmentPairsSql,
+
+    // Bit-interleave replay: sum of shifted masked bits of both inputs.
+    "z_order_key" ->
+      """SELECT event_id, user_id,
+        |  (epoch_ms(ts) // 86400000) AS day,
+        |  CAST(list_sum(list_transform(range(0, 21), i ->
+        |      (((user_id >> i) & 1) << (2 * i)) +
+        |      ((((epoch_ms(ts) // 86400000) >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS z
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Levenshtein verify joined over the MATERIALIZED LSH pair CTE (two
     // join arms would otherwise re-run the MinHash pipeline twice).

@@ -81,6 +81,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("BitInterleave matches the reference interleave and z-order " +
+       "layout clusters BOTH dimensions; a single-column sort leaves " +
+       "the other dimension scattered across every file") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    // exact interleave vs reference on assorted values
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (63L, 63L),
+      (21L, 42L), (1048575L, 524287L))
+    val got = samples.toDF("a", "b")
+      .select(graft.functions.BitInterleave(col("a"), col("b"), 21))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === samples.map { case (a, b) => ref(a, b, 21) })
+
+    // 64×64 grid, 16 files of 256 rows: Morton blocks of 256 aligned
+    // values are exact 16×16 tiles, so BOTH per-file ranges are 15;
+    // sorting by `a` alone leaves `b`'s per-file range at the full 63.
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    def fileRanges(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("a") - min("a")).as("ra"), (max("b") - min("b")).as("rb"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val zDir = base.resolve("z").toString
+    grid.withColumn("z", graft.functions.BitInterleave(col("a"), col("b"), 6))
+      .repartition(1).sortWithinPartitions("z").drop("z")
+      .write.option("maxRecordsPerFile", 256).parquet(zDir)
+    val zRanges = fileRanges(zDir)
+    assert(zRanges.size === 16)
+    assert(zRanges.forall { case (ra, rb) => ra <= 15 && rb <= 15 },
+      s"z-order file ranges not tile-bounded: $zRanges")
+    val aDir = base.resolve("a").toString
+    grid.repartition(1).sortWithinPartitions("a", "b")
+      .write.option("maxRecordsPerFile", 256).parquet(aDir)
+    val aRanges = fileRanges(aDir)
+    assert(aRanges.forall { case (ra, _) => ra <= 15 })       // a clusters
+    assert(aRanges.forall { case (_, rb) => rb === 63L },     // b scattered
+      s"expected full-range b under single-col sort: $aRanges")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (0 until 1000).map(i => (i.toLong, s"l$i"))
       .toDF("k", "lv")
