@@ -717,6 +717,15 @@ object SparkEntry {
       Dedup.triangles(
         Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
 
+    // Aggregate twin of triangle_count: per-vertex triangle participation
+    // over the same degree-capped graph, ending in a vertex-sized hash
+    // aggregate instead of a total-order sort over the triangle set —
+    // the form that survives a 100× edge-count scale-up (the enumerate
+    // form's terminal sort is output-sized and grows superlinearly).
+    "triangle_counts_by_vertex" -> ((s, dir) =>
+      Dedup.triangleCounts(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+
     // Near-dup clustering: connected components over the MinHash-LSH pair
     // graph — every doc labeled with its cluster's canonical (minimum)
     // doc_id, singletons labeling themselves. The post-pair step an LLM
@@ -3257,6 +3266,28 @@ object SparkEntry {
          |FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
          |JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Per-vertex twin: same capped wedge closure, 3-arm UNION ALL of the
+    // triangle's member vertices, GROUP BY vertex — replays the
+    // explode-and-count aggregate exactly.
+    "triangle_counts_by_vertex" ->
+      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |$simhashMd5Sql
+         |)),
+         |sp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
+         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
+         |  FROM sp0)
+         |  WHERE ra <= 256 AND rb <= 256),
+         |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |  FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
+         |  JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+         |SELECT doc_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS doc_id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
     // filter 2..10, blocking self-join, exact Jaccard over full gram sets.

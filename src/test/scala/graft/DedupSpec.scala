@@ -176,6 +176,38 @@ class DedupSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
   }
 
+  test("triangleCounts: per-vertex participation matches the enumeration, " +
+       "plan has no sort over the triangle set") {
+    // two triangles sharing edge (2,3): vertex 1 in one, 2 and 3 in both,
+    // 4 in one; vertices only on the isolated edge / open wedge absent.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (7L, 8L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.triangleCounts(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_triangles")))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+    // the degree cap is shared with the enumerate form
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("doc_a", "doc_b")
+    val capped = Dedup.triangleCounts(k4, maxDegree = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_triangles")))
+    assert(capped.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // scale contract: the only Sort in the plan is the terminal
+    // vertex-sized orderBy — it sits ABOVE the aggregate, never below
+    // (a sort under the aggregate would be triangle-set-sized)
+    val plan = Dedup.triangleCounts(pairs).queryExecution.optimizedPlan
+    def check(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+              belowAgg: Boolean): Unit = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+      p match {
+        case s: Sort => assert(!belowAgg, "sort below the aggregate")
+          s.children.foreach(check(_, belowAgg))
+        case a: Aggregate => a.children.foreach(check(_, belowAgg = true))
+        case other => other.children.foreach(check(_, belowAgg))
+      }
+    }
+    check(plan, belowAgg = false)
+  }
+
   test("triangles: deterministic degree cap keeps smallest-id neighbors") {
     // K4 on {1,2,3,4} has 4 triangles. With maxDegree = 2, ranks are
     // computed on the raw graph: (1,4) drops on the out side (ra=3 at
@@ -304,6 +336,31 @@ class DedupSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(chain, verts)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("connectedComponents: periodic checkpoint bounds plan depth " +
+       "as rounds grow") {
+    // Two path graphs, diameters 8 and 16 → 8 vs 16 propagation rounds.
+    // With checkpointEvery = 2 the final label frame's plan must NOT
+    // grow with the round count: lineage is cut every 2 rounds, so both
+    // runs end within the same bounded plan size. Without truncation the
+    // 16-round plan would nest twice the rounds (and each round re-nests
+    // the edge lineage — the round-7 audit's 500+-Exchange artifact).
+    def planSize(diameter: Int): Int = {
+      val chain = (1L to diameter.toLong).map(i => (i, i + 1))
+        .toDF("doc_a", "doc_b")
+      val verts = (1L to diameter.toLong + 1).toDF("doc_id")
+      val cc = Dedup.connectedComponents(chain, verts, maxIters = 30,
+        checkpointEvery = 2)
+      val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === (1L to diameter.toLong + 1).map(_ -> 1L).toMap)
+      cc.queryExecution.optimizedPlan.treeString.length
+    }
+    val (p8, p16) = (planSize(8), planSize(16))
+    // bounded: doubling the rounds must not double the plan; both stay
+    // within a small constant of each other (checkpoint-cycle residue)
+    assert(p16 < p8 * 2, s"plan grew with rounds: $p8 -> $p16")
+    assert(p16 < 20000, s"final plan unexpectedly large: $p16 chars")
   }
 
   test("connectedComponentsStar labels a deep chain in O(log n) rounds") {
