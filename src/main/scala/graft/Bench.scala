@@ -79,6 +79,7 @@ object Bench {
     // "stream" field of the same JSON object so the driver's single-line
     // parse is unaffected. Skipped only under a query filter (the
     // SPARK_GRAFT_ONLY fast path times batch queries alone).
+    var streamFailed = false
     val streamJson = if (only.isDefined) "" else {
       try {
         val nWb = sys.env.getOrElse("SPARK_GRAFT_STREAM_WB", "6").toInt
@@ -129,21 +130,28 @@ object Bench {
           s""""stream_batched":{"workbooks":$nWb,"tx_rows":$rows,""" +
           s""""sec":$secBat,"rows_per_sec":${rows / secBat}}"""
       } catch { case e: Throwable =>
+        // Same failure-honesty contract as the queries: a broken
+        // streaming pipeline must not silently vanish from the output
+        // (ADVICE r7) — it joins the failed list and flips the exit code.
         System.err.println(s"[bench] stream ingest failed: ${e.getMessage}")
+        streamFailed = true
         ""
       }
     }
+    val failedAll = failed ++ (if (streamFailed) Seq("stream_ingest") else Nil)
+    val failedAllJson = failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"$streamJson}"""
+      s""""failed":$failedAllJson,"sf":"$sfDir"$streamJson}"""
     // The full line is ~2.5 KB and has historically been truncated by the
     // driver's tail window mid-object (VERDICT r3 §8, r5 §4, r6 §6). A
     // compact summary object — small enough that any tail window holds it
-    // whole — is printed LAST so a last-line parse always sees complete
-    // JSON; the full per-query map lives in bench_out.json.
+    // whole — is printed FIRST (before any more sbt/shutdown noise can
+    // scroll a head window past it) AND LAST (so a last-line tail parse
+    // sees complete JSON); the full per-query map lives in bench_out.json.
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""failed":$failedJson,"sf":"$sfDir","detail":"bench_out.json"}"""
+      s""""failed":$failedAllJson,"sf":"$sfDir","detail":"bench_out.json"}"""
     // Stdout gets drowned in sbt log noise; also write the line to a file
     // the driver can parse reliably, and echo it on stderr as the very
     // last lines so a tail-reader finds it either way. The raw JSON is
@@ -151,6 +159,9 @@ object Bench {
     // it: a last-line tail parse must see the bare JSON object.
     val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.writeString(outPath, json + "\n")
+    println(summary)
+    System.err.println(summary)
+    System.out.flush()
     spark.stop()
     System.err.println(s"BENCH_JSON_FILE=$outPath")
     System.err.println(json)
@@ -159,6 +170,6 @@ object Bench {
     println(json)
     println(summary)
     System.out.flush()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failedAll.nonEmpty) sys.exit(1)
   }
 }

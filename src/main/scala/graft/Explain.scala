@@ -58,11 +58,14 @@ object Explain {
     sb.append("\n")
     def count(p: String, op: String): Int = op.r.findAllMatchIn(p).size
     val rows = plans.toSeq.map { case (n, p) =>
-      (n, count(p, "Exchange"), count(p, "SortMergeJoin"),
+      // Word-boundary anchor: bare "Exchange" would also match
+      // BroadcastExchange / ReusedExchange nodes (ADVICE r7), inflating
+      // the shuffle column — only the shuffle Exchange operator counts.
+      (n, count(p, "(?<![A-Za-z])Exchange"), count(p, "SortMergeJoin"),
         count(p, "BroadcastHashJoin"), count(p, "BroadcastNestedLoopJoin"))
     }
-    sb.append("- top plans by Exchange count (printed-plan nodes; BSP " +
-      "loops print their full nested lineage but execute per-round " +
+    sb.append("- top plans by shuffle Exchange count (printed-plan nodes; " +
+      "BSP loops print their full nested lineage but execute per-round " +
       "against persisted frames):\n\n")
     sb.append("| query | Exchange | SMJ | BHJ | BNLJ |\n|---|---|---|---|---|\n")
     rows.sortBy(-_._2).take(12).foreach { case (n, e, s, b, c) =>
