@@ -1262,11 +1262,20 @@ object SparkEntry {
 
     // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
 
-    "multimodal_features" -> ((s, dir) => {  // rows-only check
+    // Full feature path, oracle-checked end-to-end: the LCG payload is
+    // replayed in SQL (like multimodal_histogram) and entropy rides as
+    // the Q40 FIXED-POINT form (square-and-shift binary log, pure
+    // integer — Multimodal.log2Fp), which DuckDB recomputes bit-for-bit
+    // with HUGEINT where libm Shannon doubles would flake the exact
+    // comparator. 512-byte payloads keep the oracle recursion cheap; the
+    // float byte_entropy column stays in the operator (reference parity,
+    // MultimodalSpec) but out of the hash-compared projection.
+    "multimodal_features" -> ((s, dir) => {
       val n = Tables.load(s, dir, "documents").count()
-      Multimodal.extractFeatures(Multimodal.synthesize(s, n))
+      Multimodal.extractFeatures(
+          Multimodal.synthesize(s, n, payloadBytes = 512))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          col("byte_entropy"),
+          col("entropy_fp"),
           // serialized: array columns crash the driver's comparator
           to_json(col("histogram")).as("histogram"))
         .orderBy("asset_id")
@@ -1345,12 +1354,12 @@ object SparkEntry {
 
   // ---- DuckDB oracle SQL ----------------------------------------------
   // Omitted (rows-only check) for: simhash_pairs (xxhash64 is not
-  // portable — the md5-sliced simhash_pairs_md5 variant IS oracle-checked),
-  // approx_users_per_type / approx_event_quantiles (sketches; error bounds
-  // vs the exact twins asserted in PropertySpec), and multimodal_features
-  // (float entropy; the integer feature core IS oracle-checked via
-  // multimodal_histogram's recursive-CTE LCG replay, and the
-  // mod-2^64 rolling_fingerprint via HUGEINT arithmetic). The approximate ANN
+  // portable — the md5-sliced simhash_pairs_md5 variant IS oracle-checked)
+  // and approx_users_per_type / approx_event_quantiles (sketches; error
+  // bounds vs the exact twins asserted in PropertySpec). Those three are
+  // the ONLY rows-only entries: multimodal_features is oracle-checked via
+  // the LCG replay + Q40 fixed-point entropy (and the mod-2^64
+  // rolling_fingerprint via HUGEINT arithmetic). The approximate ANN
   // paths (ann_topk_lsh / ann_topk_ivf / ann_topk_ivf_kmeans /
   // embedding_neardup_lsh) ARE oracle-checked: their hyperplanes/centroids
   // are deterministic (k-means trains with order-free DECIMAL means), so
@@ -2630,6 +2639,75 @@ object SparkEntry {
         |SELECT unnest(range((SELECT c FROM n))) AS asset_id,
         |  CAST(1024 AS BIGINT) AS n_bytes
         |ORDER BY asset_id""".stripMargin,
+
+    // Full feature replay: the multimodal_histogram LCG CTE, plus
+    // Multimodal.log2Fp's square-and-shift Q40 binary log as a second
+    // recursion over the ≤ 513 distinct bin counts (HUGEINT mantissa —
+    // the 122-bit intermediate square fits int128), composed into the
+    // fixed-point entropy Σ h·(L(512) − L(h)) // 512 and the dense
+    // histogram serialized exactly as Spark's to_json.
+    "multimodal_features" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
+        |g(asset_id, i, x) AS (
+        |  SELECT CAST(id AS BIGINT), 0,
+        |    CAST((((CAST(id AS HUGEINT) * 6364136223846793005
+        |             + 1442695040888963407) % 18446744073709551616)
+        |          * 6364136223846793005 + 1442695040888963407)
+        |         % 18446744073709551616 AS HUGEINT)
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT asset_id, i + 1,
+        |    CAST(((x * 6364136223846793005) % 18446744073709551616
+        |          + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+        |  FROM g WHERE i < 511),
+        |hist AS (SELECT asset_id,
+        |    CAST(x // 1152921504606846976 AS BIGINT) AS bin, COUNT(*) AS h
+        |  FROM g GROUP BY 1, 2),
+        |bins AS (SELECT CAST(a.id AS BIGINT) AS asset_id, b.bin
+        |  FROM ids a, (SELECT CAST(unnest(range(16)) AS BIGINT) AS bin) b),
+        |dense AS (SELECT b.asset_id, b.bin, COALESCE(hist.h, 0) AS h
+        |  FROM bins b LEFT JOIN hist
+        |    ON b.asset_id = hist.asset_id AND b.bin = hist.bin),
+        |vals AS (SELECT DISTINCT h AS v FROM hist UNION SELECT 512),
+        |p2 AS (SELECT CAST(e AS INT) AS e, CAST(1 AS BIGINT) << CAST(e AS INT) AS pv
+        |  FROM (SELECT unnest(range(61)) AS e)),
+        |ipart AS (SELECT v, MAX(e) AS ip FROM vals JOIN p2 ON pv <= v
+        |  GROUP BY v),
+        |lg(v, k, x, frac) AS (
+        |  SELECT i.v, 0,
+        |    CAST(CAST(i.v AS BIGINT) << (60 - i.ip) AS HUGEINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM ipart i
+        |  UNION ALL
+        |  SELECT v, k + 1,
+        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
+        |         THEN ((x*x) // 1152921504606846976) // 2
+        |         ELSE (x*x) // 1152921504606846976 END,
+        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
+        |         THEN frac * 2 + 1 ELSE frac * 2 END
+        |  FROM lg WHERE k < 40),
+        |l2 AS (SELECT lg.v,
+        |    (CAST(i.ip AS BIGINT) << 40) + lg.frac AS lfp
+        |  FROM lg JOIN ipart i ON lg.v = i.v WHERE lg.k = 40),
+        |ent AS (SELECT d.asset_id,
+        |    CAST(SUM(d.h * (l512.lfp - lh.lfp)) // 512 AS BIGINT)
+        |      AS entropy_fp
+        |  FROM dense d
+        |  JOIN l2 lh ON lh.v = d.h
+        |  CROSS JOIN (SELECT lfp FROM l2 WHERE v = 512) l512
+        |  WHERE d.h > 0
+        |  GROUP BY 1),
+        |hj AS (SELECT asset_id,
+        |    '[' || string_agg(CAST(h AS VARCHAR), ',' ORDER BY bin) || ']'
+        |      AS histogram
+        |  FROM dense GROUP BY 1)
+        |SELECT e.asset_id,
+        |  CASE e.asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CAST(512 AS BIGINT) AS n_bytes, e.entropy_fp, hj.histogram
+        |FROM ent e JOIN hj ON e.asset_id = hj.asset_id
+        |ORDER BY e.asset_id""".stripMargin,
 
     // Replays Multimodal.synthesize's 64-bit LCG (x' = x·A + C mod 2^64;
     // payload byte i = top byte of iterate i+2) in a recursive CTE with

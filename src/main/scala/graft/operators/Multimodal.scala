@@ -62,7 +62,51 @@ object Multimodal {
     StructField("modality", StringType),
     StructField("n_bytes", LongType),
     StructField("byte_entropy", DoubleType),
+    StructField("entropy_fp", LongType, nullable = false),
     StructField("histogram", ArrayType(LongType))))
+
+  /** Q40 fixed-point binary logarithm of a positive integer, computed by
+    * the classic square-and-shift algorithm entirely in integer
+    * arithmetic: integer part = bit position of the top bit; 40 fraction
+    * bits from "square the Q60 mantissa, emit 1 and halve when it
+    * crosses 2". Truncating (not rounded) at every step — which is the
+    * point: the result is a pure function of the integer input with no
+    * libm anywhere, so DuckDB replays it bit-for-bit with HUGEINT
+    * (the 122-bit intermediate square fits int128), making
+    * entropy oracle-checkable where Shannon-entropy doubles are not.
+    */
+  private[graft] def log2Fp(v: Long): Long = {
+    require(v >= 1, s"log2Fp domain error: $v")
+    val ip = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    var x = BigInt(v) << (60 - ip) // Q60 mantissa in [1, 2)
+    val two = BigInt(1) << 61
+    var frac = 0L
+    var k = 0
+    while (k < 40) {
+      x = (x * x) >> 60
+      frac <<= 1
+      if (x >= two) { x >>= 1; frac |= 1L }
+      k += 1
+    }
+    (ip.toLong << 40) | frac
+  }
+
+  /** Fixed-point Shannon entropy (Q40 bits, truncated) of a histogram
+    * over `n` total observations: Σ h·(log2fp(n) − log2fp(h)) / n with
+    * integer division — deterministic across engines, unlike the double
+    * form (see [[log2Fp]]).
+    */
+  private[graft] def entropyFp(hist: Array[Long], n: Long): Long = {
+    if (n <= 0) return 0L
+    val ln = log2Fp(n)
+    var s = 0L
+    var i = 0
+    while (i < hist.length) {
+      if (hist(i) > 0) s += hist(i) * (ln - log2Fp(hist(i)))
+      i += 1
+    }
+    s / n
+  }
 
   /** Batch-shaped "decode + feature extract" over the binary payload: a
     * 16-bin byte histogram and entropy per asset, computed per partition.
@@ -87,7 +131,8 @@ object Multimodal {
         hist.foreach { h =>
           if (h > 0) { val p = h / n; ent -= p * math.log(p) / math.log(2) }
         }
-        Row(id, mod, bytes.length.toLong, ent, hist.toSeq)
+        Row(id, mod, bytes.length.toLong, ent,
+          entropyFp(hist, bytes.length.toLong), hist.toSeq)
       }
     }(enc)
   }

@@ -27,10 +27,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length === 20)
     feats.foreach { f =>
       assert(f.getAs[Long]("n_bytes") === 4096L)
-      assert(f.getSeq[Long](4).sum === 4096L)   // histogram covers all bytes
+      assert(f.getAs[Seq[Long]]("histogram").sum === 4096L) // all bytes binned
       val ent = f.getAs[Double]("byte_entropy")
       assert(ent > 3.5 && ent <= 4.0)           // ~uniform over 16 bins
+      // the Q40 fixed-point entropy tracks the float one to < 2^-20
+      val fp = f.getAs[Long]("entropy_fp").toDouble / (1L << 40)
+      assert(math.abs(fp - ent) < 1e-6, s"fp=$fp float=$ent")
     }
+  }
+
+  test("log2Fp: exact on powers of two, Q40-close elsewhere, and the " +
+       "fixed-point entropy of a uniform histogram is exactly its bits") {
+    assert(Multimodal.log2Fp(1L) === 0L)
+    assert(Multimodal.log2Fp(2L) === (1L << 40))
+    assert(Multimodal.log2Fp(512L) === (9L << 40))
+    for (v <- Seq(3L, 7L, 100L, 511L, 12345L)) {
+      val fp = Multimodal.log2Fp(v).toDouble / (1L << 40)
+      assert(math.abs(fp - math.log(v.toDouble) / math.log(2)) < 1e-9,
+        s"v=$v fp=$fp")
+    }
+    // uniform 16-bin histogram over 512 observations → exactly 4 bits
+    assert(Multimodal.entropyFp(Array.fill(16)(32L), 512L) === (4L << 40))
+    // single-bin histogram → zero entropy
+    assert(Multimodal.entropyFp(
+      Array(512L) ++ Array.fill(15)(0L), 512L) === 0L)
   }
 
   test("sampleFrames: strided selection with binary slices") {
