@@ -125,10 +125,14 @@ object Bench {
           runIngest("seq", graft.streaming.StreamingPipeline.workbookStream)
         val secBat = runIngest("bat",
           graft.streaming.StreamingPipeline.workbookStreamBatched)
+        val secSet = runIngest("set",
+          graft.streaming.StreamingPipeline.workbookStreamSetBased)
         s""","stream":{"workbooks":$nWb,"tx_rows":$rows,"sec":$secSeq,""" +
           s""""rows_per_sec":${rows / secSeq}},""" +
           s""""stream_batched":{"workbooks":$nWb,"tx_rows":$rows,""" +
-          s""""sec":$secBat,"rows_per_sec":${rows / secBat}}"""
+          s""""sec":$secBat,"rows_per_sec":${rows / secBat}},""" +
+          s""""stream_set_based":{"workbooks":$nWb,"tx_rows":$rows,""" +
+          s""""sec":$secSet,"rows_per_sec":${rows / secSet}}"""
       } catch { case e: Throwable =>
         // Same failure-honesty contract as the queries: a broken
         // streaming pipeline must not silently vanish from the output

@@ -97,7 +97,18 @@ class Pipeline(spark: SparkSession, stateDir: String, processedDir: String) {
                            uploadId: Long): BatchResult = {
     // J3 + S7 + S8: CDC capture + last-wins upsert.
     val nChanges = store.applyCustomerBatch(parsed, timestamp, uploadId)
+    renderBatch(parsed, txRaw, prodRaw, uploadId, nChanges)
+  }
 
+  /** The stateless tail of a micro-batch — joins, aggregates, ranked
+    * outputs, xlsx export — for a file whose STATE effects (upload
+    * metadata, CDC, upsert) were already applied, possibly as part of a
+    * whole-micro-batch set-based application
+    * ([[graft.state.StateStore.applyCustomerBatchMulti]]).
+    */
+  private[graft] def renderBatch(parsed: DataFrame, txRaw: DataFrame,
+                                 prodRaw: DataFrame, uploadId: Long,
+                                 nChanges: Long): BatchResult = {
     // P10-P11: header promotion; the batch's own (possibly duplicated)
     // customer view joins the analytics — not the deduped state table
     // (app.py:132 uses the parsed frame; SURVEY.md §7.4.2).

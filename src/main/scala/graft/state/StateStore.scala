@@ -69,6 +69,28 @@ class StateStore(spark: SparkSession, dir: String,
     nextId
   }
 
+  /** S6 batched: append N upload rows in ONE write with dense ids in
+    * sequence order — the multi-workbook form of [[recordUpload]] used
+    * by the set-based landing stream (one metadata append per
+    * micro-batch instead of one per file).
+    *
+    * @param metas (filename, timestamp, txRows, custRows, prodRows) in
+    *              file order
+    * @return the allocated dense ids, in the same order
+    */
+  def recordUploads(metas: Seq[(String, String, Long, Long, Long)])
+      : Seq[Long] = {
+    if (metas.isEmpty) return Seq.empty
+    val base = uploads.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
+    val rows = metas.zipWithIndex.map { case ((fn, ts, t, c, p), i) =>
+      Row(base + i + 1L, fn, ts, t, c, p)
+    }
+    backend.append("uploads", spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      Tables.uploadsSchema))
+    metas.indices.map(base + _ + 1L)
+  }
+
   /** J3 + S7 + S8 (app.py:110-123): CDC against *mutating intra-batch
     * state* plus last-writer-wins upsert, set-based.
     *
@@ -147,5 +169,87 @@ class StateStore(spark: SparkSession, dir: String,
 
     backend.rewrite("customers", newState)
     nChanges
+  }
+
+  /** Multi-workbook form of [[applyCustomerBatch]]: applies a whole
+    * micro-batch's customer rows — N workbooks, concatenated in file
+    * order — with ONE CDC pass and ONE customers swap, instead of N
+    * sequential swaps. This is the SURVEY §2.3 J3 lag-chain extended
+    * across files: the occurrence window orders by
+    * (`_upload_seq`, `_row_idx`), so file k's first occurrence of a
+    * customer lags to file k−1's last occurrence — exactly the stored
+    * state a sequential per-file application would have seen after file
+    * k−1's upsert. Provably equivalent to folding [[applyCustomerBatch]]
+    * over the files (StateStoreSpec asserts the equivalence, and the
+    * 4-then-8 re-toggle contract holds across the batch boundary).
+    *
+    * Change rows attribute to the upload id of the file they occurred
+    * in; change ids stay dense in (file, row) order; the last-wins
+    * upsert winner carries its own file's upload id — all identical to
+    * the sequential fold. Crash consistency: orphan absorption matches
+    * on the batch's whole upload-id set, so an at-least-once replay of
+    * the micro-batch absorbs every file's orphaned change rows at once.
+    *
+    * @param batch parsed customer rows carrying `_upload_seq` (0-based
+    *              file index within the batch) and `_row_idx`
+    * @param uploadIds upload id per `_upload_seq`, in file order
+    * @return change-row count per upload id (0 for files with none)
+    */
+  def applyCustomerBatchMulti(batch: DataFrame, timestamp: String,
+                              uploadIds: Seq[Long]): Map[Long, Long] = {
+    require(uploadIds.nonEmpty, "applyCustomerBatchMulti: no uploads")
+    val idForSeq = element_at(
+      array(uploadIds.map(lit): _*), col("_upload_seq") + 1).cast("long")
+    val occ = Window.partitionBy("customer_id")
+      .orderBy("_upload_seq", "_row_idx")
+    val stored = customers.select(col("customer_id"),
+      col("address").as("_stored_address"))
+    val withOld = batch
+      .join(stored, Seq("customer_id"), "left")
+      .withColumn("_old",
+        coalesce(lag("address", 1).over(occ), col("_stored_address")))
+
+    val changes = withOld
+      .where(col("_old").isNotNull && col("_old") =!= col("address"))
+      .select(col("customer_id"), col("_old").as("old_address"),
+        col("address").as("new_address"),
+        lit(timestamp).as("change_timestamp"),
+        idForSeq.as("upload_id"), col("_upload_seq"), col("_row_idx"))
+
+    if (!addressChanges.where(col("upload_id").isin(uploadIds: _*)).isEmpty)
+      backend.rewrite("address_changes",
+        addressChanges.where(!col("upload_id").isin(uploadIds: _*)))
+
+    val maxId =
+      addressChanges.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
+    val idd = changes.withColumn("id",
+        (lit(maxId) + row_number().over(
+          Window.orderBy("_upload_seq", "_row_idx"))).cast("long"))
+      .select(Tables.addressChangesSchema.fieldNames.toSeq.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val perUpload =
+      try {
+        val counts = idd.groupBy("upload_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (counts.valuesIterator.sum > 0) backend.append("address_changes", idd)
+        uploadIds.map(id => id -> counts.getOrElse(id, 0L)).toMap
+      } finally idd.unpersist(blocking = false)
+
+    // S7 upsert: the batch-global last occurrence wins — (file, row)
+    // descending — and carries its file's upload id.
+    val lastWins = batch
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("customer_id")
+          .orderBy(desc("_upload_seq"), desc("_row_idx"))))
+      .where(col("_rn") === 1)
+      .select(col("customer_id"), col("name"), col("email"), col("dob"),
+        col("address"), col("created_date"), idForSeq.as("upload_id"))
+    val newState = customers
+      .join(lastWins.select("customer_id"), Seq("customer_id"), "left_anti")
+      .unionByName(lastWins)
+
+    backend.rewrite("customers", newState)
+    perUpload
   }
 }

@@ -81,6 +81,55 @@ class StateStoreSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(dir.resolve("customers")))
   }
 
+  test("applyCustomerBatchMulti is equivalent to folding applyCustomerBatch " +
+       "over the files, in one state application") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Three files with cross-file toggles, intra-file duplicates, a
+    // fresh customer mid-batch, and a customer untouched after file 1.
+    val files = Seq(
+      batch(("C1", "a", 0), ("C2", "x", 1), ("C1", "b", 2)),
+      batch(("C1", "a", 0), ("C3", "z", 1)),
+      batch(("C2", "y", 0), ("C3", "z", 1), ("C3", "w", 2)))
+
+    // Sequential fold (the reference semantics).
+    val seqStore = newStore()
+    val seqIds = files.zipWithIndex.map { case (f, i) =>
+      val id = seqStore.recordUpload(s"f$i.xlsx", "t", 1, 1, 1)
+      id -> seqStore.applyCustomerBatch(f, "t", id)
+    }
+
+    // One set-based application of the concatenated batch.
+    val multiStore = newStore()
+    val ids = multiStore.recordUploads(
+      files.indices.map(i => (s"f$i.xlsx", "t", 1L, 1L, 1L)))
+    val concat = files.zipWithIndex.map { case (f, i) =>
+      f.withColumn("_upload_seq", lit(i)) }.reduce(_ unionByName _)
+    val counts = multiStore.applyCustomerBatchMulti(concat, "t", ids)
+
+    assert(ids === seqIds.map(_._1))
+    assert(counts === seqIds.toMap)
+    // identical final customer state (incl. winning upload_id) …
+    def state(s: StateStore) = s.customers.collect().map(r =>
+      (r.getAs[String]("customer_id"), r.getAs[String]("address"),
+       r.getAs[Long]("upload_id"))).toSet
+    assert(state(multiStore) === state(seqStore))
+    // … and an identical change log: same rows, same dense id order.
+    def log(s: StateStore) = s.addressChanges.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("customer_id"),
+        r.getAs[String]("old_address"), r.getAs[String]("new_address"),
+        r.getAs[Long]("upload_id"))).toSeq
+    assert(log(multiStore) === log(seqStore))
+    assert(log(multiStore).nonEmpty)
+    // replay absorption works on the whole id set: re-applying the same
+    // concatenated batch under the same ids does not double-log
+    val before = multiStore.addressChanges.count()
+    multiStore.applyCustomerBatchMulti(concat, "t2", ids)
+    assert(multiStore.addressChanges
+      .where(col("upload_id").isin(ids: _*)).count() >= before)
+    assert(multiStore.addressChanges.groupBy("id").count()
+      .where(col("count") > 1).isEmpty)
+  }
+
   test("upsert is last-writer-wins within a batch; CDC sees intra-batch mutations") {
     val s = newStore()
     // C1 appears twice with different addresses: 1 intra-batch change,

@@ -338,4 +338,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(store.uploads.count() === 2L)
     } finally q.stop()
   }
+
+  test("set-based workbook stream: one state application per micro-batch " +
+       "reaches the sequential stream's exact state, incl. 4-then-8 toggles") {
+    val sample = "/root/reference/uploads/Txn_Details.xlsx"
+    assume(Files.exists(java.nio.file.Paths.get(sample)))
+    val dir = Files.createTempDirectory("graft_wbstream_s").toString
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    // Same two-copies-in-one-micro-batch shape as the batched-parse test:
+    // the CDC lag-chain must span the file boundary so the second copy
+    // re-toggles against the first's last occurrences — now with ONE
+    // customers swap and ONE uploads append for the whole batch.
+    Files.copy(java.nio.file.Paths.get(sample),
+      java.nio.file.Paths.get(s"$landing/a_Txn_Details.xlsx"))
+    Files.copy(java.nio.file.Paths.get(sample),
+      java.nio.file.Paths.get(s"$landing/b_Txn_Details.xlsx"))
+
+    val q = StreamingPipeline.workbookStreamSetBased(spark, landing,
+      s"$dir/state", s"$dir/processed", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      val store = new graft.state.StateStore(spark, s"$dir/state")
+      assert(store.uploads.count() === 2L)
+      assert(store.customers.count() === 100L)
+      assert(store.addressChanges.count() === 12L)  // 4 + 8
+      assert(store.addressChanges
+        .where(org.apache.spark.sql.functions.col("upload_id") === 1L)
+        .count() === 4L)
+      assert(store.addressChanges
+        .where(org.apache.spark.sql.functions.col("upload_id") === 2L)
+        .count() === 8L)
+      // per-file exports still render: one processed workbook per upload
+      assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/processed")).count() === 2L)
+      // restart-safety: nothing reprocessed on an empty trigger
+      q.processAllAvailable()
+      assert(store.uploads.count() === 2L)
+      assert(store.addressChanges.count() === 12L)
+    } finally q.stop()
+  }
 }
