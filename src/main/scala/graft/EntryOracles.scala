@@ -1,0 +1,1204 @@
+package graft
+
+import graft.operators._
+
+import graft.EntryOracleSql._
+
+/** The `oracleSql` half of the driver contract: DuckDB SQL equivalent to
+  * each [[EntryQueries]] entry (column names aligned — the driver's
+  * compare sorts columns by name before hashing). Rows-only queries are
+  * deliberately absent; see [[SparkEntry]]'s scaladoc.
+  */
+private[graft] object EntryOracles {
+
+  val all: Map[String, String] = Map(
+    "merged_detail" ->
+      s"""SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS customer_id,
+         |  c.c_name AS name, p.p_partkey AS product_code,
+         |  p.p_name AS product_name, p.p_brand AS category,
+         |  l.l_extendedprice AS amount
+         |$mergedSql
+         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "category_totals" ->
+      s"""WITH ct AS ($ctSql)
+         |SELECT customer_id, name, category, CAST(amount AS DOUBLE) AS amount
+         |FROM ct ORDER BY customer_id, name, category""".stripMargin,
+
+    "flagship_rank" -> flagshipSql,
+
+    "flagship_rank_window" -> flagshipSql,
+
+    "nested_details" ->
+      s"""WITH ct AS ($ctSql),
+         |r AS (SELECT customer_id, name, category,
+         |  COALESCE(CAST(CAST(roundbankers(amount, 2) AS DECIMAL(18,2))
+         |    AS VARCHAR), '') AS amt
+         |  FROM ct)
+         |SELECT customer_id,
+         |  string_agg(COALESCE(name, '') || '|' || COALESCE(category, '')
+         |      || '|' || amt, ';'
+         |    ORDER BY name NULLS FIRST, category NULLS FIRST) AS details
+         |FROM r GROUP BY customer_id ORDER BY customer_id""".stripMargin,
+
+    "users_per_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ann_topk_lsh" -> annLshSql,
+
+    "ann_topk_join" -> annJoinSql,
+
+    "ann_topk_lsh_mp" -> annLshMultiProbeSql,
+
+    "ann_topk_ivf" -> annIvfSql,
+
+    "ann_topk_ivf_kmeans" -> annIvfKmeansSql,
+
+    "ann_topk_pq" -> annPqSql,
+
+    "ann_topk_rp" -> annRpSql,
+
+    "ann_topk_ivfpq" -> annIvfPqSql,
+
+    "ann_topk_ivfpq_residual" -> annIvfPqResidualSql,
+
+    "embedding_neardup_lsh" -> embNearDupSql,
+
+    "semantic_dedup" -> semanticDedupSql,
+
+    "contrastive_triplets" -> contrastiveTripletsSql,
+
+    "incremental_neardup" -> incNearDupSql,
+
+    "incremental_dedup" -> incDedupSql,
+
+    // Same relation by construction: the bloom pre-screen is exact-
+    // composition-preserving, so the sketch path must hash-match the
+    // plain anti-join's oracle.
+    "incremental_dedup_bloom" -> incDedupSql,
+
+    "source_quota" ->
+      """WITH r AS (SELECT lang, source, doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY length(text) DESC, doc_id) AS rank_in_group
+        |  FROM documents)
+        |SELECT lang, source, doc_id, n_chars, rank_in_group
+        |FROM r WHERE rank_in_group <= 3
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST, rank_in_group"""
+        .stripMargin,
+
+    "canonicalize_text" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' caf' || 'e' || chr(769)
+        |       ELSE text END AS text FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(text) AS c FROM p)
+        |SELECT doc_id, CAST(length(c) AS BIGINT) AS n_chars,
+        |  md5(c) AS canonical_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // Replays the total-order vocab k-cut, then per-doc OOV counting via
+    // a NOT-IN over the vocab CTE; rate is one IEEE division.
+    "vocab_coverage" ->
+      """WITH v AS (SELECT token FROM (
+        |    SELECT token, COUNT(*) AS n
+        |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |          FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token LIMIT 100)),
+        |t AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN token NOT IN (SELECT token FROM v)
+        |        THEN 1 ELSE 0 END) AS n_oov
+        |  FROM t GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CASE WHEN coalesce(c.n_tokens, 0) > 0
+        |    THEN CAST(c.n_oov AS DOUBLE) / c.n_tokens END AS oov_rate
+        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "bpe_merges" -> bpeMergesSql,
+
+    "bpe_encode" -> bpeEncodeSql,
+
+    "split_assign" ->
+      """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM (SELECT CASE
+        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 90 THEN 'train'
+        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 95 THEN 'val'
+        |    ELSE 'test' END AS split, n_chars FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "corpus_card" ->
+      """WITH a AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |    AS total_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_fingerprints
+        |  FROM documents)
+        |SELECT n_docs, total_tokens,
+        |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+        |  n_langs, n_sources, n_fingerprints,
+        |  1.0 - CAST(n_fingerprints AS DOUBLE) / n_docs AS exact_dup_rate
+        |FROM a""".stripMargin,
+
+    // Exact oracle for the sketch-prescreened heavy hitters: the
+    // Misra–Gries candidate set provably contains every token above the
+    // n/100 threshold, and the exact re-count filters to precisely this
+    // relation — the incremental_dedup_bloom shared-oracle pattern.
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' '))
+        |    AS token FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM tok),
+        |c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok
+        |  GROUP BY token)
+        |SELECT c.token, c.n_occurrences FROM c, n
+        |WHERE c.n_occurrences * 100 > n.n
+        |ORDER BY c.token""".stripMargin,
+
+    "dup_spans" ->
+      s"""WITH $dupSpansCteSql
+         |SELECT doc_id, span_start, span_len FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dup_span_clip" ->
+      s"""WITH $dupSpansCteSql,
+         |tokpos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+         |  toks FROM t),
+         |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM tokpos),
+         |cov AS (SELECT doc_id, unnest(range(span_start,
+         |  span_start + span_len)) AS pos FROM spans),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         |  WHERE cov.pos IS NULL),
+         |k AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clipped_md5
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  COALESCE(k.clipped_md5, md5('')) AS clipped_md5
+         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dup_span_coverage" -> dupSpanCoverageSql,
+
+    // DSIR importance weights: hashed-bigram buckets (integer value of
+    // the first 3 md5 hex digits), fixed-point per-bucket frequency
+    // differences, exact per-doc sums — TextOps.importanceWeights
+    // integer for integer.
+    "importance_weights" -> {
+      def nib(k: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS tgt,
+         |  string_split(lower(text), ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, tgt, unnest(range(1, len(toks))) AS i, toks
+         |  FROM t),
+         |hx AS (SELECT doc_id, tgt,
+         |  md5(concat_ws(' ', toks[i], toks[i+1])) AS h FROM p),
+         |f AS (SELECT doc_id, tgt,
+         |  ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS b FROM hx),
+         |tot AS (SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+         |  SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS ns FROM f),
+         |tc AS (SELECT b, COUNT(*) AS ct FROM f WHERE tgt GROUP BY b),
+         |sc AS (SELECT b, COUNT(*) AS cs FROM f WHERE NOT tgt GROUP BY b),
+         |r AS (SELECT COALESCE(tc.b, sc.b) AS b,
+         |  (COALESCE(tc.ct, 0) * 100000000 // tot.nt)
+         |    - (COALESCE(sc.cs, 0) * 100000000 // tot.ns) AS r
+         |  FROM tc FULL JOIN sc ON tc.b = sc.b, tot),
+         |s AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+         |    CAST(SUM(r.r) AS BIGINT) AS importance_fp
+         |  FROM f JOIN r ON f.b = r.b WHERE NOT f.tgt GROUP BY f.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         |  COALESCE(s.importance_fp, 0) AS importance_fp,
+         |  CAST(s.importance_fp AS DOUBLE) / (s.n_feats * 100000000)
+         |    AS avg_importance
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // Fixed-point bigram LM score: integer `(c2·10^8) // c1` per
+    // transition, exact BIGINT per-doc sums, one final IEEE division —
+    // replaying TextOps.lmScore's arithmetic step for step.
+    "lm_score" -> lmScoreSql,
+
+    "key_skew" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c)
+        |SELECT c.l_suppkey, c.n,
+        |  CAST(c.n AS DOUBLE) / t.total AS share,
+        |  CAST(c.n AS DOUBLE) * t.nkeys / t.total AS skew_ratio
+        |FROM c, t ORDER BY c.n DESC, c.l_suppkey LIMIT 10""".stripMargin,
+
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |  md5('graft:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS position
+        |FROM documents ORDER BY position""".stripMargin,
+
+    "simhash_pairs_md5" -> simhashMd5Sql,
+
+    "rolling_fingerprint" -> rollingFingerprintSql,
+
+    "winnow_fingerprints" -> winnowFingerprintsSql,
+
+    "winnow_pairs" ->
+      s"""WITH wfp AS (SELECT DISTINCT doc_id, fp
+         |  FROM ($winnowFingerprintsSql)),
+         |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wfp
+         |  GROUP BY fp) WHERE df BETWEEN 2 AND 10),
+         |bl AS (SELECT doc_id, fp FROM wfp JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM bl a JOIN bl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 604800000 AS bucket FROM events),
+        |c AS (SELECT user_id, bucket, MIN(bucket) OVER (
+        |    PARTITION BY user_id) AS cohort_bucket FROM a)
+        |SELECT cohort_bucket, bucket - cohort_bucket AS bucket_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Fixed-point row-normalized transition matrix: n·10^6 floor-divided
+    // by the per-source total (SUM over BIGINT is HUGEINT in DuckDB —
+    // cast back), ONE final exact division for the readable double.
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |p AS (SELECT event_type AS src_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS dst_type
+        |  FROM e),
+        |c AS (SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  CAST((n * 1000000) // CAST(SUM(n) OVER (
+        |    PARTITION BY src_type) AS BIGINT) AS BIGINT) AS prob_fp,
+        |  CAST((n * 1000000) // CAST(SUM(n) OVER (
+        |    PARTITION BY src_type) AS BIGINT) AS DOUBLE) / 1000000
+        |    AS prob
+        |FROM c ORDER BY src_type, dst_type""".stripMargin,
+
+    // SCD2 twin: survivors are rows whose value differs from the
+    // previous event's (adjacent-equal runs collapse); validity bounds
+    // and versions then come from windows over the survivors only.
+    "scd2_users" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, value, ms, lag(value) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, event_id, value, ms FROM l
+        |  WHERE prev IS NULL OR prev <> value)
+        |SELECT user_id, value, ms AS effective_from_ms,
+        |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    AS effective_to_ms,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS BIGINT) AS version,
+        |  (lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    IS NULL) AS is_current
+        |FROM s ORDER BY user_id, version""".stripMargin,
+
+    "resize_assets" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM documents)
+        |SELECT unnest(range((SELECT c FROM n))) AS asset_id,
+        |  CAST(1024 AS BIGINT) AS n_bytes
+        |ORDER BY asset_id""".stripMargin,
+
+    // Full feature replay: the multimodal_histogram LCG CTE, plus
+    // Multimodal.log2Fp's square-and-shift Q40 binary log as a second
+    // recursion over the ≤ 513 distinct bin counts (HUGEINT mantissa —
+    // the 122-bit intermediate square fits int128), composed into the
+    // fixed-point entropy Σ h·(L(512) − L(h)) // 512 and the dense
+    // histogram serialized exactly as Spark's to_json.
+    "multimodal_features" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
+        |g(asset_id, i, x) AS (
+        |  SELECT CAST(id AS BIGINT), 0,
+        |    CAST((((CAST(id AS HUGEINT) * 6364136223846793005
+        |             + 1442695040888963407) % 18446744073709551616)
+        |          * 6364136223846793005 + 1442695040888963407)
+        |         % 18446744073709551616 AS HUGEINT)
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT asset_id, i + 1,
+        |    CAST(((x * 6364136223846793005) % 18446744073709551616
+        |          + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+        |  FROM g WHERE i < 511),
+        |hist AS (SELECT asset_id,
+        |    CAST(x // 1152921504606846976 AS BIGINT) AS bin, COUNT(*) AS h
+        |  FROM g GROUP BY 1, 2),
+        |bins AS (SELECT CAST(a.id AS BIGINT) AS asset_id, b.bin
+        |  FROM ids a, (SELECT CAST(unnest(range(16)) AS BIGINT) AS bin) b),
+        |dense AS (SELECT b.asset_id, b.bin, COALESCE(hist.h, 0) AS h
+        |  FROM bins b LEFT JOIN hist
+        |    ON b.asset_id = hist.asset_id AND b.bin = hist.bin),
+        |vals AS (SELECT DISTINCT h AS v FROM hist UNION SELECT 512),
+        |p2 AS (SELECT CAST(e AS INT) AS e, CAST(1 AS BIGINT) << CAST(e AS INT) AS pv
+        |  FROM (SELECT unnest(range(61)) AS e)),
+        |ipart AS (SELECT v, MAX(e) AS ip FROM vals JOIN p2 ON pv <= v
+        |  GROUP BY v),
+        |lg(v, k, x, frac) AS (
+        |  SELECT i.v, 0,
+        |    CAST(CAST(i.v AS BIGINT) << (60 - i.ip) AS HUGEINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM ipart i
+        |  UNION ALL
+        |  SELECT v, k + 1,
+        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
+        |         THEN ((x*x) // 1152921504606846976) // 2
+        |         ELSE (x*x) // 1152921504606846976 END,
+        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
+        |         THEN frac * 2 + 1 ELSE frac * 2 END
+        |  FROM lg WHERE k < 40),
+        |l2 AS (SELECT lg.v,
+        |    (CAST(i.ip AS BIGINT) << 40) + lg.frac AS lfp
+        |  FROM lg JOIN ipart i ON lg.v = i.v WHERE lg.k = 40),
+        |ent AS (SELECT d.asset_id,
+        |    CAST(SUM(d.h * (l512.lfp - lh.lfp)) // 512 AS BIGINT)
+        |      AS entropy_fp
+        |  FROM dense d
+        |  JOIN l2 lh ON lh.v = d.h
+        |  CROSS JOIN (SELECT lfp FROM l2 WHERE v = 512) l512
+        |  WHERE d.h > 0
+        |  GROUP BY 1),
+        |hj AS (SELECT asset_id,
+        |    '[' || string_agg(CAST(h AS VARCHAR), ',' ORDER BY bin) || ']'
+        |      AS histogram
+        |  FROM dense GROUP BY 1)
+        |SELECT e.asset_id,
+        |  CASE e.asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CAST(512 AS BIGINT) AS n_bytes, e.entropy_fp, hj.histogram
+        |FROM ent e JOIN hj ON e.asset_id = hj.asset_id
+        |ORDER BY e.asset_id""".stripMargin,
+
+    // Replays Multimodal.synthesize's 64-bit LCG (x' = x·A + C mod 2^64;
+    // payload byte i = top byte of iterate i+2) in a recursive CTE with
+    // HUGEINT arithmetic — bin = top 4 bits = x div 2^60. Zero-count bins
+    // are re-attached via a bins×assets frame, matching the dense 16-slot
+    // histogram Spark emits.
+    "multimodal_histogram" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
+        |g(asset_id, i, x) AS (
+        |  SELECT CAST(id AS BIGINT), 0,
+        |    CAST((((CAST(id AS HUGEINT) * 6364136223846793005
+        |             + 1442695040888963407) % 18446744073709551616)
+        |          * 6364136223846793005 + 1442695040888963407)
+        |         % 18446744073709551616 AS HUGEINT)
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT asset_id, i + 1,
+        |    CAST(((x * 6364136223846793005) % 18446744073709551616
+        |          + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+        |  FROM g WHERE i < 511),
+        |hist AS (SELECT asset_id,
+        |    CAST(x // 1152921504606846976 AS BIGINT) AS bin, COUNT(*) AS h
+        |  FROM g GROUP BY 1, 2),
+        |bins AS (SELECT CAST(a.id AS BIGINT) AS asset_id, b.bin
+        |  FROM ids a, (SELECT CAST(unnest(range(16)) AS BIGINT) AS bin) b)
+        |SELECT b.asset_id,
+        |  CASE b.asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  b.bin, COALESCE(hist.h, 0) AS h
+        |FROM bins b LEFT JOIN hist
+        |  ON b.asset_id = hist.asset_id AND b.bin = hist.bin
+        |ORDER BY b.asset_id, b.bin""".stripMargin,
+
+    "sample_frames" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM documents),
+        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
+        |vids AS (SELECT id, 16 + (id % 16) AS n_frames FROM ids
+        |         WHERE id % 3 = 2),
+        |fr AS (SELECT id AS asset_id,
+        |  unnest(range(0, n_frames, 4)) AS frame_no FROM vids)
+        |SELECT asset_id, frame_no, CAST(256 AS BIGINT) AS n_frame_bytes
+        |FROM fr WHERE (frame_no + 1) * 256 <= 4096
+        |ORDER BY asset_id, frame_no""".stripMargin,
+
+    "salted_join_agg" ->
+      """SELECT s.s_name AS supplier, COUNT(*) AS n_lineitems,
+        |  CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "audit_uploads" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS id, 'batch_2.xlsx' AS filename,
+        |    '2026-01-02T00:00:00' AS "timestamp",
+        |    CAST(0 AS BIGINT) AS transactions_rows,
+        |    (SELECT COUNT(*) FROM customer) AS customers_rows,
+        |    CAST(0 AS BIGINT) AS products_rows
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'batch_1.xlsx', '2026-01-01T00:00:00',
+        |    CAST(0 AS BIGINT), (SELECT COUNT(*) FROM customer),
+        |    CAST(0 AS BIGINT))
+        |ORDER BY "timestamp" DESC, id DESC""".stripMargin,
+
+    "audit_address_changes" ->
+      """WITH ch AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS id,
+        |    CAST(c_custkey AS VARCHAR) AS customer_id,
+        |    c_mktsegment || ' St ' || c_nationkey AS old_address,
+        |    c_mktsegment || ' St ' || c_nationkey || 'B' AS new_address,
+        |    '2026-01-02T00:00:00' AS change_timestamp,
+        |    CAST(2 AS BIGINT) AS upload_id
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT id, customer_id, old_address, new_address, change_timestamp,
+        |  upload_id
+        |FROM ch ORDER BY change_timestamp DESC, id DESC""".stripMargin,
+
+    "top_spenders" ->
+      s"""WITH ct AS ($ctSql),
+         |r AS (SELECT category, customer_id, name, amount,
+         |  ROW_NUMBER() OVER (PARTITION BY category
+         |    ORDER BY amount DESC, customer_id ASC, name ASC) AS rn FROM ct)
+         |SELECT category, customer_id, name,
+         |  CAST(roundbankers(amount, 2) AS DOUBLE) AS amount
+         |FROM r WHERE rn = 1 ORDER BY category""".stripMargin,
+
+    "parse_customers" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_custkey || '_' || c_name || '_' ||
+        |    lower(c_mktsegment) || '@example.com_' || c_nationkey || '_' ||
+        |    c_mktsegment || ' St ' || c_nationkey || '_' ||
+        |    (c_custkey * 7) AS core
+        |  FROM customer),
+        |r AS (
+        |  SELECT CASE
+        |    WHEN c_custkey % 89 = 0 THEN '{bad_' || c_custkey || '_record}'
+        |    WHEN c_custkey % 97 = 0 THEN '{' || core
+        |    ELSE '{' || core || '}' END AS line
+        |  FROM b),
+        |f AS (SELECT trim(line) AS l FROM r
+        |      WHERE trim(line) LIKE '{%' AND trim(line) LIKE '%}'),
+        |c AS (SELECT substr(l, 2, length(l) - 2) AS content FROM f),
+        |p AS (SELECT string_split(content, '_') AS parts FROM c
+        |      WHERE len(string_split(content, '_')) = 6)
+        |SELECT parts[1] AS customer_id, parts[2] AS name, parts[3] AS email,
+        |  parts[4] AS dob, parts[5] AS address, parts[6] AS created_date
+        |FROM p ORDER BY CAST(customer_id AS BIGINT)""".stripMargin,
+
+    "cdc_lag" ->
+      """SELECT user_id, event_id, old_value, new_value FROM (
+        |  SELECT user_id, event_id,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS old_value,
+        |    value AS new_value
+        |  FROM events)
+        |WHERE old_value IS NOT NULL AND old_value <> new_value
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "event_windows" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Width 1h = 2 slides of 30min → every event lands in exactly the
+    // window starting at its latest 30-min boundary and the one before.
+    "event_windows_hopping" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT (ms // 1800000) * 1800000 AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT (ms // 1800000) * 1800000 - 1800000, event_type, value
+        |  FROM e)
+        |SELECT ws AS window_start_ms, event_type, COUNT(*) AS n_events,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT user_id, event_id, ms, lag(ms) OVER (
+        |  PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, ms, CASE WHEN prev IS NULL
+        |  OR ms - prev > 1800000 THEN 1 ELSE 0 END AS flag FROM l),
+        |s AS (SELECT user_id, ms, event_id, CAST(SUM(flag) OVER (
+        |  PARTITION BY user_id ORDER BY ms, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS session_id FROM f)
+        |SELECT user_id, session_id, MIN(ms) AS session_start_ms,
+        |  MAX(ms) AS session_end_ms, COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session_window twin: gap comparisons in MICROSECONDS (Spark merges
+    // windows at its internal micros precision and the timestamps carry
+    // sub-ms digits); two events exactly `gap` apart MERGE — the merge
+    // boundary is inclusive (EventOpsSpec pins this), so the island rule
+    // is strict `>`, the same rule as sessionize only in micros.
+    "session_windows" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us, lag(us) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, us, CASE WHEN prev IS NULL
+        |  OR us - prev > 1800000000 THEN 1 ELSE 0 END AS flag FROM l),
+        |s AS (SELECT user_id, us, SUM(flag) OVER (
+        |  PARTITION BY user_id ORDER BY us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id,
+        |  CAST(MIN(us) // 1000 AS BIGINT) AS session_start_ms,
+        |  CAST((MAX(us) + 1800000000) // 1000 AS BIGINT) AS session_end_ms,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |s0 AS (SELECT user_id, MIN(ms) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ms > s0.t GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms > s1.t
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+        |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+        |    CAST(COUNT(*) AS BIGINT) FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |    CAST(COUNT(*) AS BIGINT) FROM s2)
+        |ORDER BY step_idx""".stripMargin,
+
+    "running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY epoch_ms(o_orderdate), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "category_customers" ->
+      s"""SELECT p.p_brand AS category,
+         |  COUNT(DISTINCT o.o_custkey) AS n_customers,
+         |  COUNT(*) AS n_lineitems
+         |$mergedSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "customers_without_orders" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE)
+        |                          >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "event_quantiles" ->
+      """SELECT event_type,
+        |  roundbankers(quantile_cont(value, 0.5), 4) AS p50,
+        |  roundbankers(quantile_cont(value, 0.95), 4) AS p95,
+        |  roundbankers(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pivot∘unpivot is lossless: the same wide CTE fanned back out to
+    // long form, zero cells kept.
+    "events_unpivot" ->
+      """WITH w AS (SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1)
+        |SELECT user_id, event_type, n_events FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n_events FROM w
+        |  UNION ALL SELECT user_id, 'view', view FROM w
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM w
+        |  UNION ALL SELECT user_id, 'signup', signup FROM w
+        |  UNION ALL SELECT user_id, 'error', error FROM w)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "events_cube" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(roundbankers(SUM(v), 2) AS DOUBLE) AS total_value,
+        |  CAST(GROUPING(event_type, day) AS BIGINT) AS level
+        |FROM e GROUP BY CUBE(event_type, day)
+        |ORDER BY level, event_type NULLS FIRST, day NULLS FIRST"""
+        .stripMargin,
+
+    // Exact DECIMAL power sums; variance finished by the identical fixed
+    // double expression on both engines.
+    "value_variance" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |    SUM(CAST(value AS DECIMAL(18,4)) *
+        |        CAST(value AS DECIMAL(18,4))) AS svv
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS mean,
+        |  (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) -
+        |   CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_samp
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "twap_users" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v, epoch_ms(ts) AS ms
+        |  FROM events),
+        |l AS (SELECT user_id, v, ms, lead(ms) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS nxt FROM e),
+        |i AS (SELECT user_id, v, nxt - ms AS w FROM l
+        |  WHERE nxt IS NOT NULL)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(w) AS BIGINT) AS span_ms,
+        |  CAST(SUM(v * w) AS DOUBLE) /
+        |    CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS twap
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Dense per-user grid via range() (upper-exclusive → b1+1), bucket
+    // observations collapsed by (ms, event_id) DESC row_number, forward
+    // fill as last_value IGNORE NULLS over the running frame.
+    "gapfill_hourly" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) // 3600000 AS bucket FROM events),
+        |lb AS (SELECT user_id, bucket, value FROM (
+        |    SELECT user_id, bucket, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, bucket
+        |      ORDER BY ms DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        |  FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |    FROM e GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.bucket, lb.value FROM grid g
+        |  LEFT JOIN lb ON g.user_id = lb.user_id AND g.bucket = lb.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value,
+        |  (value IS NOT NULL) AS is_observed
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
+
+    "asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, epoch_ms(ts) AS ms, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |    ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |purch AS (SELECT user_id, ms, value FROM p0 WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, p.value AS last_purchase
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ms >= p.ms
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "nation_revenue" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  COUNT(*) AS n_lineitems,
+        |  CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "topk_per_category_agg" ->
+      s"""WITH ct AS ($ctSql),
+         |r AS (SELECT category, CAST(customer_id AS VARCHAR) AS cid,
+         |  CAST(amount AS DOUBLE) AS amt,
+         |  ROW_NUMBER() OVER (PARTITION BY category
+         |    ORDER BY CAST(amount AS DOUBLE) DESC,
+         |             CAST(customer_id AS VARCHAR) ASC) AS rk FROM ct)
+         |SELECT category, CAST(rk AS BIGINT) AS rk, cid AS customer_id,
+         |  amt AS amount
+         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
+
+    "topk_per_category" ->
+      s"""WITH ct AS ($ctSql),
+         |r AS (SELECT category, customer_id, name, amount,
+         |  ROW_NUMBER() OVER (PARTITION BY category
+         |    ORDER BY amount DESC, customer_id ASC) AS rk FROM ct)
+         |SELECT category, CAST(rk AS BIGINT) AS rk, customer_id, name,
+         |  CAST(amount AS DOUBLE) AS amount
+         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
+
+    "cdc_state_join" ->
+      """WITH thr AS (SELECT MAX(event_id) // 2 AS t FROM events),
+        |e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+        |      FROM events),
+        |state AS (SELECT user_id, value FROM (
+        |  SELECT e.user_id, e.value, ROW_NUMBER() OVER (
+        |    PARTITION BY e.user_id ORDER BY e.ms DESC, e.event_id DESC)
+        |    AS rn
+        |  FROM e, thr WHERE e.event_id <= thr.t) WHERE rn = 1),
+        |batch AS (SELECT e.* FROM e, thr WHERE e.event_id > thr.t),
+        |x AS (SELECT b.user_id, b.event_id, COALESCE(
+        |    LAG(b.value) OVER (PARTITION BY b.user_id
+        |      ORDER BY b.ms, b.event_id), s.value) AS old_value,
+        |    b.value AS new_value
+        |  FROM batch b LEFT JOIN state s ON b.user_id = s.user_id)
+        |SELECT user_id, event_id, old_value, new_value FROM x
+        |WHERE old_value IS NOT NULL AND old_value <> new_value
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "dedup_keep_longest" ->
+      """WITH k AS (SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
+        |  doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |w AS (SELECT fingerprint, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY fingerprint
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies FROM k)
+        |SELECT fingerprint, doc_id, n_chars, n_copies FROM w
+        |WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
+
+    "docs_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS level
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY level, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // md5-fold XOR digest: the first 15 hex nibbles parsed positionally
+    // (DuckDB has no conv(); 16^k weights are exact BIGINT literals),
+    // then commutative bit_xor — row order and partitioning free.
+    "table_checksum" -> {
+      val fold = (0 until 15).map { k =>
+        val w = BigInt(16).pow(14 - k)
+        s"(CAST(strpos('0123456789abcdef', substr(m, ${k + 1}, 1)) - 1 " +
+          s"AS BIGINT) * $w)"
+      }.mkString(" +\n        |    ")
+      s"""WITH h AS (SELECT source,
+         |    $fold AS hh
+         |  FROM (SELECT source, md5(concat_ws('|', doc_id,
+         |      COALESCE(text, ''), lang, source, n_chars)) AS m
+         |    FROM documents))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(hh) AS BIGINT) AS checksum
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    MAX(c) AS top FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM
+        |      (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |bi AS (SELECT doc_id, len(bg) AS n, len(list_distinct(bg)) AS d
+        |  FROM (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |        i -> concat_ws(' ', toks[i], toks[i+1]))
+        |    ELSE [] END AS bg FROM t)),
+        |tri AS (SELECT doc_id, len(tg) AS n, len(list_distinct(tg)) AS d
+        |  FROM (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [] END AS tg FROM t))
+        |SELECT ta.doc_id, n_tokens,
+        |  CAST(top AS DOUBLE) / n_tokens AS top_token_frac,
+        |  CASE WHEN bi.n = 0 THEN 0.0
+        |    ELSE CAST(bi.n - bi.d AS DOUBLE) / bi.n END AS dup_bigram_frac,
+        |  CASE WHEN tri.n = 0 THEN 0.0
+        |    ELSE CAST(tri.n - tri.d AS DOUBLE) / tri.n END
+        |    AS dup_trigram_frac
+        |FROM ta JOIN bi ON ta.doc_id = bi.doc_id
+        |JOIN tri ON ta.doc_id = tri.doc_id
+        |ORDER BY ta.doc_id""".stripMargin,
+
+    "top_terms" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+        |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |     FROM documents) GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT t.doc_id, t.tok AS term,
+        |    CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+        |    CAST(t.tf * (n.n - d.df) AS BIGINT) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf * (n.n - d.df) DESC, t.tok ASC) AS rn
+        |  FROM tf t JOIN df d USING (tok), n)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    "length_filter" -> lengthFilterSql,
+
+    // Packing twin: one window cumsum (the oracle engine is single-node,
+    // so the literal form is fine there), integer div/mod boundaries.
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+        |      AS st FROM t)
+        |SELECT doc_id, n_tokens, st // 2048 AS seq_id,
+        |  st % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Chunking twin: same stride arithmetic, 1-based inclusive list_slice.
+    // greatest(0, ·) also absorbs the //-floors-toward-negative vs
+    // DIV-truncates-toward-zero difference on short docs.
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(range(0, greatest(0, (n - 32 + 23) // 24) + 1))
+        |      AS chunk_id FROM t)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(toks, chunk_id * 24 + 1,
+        |    least(chunk_id * 24 + 32, n))) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, chunk_id * 24 + 1,
+        |    least(chunk_id * 24 + 32, n)), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pii_scrub" ->
+      s"""WITH $piiAugSql
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextOps.UrlPattern}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.UrlPattern}', '<URL>', 'g'),
+         |    '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "url_domains" ->
+      s"""WITH $piiAugSql,
+         |u AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '${TextOps.UrlPattern}'))
+         |      AS url FROM aug)
+         |SELECT regexp_extract(url, 'https?://([A-Za-z0-9._-]+)', 1)
+         |    AS domain,
+         |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays the banner/footer planting, per-line df over md5(trim),
+    // NOT-IN anti-join, and ordered string_agg reassembly.
+    "strip_boilerplate" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || 'all rights reserved 2024' ELSE '' END ||
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN chr(10) || 'rare footer ' || doc_id ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+        |f AS (SELECT doc_id, i - 1 AS idx, l[i] AS line,
+        |    md5(trim(l[i])) AS lf
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM ls)),
+        |b AS (SELECT lf FROM (SELECT lf, COUNT(DISTINCT doc_id) AS nd
+        |    FROM f GROUP BY 1) WHERE nd > 5),
+        |k AS (SELECT doc_id, idx, line FROM f
+        |  WHERE lf NOT IN (SELECT lf FROM b)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY idx)) AS cleaned_md5
+        |  FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0)
+        |    AS BIGINT) AS n_removed,
+        |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "prefix_dedup" ->
+      """SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
+        |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "minhash_signatures" ->
+      s"""$shinglesSql
+         |SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+         |    AS sig_0,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
+         |    AS sig_1,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+         |    AS sig_2,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
+         |    AS sig_3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "neardup_pairs" -> nearDupPairsSql,
+
+    "neardup_pairs_banded" -> nearDupPairsBandedSql,
+
+    "containment_pairs" -> containmentPairsSql,
+
+    // Bit-interleave replay: sum of shifted masked bits of both inputs.
+    "z_order_key" ->
+      """SELECT event_id, user_id,
+        |  (epoch_ms(ts) // 86400000) AS day,
+        |  CAST(list_sum(list_transform(range(0, 21), i ->
+        |      (((user_id >> i) & 1) << (2 * i)) +
+        |      ((((epoch_ms(ts) // 86400000) >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS z
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Levenshtein verify joined over the MATERIALIZED LSH pair CTE (two
+    // join arms would otherwise re-run the MinHash pipeline twice).
+    "edit_distance_pairs" ->
+      s"""WITH ndp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |$nearDupPairsSql
+         |))
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+         |  CAST((CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000000)
+         |    // GREATEST(length(a.text), length(b.text), 1) AS BIGINT)
+         |    AS norm_fp
+         |FROM ndp p JOIN documents a ON p.doc_a = a.doc_id
+         |JOIN documents b ON p.doc_b = b.doc_id
+         |ORDER BY 1, 2""".stripMargin,
+
+    "pagerank_neardup" -> pageRankSql,
+
+    // Ordered wedge join over the a<b SimHash pair list: (a<b)⋈(b<c)
+    // closed against (a<c) — each 3-clique exactly once. The pair CTE is
+    // MATERIALIZED (three self-join arms would otherwise re-inline the
+    // whole 64-bit-sum SimHash pipeline three times). Replays the
+    // operator's deterministic degree cap (256 smallest-id neighbors per
+    // vertex per orientation — exact at test SFs, a skew bound at scale).
+    "triangle_count" ->
+      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |$simhashMd5Sql
+         |)),
+         |sp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
+         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
+         |  FROM sp0)
+         |  WHERE ra <= 256 AND rb <= 256)
+         |SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+         |FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
+         |JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Per-vertex twin: same capped wedge closure, 3-arm UNION ALL of the
+    // triangle's member vertices, GROUP BY vertex — replays the
+    // explode-and-count aggregate exactly.
+    "triangle_counts_by_vertex" ->
+      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |$simhashMd5Sql
+         |)),
+         |sp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
+         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
+         |  FROM sp0)
+         |  WHERE ra <= 256 AND rb <= 256),
+         |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |  FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
+         |  JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+         |SELECT doc_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS doc_id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
+    // filter 2..10, blocking self-join, exact Jaccard over full gram sets.
+    "jaccard_pairs" -> {
+      val gram6 = (0 until 6).map(o => s"toks[i+$o]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 6 THEN
+        |      list_transform(range(1, len(toks) - 4),
+        |        i -> md5(concat_ws(' ', $gram6)))
+        |    ELSE [] END)) AS g FROM t),
+        |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+        |  WHERE df BETWEEN 2 AND 10),
+        |blocked AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM blocked a JOIN blocked b
+        |  ON a.g = b.g AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |  FROM cand c JOIN g x ON x.doc_id = c.da
+        |  JOIN g y ON y.doc_id = c.db AND y.g = x.g
+        |  GROUP BY 1, 2)
+        |SELECT c.da AS doc_a, c.db AS doc_b,
+        |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+        |FROM cand c
+        |JOIN sizes sa ON c.da = sa.doc_id
+        |JOIN sizes sb ON c.db = sb.doc_id
+        |JOIN inter i ON c.da = i.da AND c.db = i.db
+        |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "neardup_clusters" -> nearDupClustersSql,
+
+    "neardup_clusters_star" -> nearDupClustersSql,
+
+    // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
+    // predicate, set-distinct grams per doc before the overlap join.
+    "contamination_overlap" ->
+      s"""WITH $contamGramsSql
+         |SELECT c.doc_id, hh.holdout_id, COUNT(*) AS n_shared
+         |FROM c JOIN hh ON c.g = hh.g
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // minShared = 1, so "flagged" reduces to sharing ANY distinct 8-gram.
+    "decontaminate" ->
+      s"""WITH $contamGramsSql,
+         |flag AS (SELECT DISTINCT c.doc_id FROM c JOIN hh ON c.g = hh.g)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id % 10 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "epoch_mix" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
+        |    AS n_epochs
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+        |FROM n ORDER BY doc_id, epoch""".stripMargin,
+
+    // Keep-one-per-cluster endpoint: the clusters oracle embeds as a CTE,
+    // then the same longest-text / doc_id-ascending window picks each
+    // cluster's representative.
+    "dedup_apply" ->
+      s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
+         |k AS (SELECT cl.cluster, cl.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
+         |      ORDER BY length(d.text) DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+         |SELECT cluster, doc_id, n_chars FROM k WHERE rn = 1
+         |ORDER BY cluster""".stripMargin,
+
+    "ann_topk" -> annExactSql,
+
+    "ann_recall_ivf" ->
+      s"""SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  roundbankers(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM ($annExactSql) ex
+         |JOIN ($annIvfSql) ap ON ex.vec_id = ap.vec_id""".stripMargin,
+
+    "token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+         |    AS BIGINT) AS n_word_pieces,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+         |    AS avg_token_len,
+         |  CAST(len(list_filter(toks, x -> x IN $enList)) AS DOUBLE) /
+         |    len(toks) AS stopword_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |    AS distinct_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Equi-depth deciles: ntile under the identical TOTAL order
+    // (n_tokens, doc_id) — both engines use the standard "first
+    // (total mod n) buckets get the extra row" rule, so bin boundaries
+    // match exactly. Null texts excluded on both sides.
+    "token_deciles" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, n_tokens, CAST(ntile(10) OVER (
+        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS decile FROM t)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "lang_id" -> langIdSql,
+
+    "quality_score" -> qualityScoreSql,
+
+    // Composed curation pass: the component oracles embed as subqueries,
+    // so the composite stays definitionally in sync with each piece.
+    "curation_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
+         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(text))))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  q.quality_score, l.pred_lang
+         |FROM documents d
+         |JOIN band USING (doc_id) JOIN q USING (doc_id)
+         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
+         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "curation_pipeline_v2" ->
+      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
+         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(text)))),
+         |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
+         |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  q.quality_score, l.pred_lang, dsc.dup_frac, lm.avg_prob
+         |FROM documents d
+         |JOIN band USING (doc_id) JOIN q USING (doc_id)
+         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
+         |JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
+         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
+         |  AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,1053 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators._
+import graft.EntryOracleSql.EmbDim
+import graft.EntryHelpers._
+
+/** The `queries` half of the driver contract: one entry per implemented
+  * operator from SURVEY.md §2 (plus the LLM-pipeline extensions).
+  * Composed into [[SparkEntry.queries]] — names and semantics are the
+  * contract; see SparkEntry's scaladoc for the determinism rules.
+  */
+private[graft] object EntryQueries {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Flagship relational chain (J1,J2,P12,A1,A2,A3,F8,W1,F10,O1) ----
+
+    "merged_detail" -> ((s, dir) =>
+      merged(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("customer_id"), col("name"), col("product_code"),
+          col("product_name"), col("category"),
+          col("amount_raw").as("amount"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "category_totals" -> ((s, dir) =>
+      Relational.categoryTotals(merged(s, dir))
+        .select(col("customer_id"), col("name"), col("category"),
+          col("amount").cast("double").as("amount"))
+        .orderBy("customer_id", "name", "category")),
+
+    "flagship_rank" -> ((s, dir) => {
+      // Rank input is one row per customer; the (memoized) customer
+      // dimension row count bounds it, letting summaryRanked choose the
+      // single-window form at small scale and the two-phase
+      // no-unpartitioned-window form past the threshold.
+      val keys = customerCount(s, dir)
+      Relational.summaryRanked(Relational.categoryTotals(merged(s, dir)),
+          estimatedKeys = Some(keys))
+        .select(col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"), col("rank"))
+        .orderBy("rank", "customer_id")
+    }),
+
+    "top_spenders" -> ((s, dir) =>
+      Relational.topSpenders(Relational.categoryTotals(merged(s, dir)))
+        .select(col("category"), col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"))
+        .orderBy("category")),
+
+    // A4 via Relational.nestDetails, with the nested list serialized to a
+    // flat string (name|category|amount records joined by ';') — array
+    // columns crash the driver's pandas comparator, and the decimal(18,2)
+    // string rendering is identical in both engines.
+    "nested_details" -> ((s, dir) =>
+      Relational.nestDetails(Relational.categoryTotals(merged(s, dir)))
+        .select(col("customer_id"),
+          // coalesce each field: concat_ws SKIPS nulls while SQL '||'
+          // null-propagates — pinning '' keeps both sides identical even
+          // for all-null-amount groups
+          array_join(transform(col("details"), d =>
+            concat_ws("|", coalesce(d.getField("name"), lit("")),
+              coalesce(d.getField("category"), lit("")),
+              coalesce(d.getField("amount").cast("decimal(18,2)")
+                .cast("string"), lit("")))),
+            ";").as("details"))
+        .orderBy("customer_id")),
+
+    "flagship_rank_window" -> ((s, dir) =>   // W1 literal single-window form
+      Relational.summaryRankedWindow(
+          Relational.categoryTotals(merged(s, dir)))
+        .select(col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"), col("rank"))
+        .orderBy("rank", "customer_id")),
+
+    // ---- Customer packed-record parser (P1-P9, F1-F6) -------------------
+
+    "parse_customers" -> ((s, dir) =>
+      Relational.parseCustomers(packedCustomerLines(s, dir), "line")
+        .orderBy(col("customer_id").cast("long"))),
+
+    // ---- CDC / event-time operators (J3 core, W2, streaming analogs) ----
+
+    "cdc_lag" -> ((s, dir) =>
+      EventOps.changeCapture(events(s, dir)).orderBy("user_id", "event_id")),
+
+    "event_windows" -> ((s, dir) =>
+      EventOps.tumblingCounts(events(s, dir))
+        .orderBy("window_start_ms", "event_type")),
+
+    "event_windows_hopping" -> ((s, dir) =>
+      EventOps.hoppingCounts(events(s, dir))
+        .orderBy("window_start_ms", "event_type")),
+
+    "sessionize" -> ((s, dir) =>
+      EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
+
+    // Spark-native session_window sessionization (the batch twin of the
+    // streaming sessionCounts): the oracle replays the merge rule at
+    // MICROSECOND precision — Spark merges windows on internal micros,
+    // and the source timestamps carry sub-millisecond digits.
+    "session_windows" -> ((s, dir) =>
+      EventOps.sessionWindows(events(s, dir))
+        .orderBy("user_id", "session_start_ms")),
+
+    // Ordered-step funnel view → click → purchase: per-step user counts
+    // under earliest-completion semantics (step k strictly after the
+    // step-(k-1) completion time).
+    "funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
+
+    // Weekly cohort retention triangle: users cohorted by first-event
+    // week; each cell counts the cohort's users active k weeks later.
+    // All-integer epoch-ms arithmetic.
+    "retention_cohorts" -> ((s, dir) =>
+      EventOps.retentionCohorts(events(s, dir))),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // fixed-point row-normalized probabilities (n·10^6 floor-divided by
+    // the source-row total) — bit-identical across engines.
+    "event_transitions" -> ((s, dir) =>
+      EventOps.transitionMatrix(events(s, dir))),
+
+    // SCD Type-2 dimension build from the event-sourced value: each
+    // user's change timeline as versioned validity intervals
+    // [effective_from_ms, effective_to_ms), open while current.
+    "scd2_users" -> ((s, dir) =>
+      EventOps.scd2(events(s, dir))),
+
+    // Full J3 algebra against persistent state, simulated by splitting the
+    // event log at max(event_id)/2: first half folds into per-key state
+    // (last value wins), second half is the incoming batch.
+    "cdc_state_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val thr = ev.agg(max("event_id")).head().getLong(0) / 2
+      val ms = EventOps.eventMs(ev)
+      val lastWins = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc_nulls_last("_ms"), desc("event_id"))
+      val state = ev.where(col("event_id") <= thr)
+        .withColumn("_ms", ms)
+        .withColumn("_rn", row_number().over(lastWins))
+        .where(col("_rn") === 1)
+        .select(col("user_id"), col("value"))
+      val batch = ev.where(col("event_id") > thr).withColumn("_ms", ms)
+      EventOps.statefulChangeCapture(batch, state, "user_id", "value",
+          orderCols = Seq(col("_ms"), col("event_id")),
+          carryCols = Seq("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // As-of join: attach the latest prior (or simultaneous) purchase per
+    // user to every click — checked against DuckDB's native ASOF JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val ms = EventOps.eventMs(ev)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), ms.as("_ms"))
+      val lastPerMs = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "_ms").orderBy(desc("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), ms.as("_ms"), col("value"), col("event_id"))
+        .withColumn("_rn", row_number().over(lastPerMs))
+        .where(col("_rn") === 1)
+        .select(col("user_id"), col("_ms"), col("value"))
+      EventOps.asofJoin(clicks, purchases, "user_id", "_ms", "value",
+          outCol = "last_purchase")
+        .select(col("user_id"), col("event_id"), col("last_purchase"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- Wider star-schema analytics -----------------------------------
+
+    // Revenue rollup through the full snowflake: lineitem→orders→customer
+    // →nation→region (exercises every dimension table).
+    "nation_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(18,4)").as("amount"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum("amount"), 2).cast("double").as("revenue"))
+        .orderBy("region", "nation")
+    }),
+
+    // Top-3 per category via the bounded-heap typed Aggregator — the
+    // O(n log k) partial-aggregated scale path (no full partition sort).
+    "topk_per_category_agg" -> ((s, dir) =>
+      graft.functions.TopKAggregator.topKPerGroup(
+          Relational.categoryTotals(merged(s, dir)),
+          "category", "amount", "customer_id", k = 3)
+        .orderBy("category", "rk")),
+
+    // Top-3 spenders per category (top-k per group via ranked window).
+    "topk_per_category" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("category")
+        .orderBy(desc("amount"), asc("customer_id"))
+      Relational.categoryTotals(merged(s, dir))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("category"), col("rk"), col("customer_id"), col("name"),
+          col("amount").cast("double").as("amount"))
+        .orderBy("category", "rk")
+    }),
+
+    // Running total per customer over order history (window frame).
+    "running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so this cast
+        // gives the same epoch millis DuckDB's epoch_ms computes.
+        .orderBy(unix_millis(col("o_orderdate").cast("timestamp")),
+          col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,4)").as("p"))
+        .withColumn("running_spend", sum("p").over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Distinct-count aggregation per category.
+    "category_customers" -> ((s, dir) =>
+      merged(s, dir).groupBy("category")
+        .agg(countDistinct("customer_id").as("n_customers"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("category")),
+
+    // Anti join: customers with no order since 2000-01-01, per market
+    // segment. Date-scoped deliberately — the unscoped anti-join is empty
+    // at every SF (testdata gives every customer an order), which made the
+    // oracle row vacuously green (VERDICT r3 wrong.1); the recency window
+    // leaves a real, SF-dependent non-empty result to hash-check.
+    "customers_without_orders" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate").cast("date") >= lit("2000-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("segment")),
+
+    // Exact interpolated percentiles of event values per type.
+    "event_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(bround(expr("percentile(value, 0.5)"), 4).as("p50"),
+          bround(expr("percentile(value, 0.95)"), 4).as("p95"),
+          bround(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")),
+
+    // Exact distinct users per event type — the oracle-checked half of the
+    // distinct-count pair.
+    "users_per_type" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // HLL sketch: approximate distinct users per event type (rows-only —
+    // sketch internals are engine-specific; accuracy asserted vs the
+    // exact count in PropertySpec).
+    "approx_users_per_type" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type")),
+
+    // KLL-style quantile sketch (rows-only — sketch, engine-specific;
+    // rank-error bound vs the exact percentiles asserted in PropertySpec).
+    "approx_event_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
+          .as("quantiles"))
+        .select(col("event_type"),
+          bround(element_at(col("quantiles"), 1), 4).as("p50"),
+          bround(element_at(col("quantiles"), 2), 4).as("p95"),
+          bround(element_at(col("quantiles"), 3), 4).as("p99"))
+        .orderBy("event_type")),
+
+    // Pivot: per-user event-type counts as columns.
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Unpivot twin: the wide per-user matrix back to long form — stack()
+    // keeps the zero-filled cells, so pivot∘unpivot is lossless.
+    "events_unpivot" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), expr(
+          "stack(5, 'click', click, 'view', view, 'purchase', purchase, " +
+          "'signup', signup, 'error', error) AS (event_type, n_events)"))
+        .orderBy("user_id", "event_type")),
+
+    // Multi-level CUBE: event counts + DECIMAL-exact value totals at
+    // every (event_type × day) marginal, grouping_id disambiguating the
+    // aggregation level exactly as docs_rollup does for ROLLUP.
+    "events_cube" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev
+        .withColumn("_ms", EventOps.eventMs(ev))
+        .select(col("event_type"),
+          expr("_ms div 86400000").as("day"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n_events"),
+          bround(sum("v"), 2).cast("double").as("total_value"),
+          grouping_id().cast("long").as("level"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("total_value"), col("level"))
+        .orderBy(col("level"), asc_nulls_first("event_type"),
+          asc_nulls_first("day"))
+    }),
+
+    // Exact-DECIMAL power sums finished by one fixed double expression —
+    // the deterministic var_samp (see EventOps.valueVariance).
+    "value_variance" -> ((s, dir) =>
+      EventOps.valueVariance(events(s, dir))),
+
+    // Time-weighted average value per user: DECIMAL-exact value×Δms
+    // sums, one final IEEE division.
+    "twap_users" -> ((s, dir) =>
+      EventOps.twap(events(s, dir))),
+
+    // Time-series resample: dense hourly grid per user, forward-filled
+    // from the last observation (ties broken by ms, event_id desc).
+    "gapfill_hourly" -> ((s, dir) =>
+      EventOps.gapFill(events(s, dir))),
+
+    // ---- Dedup family ---------------------------------------------------
+
+    "exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir)).orderBy("fingerprint")),
+
+    "prefix_dedup" -> ((s, dir) =>
+      Dedup.prefixDedup(docs(s, dir)).orderBy("fingerprint")),
+
+    "dedup_keep_longest" -> ((s, dir) =>
+      Dedup.dedupKeepLongest(docs(s, dir))
+        .select(col("fingerprint"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("n_copies"))
+        .orderBy("fingerprint")),
+
+    "minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
+
+    "neardup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Classic b×r banding (2 bands × 2 rows): candidates need BOTH
+    // minima of some band to collide — the steeper s-curve that bounds
+    // verify cost as the corpus grows; same exact-Jaccard verify.
+    "neardup_pairs_banded" -> ((s, dir) =>
+      Dedup.nearDupPairsBanded(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Asymmetric containment (quote/subset detection): |A∩B|/|A| and
+    // /|B| over the LSH candidate pairs — the signal that finds a short
+    // doc embedded in a long one, which symmetric Jaccard misses.
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Z-order (Morton) clustering key over (user_id, event day): rows
+    // sorted by this key cluster in BOTH dimensions, so parquet min/max
+    // stats prune scans for predicates on either column (ScaleSpec
+    // asserts the two-dimensional file skipping on a written layout).
+    "z_order_key" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.withColumn("_ms", EventOps.eventMs(ev))
+        .select(col("event_id"), col("user_id"),
+          expr("_ms div 86400000").as("day"))
+        .withColumn("z", graft.functions.BitInterleave(
+          col("user_id"), col("day"), 21))
+        .orderBy("event_id")
+    }),
+
+    // Exact Levenshtein verify over the LSH-blocked candidate pairs —
+    // the O(len²) last step of fuzzy matching, never run all-pairs.
+    "edit_distance_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.editDistancePairs(
+        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d)
+    }),
+
+    // PageRank over the MinHash-LSH near-dup pair graph: fixed-point
+    // BIGINT arithmetic (floor divisions only — no float sums), so the
+    // 4-round BSP scores are bit-identical across engines and
+    // partitionings; ranks hub copies (connected boilerplate) above
+    // leaves inside duplicate neighborhoods.
+    "pagerank_neardup" -> ((s, dir) =>
+      Dedup.pageRank(
+        Dedup.nearDupPairs(docs(s, dir)).select("doc_a", "doc_b"))),
+
+    // Triangle enumeration over the (dense) SimHash pair graph: 3-cliques
+    // listed once as doc_a < doc_b < doc_c via the ordered wedge join —
+    // the clustering-coefficient evidence that a duplicate neighborhood
+    // is one mutual template rather than a chain of borderline pairs.
+    "triangle_count" -> ((s, dir) =>
+      Dedup.triangles(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+
+    // Aggregate twin of triangle_count: per-vertex triangle participation
+    // over the same degree-capped graph, ending in a vertex-sized hash
+    // aggregate instead of a total-order sort over the triangle set —
+    // the form that survives a 100× edge-count scale-up (the enumerate
+    // form's terminal sort is output-sized and grows superlinearly).
+    "triangle_counts_by_vertex" -> ((s, dir) =>
+      Dedup.triangleCounts(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+
+    // Near-dup clustering: connected components over the MinHash-LSH pair
+    // graph — every doc labeled with its cluster's canonical (minimum)
+    // doc_id, singletons labeling themselves. The post-pair step an LLM
+    // dedup pipeline actually acts on ("keep one per cluster").
+    "neardup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(
+          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
+          d.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Same clustering through the O(log n)-round large-star/small-star
+    // contraction — the scale path for deep-diameter graphs; shares
+    // neardup_clusters' transitive-closure oracle, so both algorithms
+    // must produce the identical relation (the flagship_rank two-form
+    // pattern).
+    "neardup_clusters_star" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponentsStar(
+          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
+          d.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // The dedup endpoint: cluster the pair graph, then keep one
+    // representative per cluster (longest text, doc_id tiebreak) — the
+    // frame a training run would actually read.
+    "dedup_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+      Dedup.keepClusterRepresentatives(d, clusters)
+        .select(col("cluster"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("cluster")
+    }),
+
+    // Decontamination: 8-gram overlap between the corpus and a
+    // deterministic 10% holdout slice (doc_id % 10 == 0, standing in for
+    // the benchmark/eval set) — flags training docs that leak eval text.
+    "contamination_overlap" -> ((s, dir) =>
+      Dedup.contaminationOverlap(docs(s, dir), col("doc_id") % 10 === 0)
+        .orderBy("doc_id", "holdout_id")),
+
+    // Sketch path of the same incremental dedup: Bloom-filter pre-screen
+    // (codegen'd membership probe) + exact anti-join on the flagged
+    // candidates only. Oracle = incremental_dedup's SQL — the composition
+    // is provably exact (no false negatives; false positives are
+    // re-checked), so a hash-green row proves the sketch path is
+    // semantics-preserving, the salted_join_agg pattern.
+    "incremental_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Scale.bloomIncrementalDedup(
+          d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0),
+          key = t => md5(substring(lower(t), 1, 64)))
+        .orderBy("fingerprint")
+    }),
+
+    // Cross-corpus NEAR-dup: the odd-id batch's MinHash bands joined
+    // against the even-id corpus' signature index, exact-Jaccard
+    // verified — the incremental counterpart of neardup_pairs (12 of its
+    // 25 sf0.01 pairs straddle the parity split, so the result is real).
+    "incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDupPairs(
+          d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0))
+        .orderBy("inc_id", "ex_id")
+    }),
+
+    // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every
+    // doc sharing an 8-gram with the holdout slice — what a training run
+    // reads after the contamination_overlap scan above.
+    "decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(docs(s, dir), col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // Direct n-gram Jaccard near-dup pairs via rare-gram blocking — the
+    // deterministic (exact-recall-within-blocking) counterpart of the
+    // probabilistic MinHash-LSH path above; same threshold, different
+    // candidate generation, so the two families cross-check each other.
+    "jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardNgramPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Substring-level duplicate spans (Lee et al.-style exact substring
+    // dedup, hashed-window approximation): maximal token spans whose
+    // 8-token windows appear verbatim in ≥ 2 documents. No pair join —
+    // cost scales with corpus tokens, not candidate pairs².
+    "dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir))
+        .orderBy("doc_id", "span_start")),
+
+    // Per-doc duplicated-span coverage — the "mostly boilerplate found
+    // elsewhere" curation signal thresholded by cleaning pipelines.
+    "dup_span_coverage" -> ((s, dir) =>
+      Dedup.duplicateSpanCoverage(docs(s, dir))
+        .orderBy("doc_id")),
+
+    // Substring-dedup apply: every duplicated span clipped, surviving
+    // token stream hashed — what a boilerplate-removal pass writes back.
+    "dup_span_clip" -> ((s, dir) =>
+      Dedup.clipDuplicateSpans(docs(s, dir))
+        .orderBy("doc_id")),
+
+    "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
+      Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Incremental (cross-corpus) dedup — the production shape: the odd-id
+    // half of the corpus arrives as a new batch and is deduped against
+    // the even-id half's fingerprint index (prefix-64 near-dup screen, so
+    // the planted prefix-duplicate groups make the drop real: ~11 of 250
+    // incoming docs are dropped at sf0.01).
+    "incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(
+          d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0),
+          key = t => md5(substring(lower(t), 1, 64)))
+        .orderBy("fingerprint")
+    }),
+
+    "simhash_pairs_md5" -> ((s, dir) =>   // md5-sliced portable variant
+      Dedup.simhashPairsPortable(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // ---- Similarity search ----------------------------------------------
+
+    "ann_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L)),
+
+    // ANN index evaluation: recall@10 of the fixed-grid IVF probe against
+    // the exact top-10 — the metric that prices every approximate index's
+    // accuracy trade. The oracle composes the two result oracles and
+    // intersects on vec_id.
+    "ann_recall_ivf" -> ((s, dir) =>
+      Similarity.recallAtK(
+        Similarity.topK(emb(s, dir), queryId = 0L),
+        Similarity.ivfTopK(emb(s, dir), queryId = 0L), k = 10)),
+
+    "ann_topk_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), queryId = 0L)),
+
+    "ann_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), queryId = 0L)),
+
+    "ann_topk_lsh_mp" -> ((s, dir) =>   // multi-probe: flips low-margin bits
+      Similarity.lshTopKMultiProbe(emb(s, dir), queryId = 0L)),
+
+    // Batch ANN join: top-10 LSH neighbors for EVERY query in the set
+    // (vec_id < 20) in one plan — the retrieval/indexing shape that
+    // amortizes the banding over the whole query set.
+    "ann_topk_join" -> ((s, dir) =>
+      Similarity.lshTopKJoin(emb(s, dir))
+        .orderBy(col("q_id"), desc("sim"), col("c_id"))),
+
+    // IVF search over a TRAINED codebook (vs ann_topk_ivf's sampled one).
+    // Training is the once-per-corpus-version offline job (see
+    // kmeansCodebook's scaladoc), so it is memoized per (session, sf dir)
+    // — a repeated invocation re-times the search, not the training; the
+    // generated oracle replays the same two Lloyd iterations in SQL.
+    "ann_topk_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), queryId = 0L,
+        codebook = Some(kmeansBook(s, dir)))),
+
+    // Product-quantization ADC top-k: the corpus is searched through its
+    // 8-byte PQ codes (trained 8×16 codebooks, memoized like the k-means
+    // book); the query-side lookup tables ride as literals, so the scan
+    // never touches a corpus vector — the memory-compression ANN shape.
+    // The generated oracle replays encode + ADC over the inlined books.
+    "ann_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), queryId = 0L,
+        books = Some(pqBook(s, dir)))),
+
+    // Random-projection reduced-space search: 64→16 dims via
+    // deterministic hyperplanes, top-40 candidates by reduced cosine,
+    // exact re-rank to top-10 — the scan-4×-less-data ANN shape.
+    "ann_topk_rp" -> ((s, dir) =>
+      Similarity.rpTopK(emb(s, dir), queryId = 0L)),
+
+    // IVF-PQ — the composed production index (FAISS IVFPQ shape): the
+    // trained coarse codebook routes the query to 4 cells; candidates
+    // inside them rank by ADC over their 8-byte PQ codes. Both trained
+    // codebooks are the memoized once-per-corpus jobs; the oracle
+    // replays coarse training, PQ training, encode, probe, and the
+    // fixed-order ADC sum in one statement.
+    "ann_topk_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), queryId = 0L,
+        codebook = kmeansBook(s, dir), books = pqBook(s, dir))),
+
+    // Residual-encoding IVF-PQ — the full FAISS recipe: corpus vectors
+    // are PQ-encoded as `v − centroid(cell)` residuals (smaller norm →
+    // smaller ADC error for the same byte budget), and the query builds
+    // one LUT per probed cell from its own residual against that cell.
+    // The oracle replays coarse training, residual computation, residual
+    // PQ training, encode, and the per-cell LUT join in one statement.
+    "ann_topk_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(emb(s, dir), queryId = 0L,
+        codebook = kmeansBook(s, dir), books = pqResidBook(s, dir))),
+
+    // The raw corpus has no cosine ≥ 0.9 pairs at small SFs, which made
+    // this oracle row vacuously green (VERDICT r3 wrong.1). Deterministic
+    // perturbed copies of the first 8 vectors are unioned in (new id =
+    // vec_id + 10^7, first component +0.01 — a single double add after the
+    // upcast, bit-identical in the SQL oracle) so the banding + verify
+    // path must recover real planted pairs.
+    "embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairsFromVecs(plantedVecs(s, dir),
+          threshold = 0.9, planes = 12, tables = 3, dim = EmbDim)
+        .orderBy("vec_a", "vec_b")),
+
+    // Contrastive triplets over the planted near-dup pair graph: each
+    // (anchor, positive) pair gets a deterministic pseudo-random
+    // negative from the raw corpus — the embedding-model training-data
+    // endpoint downstream of the pair search. The pool is DELIBERATELY
+    // gapped (every 7th id dropped) to exercise the rank-based draw:
+    // negatives come from the pool's id-order ranks, so no density
+    // precondition exists.
+    "contrastive_triplets" -> ((s, dir) => {
+      val pv = plantedVecs(s, dir)
+      // Negatives pool = the raw corpus slice of pv (ids < the planted
+      // offset) minus the id gap — reuses the frame the pair search
+      // persists instead of re-scanning the embeddings table.
+      val pool = pv.where(col("vec_id") < 10000000L &&
+        col("vec_id") % 7 =!= 3)
+      Similarity.contrastiveTriplets(pv,
+          Similarity.lshNearDupPairsFromVecs(pv, threshold = 0.9,
+            planes = 12, tables = 3, dim = EmbDim),
+          pool)
+        .orderBy("anchor", "positive")
+    }),
+
+    // SemDeDup-style semantic dedup: the TRAINED k-means codebook assigns
+    // every vector (corpus + the same planted perturbations) to a cell;
+    // near-dup pairs are searched only within cells. Cross-checks the LSH
+    // pair search above: different candidate generation, same planted
+    // truth.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(plantedVecs(s, dir), kmeansBook(s, dir))
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- Text analysis --------------------------------------------------
+
+    "token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(docs(s, dir))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_word_pieces").cast("long").as("n_word_pieces"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("avg_token_len"), col("stopword_ratio"), col("distinct_ratio"))
+        .orderBy("doc_id")),
+
+    // Equi-depth token-count histogram: every document ntile'd into 10
+    // equal-population bins under a TOTAL order (n_tokens, doc_id), each
+    // bin summarized — the length-distribution profile read before
+    // choosing packing/truncation thresholds.
+    "token_deciles" -> ((s, dir) =>
+      TextOps.tokenDeciles(docs(s, dir))
+        .select(col("decile"), col("n_docs"),
+          col("min_tokens").cast("long").as("min_tokens"),
+          col("max_tokens").cast("long").as("max_tokens"),
+          col("sum_tokens").cast("long").as("sum_tokens"))
+        .orderBy("decile")),
+
+    "lang_id" -> ((s, dir) =>
+      TextOps.langIdAgg(docs(s, dir))
+        .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
+          col("de_hits").cast("long").as("de_hits"),
+          col("fr_hits").cast("long").as("fr_hits"),
+          col("es_hits").cast("long").as("es_hits"), col("pred_lang"))
+        .orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(TextOps.tokenStats(docs(s, dir)))
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy("doc_id")),
+
+    // Corpus-bigram LM quality score (the CCNet-perplexity stand-in):
+    // per-doc mean transition probability in fixed point — exact integer
+    // sums, ONE final IEEE division, so the score is hash-portable where
+    // a log-prob formulation would not be.
+    "lm_score" -> ((s, dir) =>
+      TextOps.lmScore(docs(s, dir)).orderBy("doc_id")),
+
+    // Multi-level aggregation (ROLLUP): corpus stats per (lang, source),
+    // per lang, and grand total in one partial-aggregated pass.
+    "docs_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          grouping_id().as("level"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_chars").cast("long").as("total_chars"),
+          col("level").cast("long").as("level"))
+        .orderBy(col("level"), asc_nulls_first("lang"),
+          asc_nulls_first("source"))),
+
+    // Order-insensitive md5-fold XOR checksum per source — the
+    // cross-system reconciliation digest (any engine, any row order,
+    // same 60-bit checksum).
+    "table_checksum" -> ((s, dir) =>
+      Relational.tableChecksum(docs(s, dir), "source",
+        Seq(col("doc_id"), coalesce(col("text"), lit("")), col("lang"),
+          col("source"), col("n_chars")))),
+
+    // Deterministic stratified downsampling (data mixing): 1/2 of English
+    // docs, 1/4 of everything else.
+    "stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), Map("en" -> 2), defaultRate = 4)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Per-(lang, source) quota capping: keep the 3 longest docs per group
+    // (doc_id tiebreak) — the data-mixing step that stops one source from
+    // dominating a stratum.
+    "source_quota" -> ((s, dir) =>
+      TextOps.groupQuota(docs(s, dir), Seq("lang", "source"), quota = 3)
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"),
+          asc("rank_in_group"))),
+
+    // Weighted mixture upsampling: src0 docs get 3 epochs, src1 gets 2,
+    // everything else 1 — one row per (doc, epoch).
+    "epoch_mix" -> ((s, dir) =>
+      TextOps.epochMix(docs(s, dir), Map("src0" -> 3, "src1" -> 2))
+        .orderBy("doc_id", "epoch")),
+
+    // Deterministic epoch shuffle: global training order = rank of
+    // md5(seed:doc_id), computed with the two-phase range-partition
+    // prefix machinery (no unpartitioned window).
+    "shuffle_order" -> ((s, dir) =>
+      TextOps.shuffleOrder(docs(s, dir)).orderBy("position")),
+
+    // DSIR-style data selection: every non-holdout doc scored by how
+    // target-typical its hashed-bigram features are (fixed-point
+    // frequency differences — the log-free, hash-portable surrogate).
+    // The holdout slice (doc_id % 10 == 0) plays the quality reference.
+    "importance_weights" -> ((s, dir) =>
+      TextOps.importanceWeights(docs(s, dir), col("doc_id") % 10 === 0)
+        .orderBy("doc_id")),
+
+    // Unicode NFC canonicalization: the ASCII corpus normalizes to
+    // itself, so decomposed accents (e + combining acute, U+0301) are
+    // planted on doc_id % 5 == 0 — composition must change both the
+    // char length and the md5, and match DuckDB's nfc_normalize.
+    "canonicalize_text" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" caf"), lit("e" + "\u0301")))
+          .otherwise(col("text")))
+      TextOps.canonicalize(planted)
+        .select(col("doc_id"),
+          length(col("canonical")).cast("long").as("n_chars"),
+          md5(col("canonical")).as("canonical_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary: top-100 token frequencies (count desc, token
+    // asc — a total order, so the k-cut is deterministic cross-engine).
+    "vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(docs(s, dir))),
+
+    // Vocabulary coverage: per-doc OOV token fraction against the same
+    // deterministic top-100 vocab — the tokenizer-evaluation signal.
+    "vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(docs(s, dir))
+        .orderBy("doc_id")),
+
+    // Deterministic train/val/test holdout split (90/5/5 by Knuth
+    // multiplicative hash of doc_id — a pure projection, so assignment
+    // is stable across machines and reruns); per-split doc/char summary.
+    "split_assign" -> ((s, dir) => TextOps.holdoutSplit(docs(s, dir))),
+
+    // BPE tokenizer training: 16 most-frequent-adjacent-pair merges over
+    // the frequency-weighted word vocabulary (driver-looped like the
+    // Lloyd iterations; ties lexicographic on (lhs, rhs)). The oracle
+    // replays every merge stage in one 16-stage CTE chain.
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeMergeTable(s, dir)
+        .toDF("merge_rank", "lhs", "rhs", "merged", "n_occ")
+        .orderBy("merge_rank")
+    }),
+
+    // BPE tokenizer APPLY: encode the corpus with the trained merge
+    // table (memoized once per corpus, like the k-means codebooks) and
+    // emit the token vocabulary with frequencies. The merge list
+    // crossing the driver is ≤16 (lhs, rhs) pairs; the oracle reuses
+    // the training CTE chain and tokenizes its final vocab stage.
+    "bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncodeTokens(docs(s, dir),
+        bpeMergeTable(s, dir).map(t => (t._2, t._3)))),
+
+    // Dataset card: the one-row corpus summary a curation run publishes
+    // (doc/token counts, stratum cardinalities, exact-dup rate). ONE
+    // partial-aggregated pass; ratios are single IEEE divisions of
+    // exact counts.
+    "corpus_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        // no lower(): case cannot change a whitespace-split token count.
+        // Null texts contribute null (skipped by SUM), matching the
+        // oracle's SUM-over-CASE — under the repo's legacy sizeOfNull
+        // conf a bare size(null) would be -1 and silently deflate the
+        // total (same guard as duplicateSpanCoverage).
+        sum(when(col("text").isNotNull,
+          size(split(col("text"), " ")).cast("long")))
+          .as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        // the canonical exact-dup fingerprint — same normalization as
+        // the dedup operators this rate summarizes
+        countDistinct(TextOps.fingerprint(col("text")))
+          .as("n_fingerprints"))
+      .select(col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("avg_doc_tokens"),
+        col("n_langs"), col("n_sources"), col("n_fingerprints"),
+        (lit(1.0) - col("n_fingerprints").cast("double") / col("n_docs"))
+          .as("exact_dup_rate"))
+    }),
+
+    // Exact heavy hitters through a Misra–Gries sketch pre-screen + exact
+    // re-count of the ≤127 candidates — deterministic despite the sketch
+    // (superset guarantee), so it shares an exact SQL oracle; the
+    // bounded-memory twin of vocab_topk's full-vocabulary aggregate.
+    "heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(docs(s, dir))),
+
+    // Gopher-style repetition signals: top-token fraction + duplicate
+    // bigram/trigram occurrence fractions per document.
+    "repetition_stats" -> ((s, dir) =>
+      TextOps.repetitionStats(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("top_token_frac"), col("dup_bigram_frac"),
+          col("dup_trigram_frac"))
+        .orderBy("doc_id")),
+
+    // Top-3 distinctive terms per doc by the integer tf·(N−df) relevance
+    // score (tf-idf's ordering without its non-portable logarithm).
+    "top_terms" -> ((s, dir) =>
+      TextOps.topTerms(docs(s, dir))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), desc("score"), col("term"))),
+
+    // Corpus-relative length band: keep docs inside the [P5, P95]
+    // discrete-quantile token-count band.
+    "length_filter" -> ((s, dir) =>
+      TextOps.lengthBandFilter(docs(s, dir)).orderBy("doc_id")),
+
+    // Sequence packing: every doc's (sequence, offset) slot in the
+    // doc_id-ordered 2048-token training stream — global prefix sum via
+    // the two-phase range-partition machinery, no unpartitioned window.
+    "pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir)).orderBy("doc_id")),
+
+    // Composed curation pass — the full cleaning pipeline as ONE plan:
+    // corpus-quantile length band ∩ quality threshold ∩ language known ∩
+    // exact-dedup representative. Proves the curation operators compose
+    // (each is also oracle-checked standalone); Catalyst fuses the four
+    // doc_id equi-joins into one shuffle-stage chain.
+    "curation_pipeline" -> ((s, dir) =>
+      curationBase(docs(s, dir)).orderBy("doc_id")),
+
+    // The round-5 cleaning pipeline: v1's four gates PLUS the two new
+    // per-doc signals — duplicated-span coverage ≤ 0.5 (drop docs that
+    // are mostly boilerplate found elsewhere) and a non-null bigram LM
+    // score (drop docs too short to score). One plan; Catalyst chains
+    // the six doc_id equi-joins into one shuffle-stage pipeline.
+    "curation_pipeline_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      curationBase(d)
+        .join(Dedup.duplicateSpanCoverage(d)
+          .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+        .join(TextOps.lmScore(d)
+          .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
+        .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
+        .orderBy("doc_id")
+    }),
+
+    // Overlapping token chunks (embedding/RAG prep): 32-token windows
+    // advancing by 24, chunk text hashed for the compare.
+    "chunk_docs" -> ((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          col("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // PII scrub over deterministically planted contacts: per-doc match
+    // counts + md5 of the redacted text (the full scrubbed column would be
+    // the production output; the hash is what the comparator can check).
+    "pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(piiDocs(s, dir))
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_urls").cast("long").as("n_urls"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy("doc_id")),
+
+    // Per-domain URL aggregation over the same planted corpus — the
+    // blocklist/mixing signal (extract_all → explode → hash-aggregate).
+    "url_domains" -> ((s, dir) =>
+      TextOps.urlDomains(piiDocs(s, dir))
+        .select(col("domain"), col("n_urls"), col("n_docs"))
+        .orderBy("domain")),
+
+    // Line-level boilerplate removal (C4/RefinedWeb cleaning pass) over
+    // deterministically planted banner/footer lines: high-df lines drop,
+    // the df=1 rare footer survives; cleaned text compared by md5.
+    "strip_boilerplate" -> ((s, dir) =>
+      TextOps.stripBoilerplateLines(boilerplateDocs(s, dir))
+        .orderBy("doc_id")),
+
+    // Winnowing-style rolling-hash fingerprint (custom codegen'd
+    // expression; Long arithmetic not portable to the oracle: rows-only).
+    "rolling_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextOps.rollingMinFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Full winnowing signatures (MOSS scheme): every w-run of 8-gram
+    // rolling hashes contributes its leftmost-minimal (hash, position)
+    // pair — the bounded-density near-dup blocking key. Oracle replays
+    // the Rabin–Karp mod-2^64 hash in HUGEINT and the selection rule as
+    // a ROW_NUMBER window.
+    "winnow_fingerprints" -> ((s, dir) =>
+      TextOps.winnowFingerprints(docs(s, dir))),
+
+    // Winnowing applied: candidate near-dup pairs sharing ≥ 2 rare
+    // (df ≤ 10) selected fingerprints — the signature family's blocking
+    // join, fan-out capped like the rare-gram Jaccard path.
+    "winnow_pairs" -> ((s, dir) => Dedup.winnowPairs(docs(s, dir))),
+
+    // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
+
+    // Full feature path, oracle-checked end-to-end: the LCG payload is
+    // replayed in SQL (like multimodal_histogram) and entropy rides as
+    // the Q40 FIXED-POINT form (square-and-shift binary log, pure
+    // integer — Multimodal.log2Fp), which DuckDB recomputes bit-for-bit
+    // with HUGEINT where libm Shannon doubles would flake the exact
+    // comparator. 512-byte payloads keep the oracle recursion cheap; the
+    // float byte_entropy column stays in the operator (reference parity,
+    // MultimodalSpec) but out of the hash-compared projection.
+    "multimodal_features" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.extractFeatures(
+          Multimodal.synthesize(s, n, payloadBytes = 512))
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          col("entropy_fp"),
+          // serialized: array columns crash the driver's comparator
+          to_json(col("histogram")).as("histogram"))
+        .orderBy("asset_id")
+    }),
+
+    // Integer core of the feature path, oracle-checked end-to-end: the
+    // synthetic LCG payload is replayed in SQL (recursive CTE over the
+    // affine step, HUGEINT mod-2^64), so the per-asset 16-bin byte
+    // histogram is hash-compared byte-for-byte. 512-byte payloads keep
+    // the oracle's 2^9-step recursion cheap; entropy (float libm, not
+    // bit-portable) stays on the rows-only multimodal_features above.
+    "multimodal_histogram" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.extractFeatures(
+          Multimodal.synthesize(s, n, payloadBytes = 512))
+        .select(col("asset_id"), col("modality"),
+          posexplode(col("histogram")).as(Seq("bin", "h")))
+        .select(col("asset_id"), col("modality"),
+          col("bin").cast("long").as("bin"), col("h"))
+        .orderBy("asset_id", "bin")
+    }),
+
+    // Frame sampling (pure Catalyst: posexplode over a stride sequence +
+    // binary substring). Frame selection and byte counts are arithmetic
+    // over the synthetic asset layout, so DuckDB can recompute them.
+    "sample_frames" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.sampleFrames(Multimodal.synthesize(s, n))
+        .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
+          length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
+        .orderBy("asset_id", "frame_no")
+    }),
+
+    // Resize/resample plumbing: deterministic byte-decimation stub over
+    // the binary payload; output sizes are pure arithmetic, so DuckDB can
+    // recompute them even though the bytes are synthetic.
+    "resize_assets" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      Multimodal.resizeStub(Multimodal.synthesize(s, n), factor = 4)
+        .select(col("asset_id"),
+          length(col("bytes")).cast("long").as("n_bytes"))
+        .orderBy("asset_id")
+    }),
+
+    // ---- Scale tooling ---------------------------------------------------
+
+    // Skew-salted join ≡ plain join: revenue per supplier through the
+    // salted path, oracle-checked against the unsalted SQL join — proving
+    // the skew tool is semantics-preserving.
+    "salted_join_agg" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("suppkey"),
+        col("l_extendedprice").cast("decimal(18,4)").as("amount"))
+      val dim = t(s, dir, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_name").as("supplier"))
+      Scale.saltedJoin(fact, dim, "suppkey")
+        .groupBy("supplier")
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum("amount"), 2).cast("double").as("revenue"))
+        .orderBy("supplier")
+    }),
+
+    // Join-key skew diagnostics over the lineitem fact's supplier key —
+    // the measurement that justifies (or rules out) the salted join.
+    "key_skew" -> ((s, dir) =>
+      Scale.keySkewStats(t(s, dir, "lineitem"), "l_suppkey")),
+
+    // ---- State audit scans (S10/S11, app.py:193-203) --------------------
+
+    "audit_uploads" -> ((s, dir) =>
+      auditState(s, dir).uploadsOrdered),
+
+    "audit_address_changes" -> ((s, dir) =>
+      auditState(s, dir).addressChangesOrdered)
+  )
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.operators._
 
+
 /** Driver contract: every implemented operator from SURVEY.md §2 (plus the
   * LLM-pipeline extensions) surfaces here as a `queries` entry, with
   * equivalent DuckDB SQL in `oracleSql` where the operator is
@@ -24,213 +25,6 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
-
-  /** The testdata star schema re-shaped to the reference's logical tables
-    * (SURVEY.md §7.1): lineitem⋈orders ≈ Transactions, part ≈ Products,
-    * customer ≈ Customers. Amount is DECIMAL(18,4) for exact aggregation.
-    */
-  private def refShape(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val li = t(s, dir, "lineitem")
-    val ord = t(s, dir, "orders").select(col("o_orderkey"),
-      col("o_custkey").as("customer_id"))
-    val txns = li
-      .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("customer_id"),
-        col("l_partkey").as("product_code"),
-        col("l_extendedprice").as("amount_raw"),
-        col("l_extendedprice").cast("decimal(18,4)").as("amount"))
-    val products = t(s, dir, "part").select(
-      col("p_partkey").as("product_code"), col("p_name").as("product_name"),
-      col("p_brand").as("category"), col("p_retailprice").as("unit_price"))
-    val customers = t(s, dir, "customer").select(
-      col("c_custkey").as("customer_id"), col("c_name").as("name"))
-    (txns, products, customers)
-  }
-
-  /** J1 (broadcast) + J2 — see [[Relational.enrich]]. */
-  private def merged(s: SparkSession, dir: String): DataFrame = {
-    val (txns, products, customers) = refShape(s, dir)
-    Relational.enrich(txns, products, customers)
-  }
-
-  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
-  private def events(s: SparkSession, dir: String) = t(s, dir, "events")
-  private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
-
-  /** Deterministic PII planting for the scrub/domain queries: the corpus
-    * text has no natural emails/URLs/phones, so both engines append the
-    * same id-derived contact strings to deterministic doc subsets (the
-    * planted-input pattern `embedding_neardup_lsh` uses). Pure string
-    * concatenation of integer-derived pieces — bit-identical in SQL.
-    */
-  private def piiDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("text", concat(col("text"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com"))).otherwise(lit("")),
-      when(col("doc_id") % 11 === 0,
-        concat(lit(" via https://site"), (col("doc_id") % 50).cast("string"),
-          lit(".example.org/p/"), col("doc_id").cast("string")))
-        .otherwise(lit("")),
-      when(col("doc_id") % 13 === 0,
-        concat(lit(" call 555-"),
-          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-          lit("-0199"))).otherwise(lit(""))))
-
-  /** Deterministic boilerplate-line planting for `strip_boilerplate`:
-    * the corpus text has no newlines, so both engines wrap deterministic
-    * doc subsets with the same high-df banner/footer lines (removal
-    * targets) plus one id-derived RARE footer (df=1 — must survive).
-    */
-  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("text", concat(
-      when(col("doc_id") % 3 === 0,
-        lit("subscribe to our newsletter\n")).otherwise(lit("")),
-      col("text"),
-      when(col("doc_id") % 4 === 0,
-        lit("\nall rights reserved 2024")).otherwise(lit("")),
-      when(col("doc_id") % 97 === 0,
-        concat(lit("\nrare footer "), col("doc_id").cast("string")))
-        .otherwise(lit(""))))
-
-  /** Per-(session, sf dir) memo for deterministic setup work — dimension
-    * stats, trained codebooks, audit-state builds — so a repeated query
-    * invocation (Bench's min-of-2) re-times the operator, not its setup.
-    * Keys hold the session reference itself (identity equality — no hash
-    * aliasing); entries of stopped sessions are purged on each access,
-    * with `onEvict` releasing any resources they own. Memoization cannot
-    * change results: everything cached here is deterministic per
-    * (session, dir).
-    */
-  private final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
-    private val m =
-      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
-    def get(s: SparkSession, dir: String)
-           (build: (SparkSession, String) => V): V = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey._1.sparkContext.isStopped) {
-          try onEvict(e.getValue) catch { case _: Throwable => () }
-          it.remove()
-        }
-      }
-      m.computeIfAbsent((s, dir), k => build(k._1, k._2))
-    }
-    def values: java.util.Collection[V] = m.values
-  }
-
-  /** Customer-dimension row count: cheap (parquet footer metadata) but
-    * still a job, and it only steers plan selection — exactly the table
-    * statistic a catalog hands the planner for free at cluster scale.
-    */
-  private val dimCounts = new SessionMemo[java.lang.Long]()
-
-  private def customerCount(s: SparkSession, dir: String): Long =
-    dimCounts.get(s, dir)((s2, d) => t(s2, d, "customer").count())
-      .longValue()
-
-  /** Corpus vectors plus the deterministic planted perturbations (first 8
-    * vectors re-added with id + 10^7 and first component +0.01 in double
-    * space) — the shared non-vacuous input of the embedding near-dup and
-    * semantic-dedup queries; the SQL twin is [[pvecsSql]].
-    */
-  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
-    val vecs = emb(s, dir)
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    val planted = vecs.where(col("vec_id") < 8)
-      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-        concat(array(element_at(col("v"), 1) + lit(0.01)),
-          slice(col("v"), 2, EmbDim - 1)).as("v"))
-    vecs.unionAll(planted)
-  }
-
-  /** Trained IVF codebook: k-means training is the once-per-corpus-version
-    * offline job, so the `ann_topk_ivf_kmeans` query re-pays only the
-    * search. Training is deterministic and partition-count-invariant
-    * (DECIMAL-exact means — SimilaritySpec).
-    */
-  private val kmeansBooks = new SessionMemo[Array[Array[Double]]]()
-
-  private def kmeansBook(s: SparkSession, dir: String): Array[Array[Double]] =
-    kmeansBooks.get(s, dir)((s2, d) =>
-      Similarity.kmeansCodebook(emb(s2, d), nCells = 16, iters = 2))
-
-  /** Trained BPE merge table — the same once-per-corpus-version training
-    * contract as [[kmeansBook]]: both tokenizer queries draw from one
-    * training run per (session, corpus); `bpe_encode` re-pays only the
-    * encode pass. Rows are (merge_rank, lhs, rhs, merged, n_occ).
-    */
-  private val bpeMergeRows =
-    new SessionMemo[Seq[(Long, String, String, String, Long)]]()
-
-  private def bpeMergeTable(s: SparkSession, dir: String)
-      : Seq[(Long, String, String, String, Long)] =
-    bpeMergeRows.get(s, dir)((s2, d) =>
-      TextOps.bpeMerges(docs(s2, d)).orderBy("merge_rank").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getLong(4))).toSeq)
-
-  /** Trained product-quantization codebooks (8 subspaces × 16 centroids)
-    * — the same once-per-corpus-version training contract as
-    * [[kmeansBook]]; `ann_topk_pq` re-pays only the encode + ADC scan.
-    */
-  private val pqBooks = new SessionMemo[Array[Array[Array[Double]]]]()
-
-  private def pqBook(s: SparkSession,
-                     dir: String): Array[Array[Array[Double]]] =
-    pqBooks.get(s, dir)((s2, d) =>
-      Similarity.pqCodebooks(emb(s2, d), m = 8, kCents = 16, iters = 2))
-
-  /** PQ codebooks trained on coarse-cell residuals (the full FAISS IVFPQ
-    * recipe) — same once-per-corpus-version contract; depends on the
-    * trained coarse book, so the memo chain trains coarse-then-residual.
-    */
-  private val pqResidBooks = new SessionMemo[Array[Array[Array[Double]]]]()
-
-  private def pqResidBook(s: SparkSession,
-                          dir: String): Array[Array[Array[Double]]] =
-    pqResidBooks.get(s, dir)((s2, d) =>
-      Similarity.pqResidualBooks(emb(s2, d), kmeansBook(s2, d),
-        m = 8, kCents = 16, iters = 2))
-
-  /** Packed `{id_name_email_dob_address_created}` lines synthesized from
-    * the customer table (with deliberately malformed rows), fed to the P2-P9
-    * parser — both sides of the oracle build the identical input.
-    */
-  private def packedCustomerLines(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val core = concat(
-      col("c_custkey").cast("string"), lit("_"), col("c_name"), lit("_"),
-      lower(col("c_mktsegment")), lit("@example.com_"),
-      col("c_nationkey").cast("string"), lit("_"),
-      col("c_mktsegment"), lit(" St "), col("c_nationkey").cast("string"),
-      lit("_"), (col("c_custkey") * 7).cast("string"))
-    c.select(
-      when(col("c_custkey") % 89 === 0,
-        concat(lit("{bad_"), col("c_custkey").cast("string"), lit("_record}")))
-      .when(col("c_custkey") % 97 === 0, concat(lit("{"), core))
-      .otherwise(concat(lit("{"), core, lit("}"))).as("line"))
-  }
-
-  /** The v1 curation gates (corpus-quantile length band ∩ quality ≥ 0.5 ∩
-    * language known ∩ exact-dedup representative) — the shared base of
-    * `curation_pipeline` and `curation_pipeline_v2`, so a change to any
-    * gate reaches both surfaces.
-    */
-  private def curationBase(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .join(TextOps.lengthBandFilter(d).select("doc_id"), Seq("doc_id"))
-      .join(TextOps.qualityScore(TextOps.tokenStats(d))
-        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
-      .join(TextOps.langIdAgg(d).select(col("doc_id"), col("pred_lang")),
-        Seq("doc_id"))
-      .join(Dedup.exactDedup(d).select("doc_id"), Seq("doc_id"))
-      .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "unknown")
-
   /** Flagship query (SURVEY.md §7.1) on sf0.001; driver smoke-checks rows>0:
     * scan → broadcast join → m:m join → exact sum → bround → dense rank →
     * sort.
@@ -238,67 +32,6 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("flagship_rank")(spark, "/root/testdata/sf0.001")
 
-  /** Deterministic two-batch state build for the S10/S11 audit scans: the
-    * customer table becomes two synthetic customer batches (batch 2 changes
-    * the address of every custkey % 3 == 0 row), run through the real
-    * [[graft.state.StateStore]] CDC + upsert machinery into a fresh temp
-    * state directory — so `uploads`/`address_changes` and their ordered
-    * scans are reproducible from the parquet inputs alone, and the DuckDB
-    * oracle can recompute them (/root/reference/app.py:193-203).
-    */
-  // The audit queries measure the S10/S11 ordered SCANS; the two-batch
-  // state build is deterministic setup, memoized like the other
-  // [[SessionMemo]] entries — eviction deletes the temp state dir.
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally s.close()
-    }
-
-  private val auditStates =
-    new SessionMemo[(graft.state.StateStore, java.nio.file.Path)](
-      { case (_, p) => deleteTree(p) })
-
-  // Temp state dirs die with the JVM even if their session never stops.
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    auditStates.values.forEach { case (_, p) =>
-      try deleteTree(p) catch { case _: Throwable => () }
-    }))
-
-  private def auditState(s: SparkSession, dir: String)
-      : graft.state.StateStore =
-    auditStates.get(s, dir) { (s2, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_audit")
-      (buildAuditState(s2, d, tmp.toString), tmp)
-    }._1
-
-  private def buildAuditState(s: SparkSession, dir: String, tmp: String)
-      : graft.state.StateStore = {
-    val store = new graft.state.StateStore(s, tmp)
-    val cust = t(s, dir, "customer")
-    def batch(addr: Column) = cust.select(
-      col("c_custkey").cast("string").as("customer_id"),
-      col("c_name").as("name"),
-      concat(lower(col("c_mktsegment")), lit("@example.com")).as("email"),
-      col("c_nationkey").cast("string").as("dob"),
-      addr.as("address"),
-      (col("c_custkey") * 7).cast("string").as("created_date"),
-      col("c_custkey").as("_row_idx"))
-    val baseAddr = concat(col("c_mktsegment"), lit(" St "),
-      col("c_nationkey").cast("string"))
-    val n = cust.count()
-    val id1 = store.recordUpload("batch_1.xlsx", "2026-01-01T00:00:00",
-      0L, n, 0L)
-    store.applyCustomerBatch(batch(baseAddr), "2026-01-01T00:00:00", id1)
-    val id2 = store.recordUpload("batch_2.xlsx", "2026-01-02T00:00:00",
-      0L, n, 0L)
-    val changed = when(col("c_custkey") % 3 === 0,
-      concat(baseAddr, lit("B"))).otherwise(baseAddr)
-    store.applyCustomerBatch(batch(changed), "2026-01-02T00:00:00", id2)
-    store
-  }
 
   /** Parsed-and-validated `SPARK_GRAFT_ONLY` filter (comma-separated
     * query names) — the single iteration contract shared by the Verify
@@ -315,3263 +48,15 @@ object SparkEntry {
     only
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ---- Flagship relational chain (J1,J2,P12,A1,A2,A3,F8,W1,F10,O1) ----
-
-    "merged_detail" -> ((s, dir) =>
-      merged(s, dir).select(col("l_orderkey"), col("l_linenumber"),
-          col("customer_id"), col("name"), col("product_code"),
-          col("product_name"), col("category"),
-          col("amount_raw").as("amount"))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    "category_totals" -> ((s, dir) =>
-      Relational.categoryTotals(merged(s, dir))
-        .select(col("customer_id"), col("name"), col("category"),
-          col("amount").cast("double").as("amount"))
-        .orderBy("customer_id", "name", "category")),
-
-    "flagship_rank" -> ((s, dir) => {
-      // Rank input is one row per customer; the (memoized) customer
-      // dimension row count bounds it, letting summaryRanked choose the
-      // single-window form at small scale and the two-phase
-      // no-unpartitioned-window form past the threshold.
-      val keys = customerCount(s, dir)
-      Relational.summaryRanked(Relational.categoryTotals(merged(s, dir)),
-          estimatedKeys = Some(keys))
-        .select(col("customer_id"), col("name"),
-          col("amount").cast("double").as("amount"), col("rank"))
-        .orderBy("rank", "customer_id")
-    }),
-
-    "top_spenders" -> ((s, dir) =>
-      Relational.topSpenders(Relational.categoryTotals(merged(s, dir)))
-        .select(col("category"), col("customer_id"), col("name"),
-          col("amount").cast("double").as("amount"))
-        .orderBy("category")),
-
-    // A4 via Relational.nestDetails, with the nested list serialized to a
-    // flat string (name|category|amount records joined by ';') — array
-    // columns crash the driver's pandas comparator, and the decimal(18,2)
-    // string rendering is identical in both engines.
-    "nested_details" -> ((s, dir) =>
-      Relational.nestDetails(Relational.categoryTotals(merged(s, dir)))
-        .select(col("customer_id"),
-          // coalesce each field: concat_ws SKIPS nulls while SQL '||'
-          // null-propagates — pinning '' keeps both sides identical even
-          // for all-null-amount groups
-          array_join(transform(col("details"), d =>
-            concat_ws("|", coalesce(d.getField("name"), lit("")),
-              coalesce(d.getField("category"), lit("")),
-              coalesce(d.getField("amount").cast("decimal(18,2)")
-                .cast("string"), lit("")))),
-            ";").as("details"))
-        .orderBy("customer_id")),
-
-    "flagship_rank_window" -> ((s, dir) =>   // W1 literal single-window form
-      Relational.summaryRankedWindow(
-          Relational.categoryTotals(merged(s, dir)))
-        .select(col("customer_id"), col("name"),
-          col("amount").cast("double").as("amount"), col("rank"))
-        .orderBy("rank", "customer_id")),
-
-    // ---- Customer packed-record parser (P1-P9, F1-F6) -------------------
-
-    "parse_customers" -> ((s, dir) =>
-      Relational.parseCustomers(packedCustomerLines(s, dir), "line")
-        .orderBy(col("customer_id").cast("long"))),
-
-    // ---- CDC / event-time operators (J3 core, W2, streaming analogs) ----
-
-    "cdc_lag" -> ((s, dir) =>
-      EventOps.changeCapture(events(s, dir)).orderBy("user_id", "event_id")),
-
-    "event_windows" -> ((s, dir) =>
-      EventOps.tumblingCounts(events(s, dir))
-        .orderBy("window_start_ms", "event_type")),
-
-    "event_windows_hopping" -> ((s, dir) =>
-      EventOps.hoppingCounts(events(s, dir))
-        .orderBy("window_start_ms", "event_type")),
-
-    "sessionize" -> ((s, dir) =>
-      EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
-
-    // Spark-native session_window sessionization (the batch twin of the
-    // streaming sessionCounts): the oracle replays the merge rule at
-    // MICROSECOND precision — Spark merges windows on internal micros,
-    // and the source timestamps carry sub-millisecond digits.
-    "session_windows" -> ((s, dir) =>
-      EventOps.sessionWindows(events(s, dir))
-        .orderBy("user_id", "session_start_ms")),
-
-    // Ordered-step funnel view → click → purchase: per-step user counts
-    // under earliest-completion semantics (step k strictly after the
-    // step-(k-1) completion time).
-    "funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
-
-    // Weekly cohort retention triangle: users cohorted by first-event
-    // week; each cell counts the cohort's users active k weeks later.
-    // All-integer epoch-ms arithmetic.
-    "retention_cohorts" -> ((s, dir) =>
-      EventOps.retentionCohorts(events(s, dir))),
-
-    // First-order Markov transition matrix over per-user event sequences:
-    // fixed-point row-normalized probabilities (n·10^6 floor-divided by
-    // the source-row total) — bit-identical across engines.
-    "event_transitions" -> ((s, dir) =>
-      EventOps.transitionMatrix(events(s, dir))),
-
-    // SCD Type-2 dimension build from the event-sourced value: each
-    // user's change timeline as versioned validity intervals
-    // [effective_from_ms, effective_to_ms), open while current.
-    "scd2_users" -> ((s, dir) =>
-      EventOps.scd2(events(s, dir))),
-
-    // Full J3 algebra against persistent state, simulated by splitting the
-    // event log at max(event_id)/2: first half folds into per-key state
-    // (last value wins), second half is the incoming batch.
-    "cdc_state_join" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val thr = ev.agg(max("event_id")).head().getLong(0) / 2
-      val ms = EventOps.eventMs(ev)
-      val lastWins = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(desc_nulls_last("_ms"), desc("event_id"))
-      val state = ev.where(col("event_id") <= thr)
-        .withColumn("_ms", ms)
-        .withColumn("_rn", row_number().over(lastWins))
-        .where(col("_rn") === 1)
-        .select(col("user_id"), col("value"))
-      val batch = ev.where(col("event_id") > thr).withColumn("_ms", ms)
-      EventOps.statefulChangeCapture(batch, state, "user_id", "value",
-          orderCols = Seq(col("_ms"), col("event_id")),
-          carryCols = Seq("event_id"))
-        .orderBy("user_id", "event_id")
-    }),
-
-    // As-of join: attach the latest prior (or simultaneous) purchase per
-    // user to every click — checked against DuckDB's native ASOF JOIN.
-    "asof_join" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val ms = EventOps.eventMs(ev)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), ms.as("_ms"))
-      val lastPerMs = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id", "_ms").orderBy(desc("event_id"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), ms.as("_ms"), col("value"), col("event_id"))
-        .withColumn("_rn", row_number().over(lastPerMs))
-        .where(col("_rn") === 1)
-        .select(col("user_id"), col("_ms"), col("value"))
-      EventOps.asofJoin(clicks, purchases, "user_id", "_ms", "value",
-          outCol = "last_purchase")
-        .select(col("user_id"), col("event_id"), col("last_purchase"))
-        .orderBy("user_id", "event_id")
-    }),
-
-    // ---- Wider star-schema analytics -----------------------------------
-
-    // Revenue rollup through the full snowflake: lineitem→orders→customer
-    // →nation→region (exercises every dimension table).
-    "nation_revenue" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"),
-          col("l_extendedprice").cast("decimal(18,4)").as("amount"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"))
-      val nat = t(s, dir, "nation")
-      val reg = t(s, dir, "region")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
-        .agg(count(lit(1)).as("n_lineitems"),
-          round(sum("amount"), 2).cast("double").as("revenue"))
-        .orderBy("region", "nation")
-    }),
-
-    // Top-3 per category via the bounded-heap typed Aggregator — the
-    // O(n log k) partial-aggregated scale path (no full partition sort).
-    "topk_per_category_agg" -> ((s, dir) =>
-      graft.functions.TopKAggregator.topKPerGroup(
-          Relational.categoryTotals(merged(s, dir)),
-          "category", "amount", "customer_id", k = 3)
-        .orderBy("category", "rk")),
-
-    // Top-3 spenders per category (top-k per group via ranked window).
-    "topk_per_category" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("category")
-        .orderBy(desc("amount"), asc("customer_id"))
-      Relational.categoryTotals(merged(s, dir))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 3)
-        .select(col("category"), col("rk"), col("customer_id"), col("name"),
-          col("amount").cast("double").as("amount"))
-        .orderBy("category", "rk")
-    }),
-
-    // Running total per customer over order history (window frame).
-    "running_total" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey")
-        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so this cast
-        // gives the same epoch millis DuckDB's epoch_ms computes.
-        .orderBy(unix_millis(col("o_orderdate").cast("timestamp")),
-          col("o_orderkey"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-          col("o_totalprice").cast("decimal(18,4)").as("p"))
-        .withColumn("running_spend", sum("p").over(w).cast("double"))
-        .select(col("o_orderkey"), col("o_custkey"), col("running_spend"))
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    // Distinct-count aggregation per category.
-    "category_customers" -> ((s, dir) =>
-      merged(s, dir).groupBy("category")
-        .agg(countDistinct("customer_id").as("n_customers"),
-          count(lit(1)).as("n_lineitems"))
-        .orderBy("category")),
-
-    // Anti join: customers with no order since 2000-01-01, per market
-    // segment. Date-scoped deliberately — the unscoped anti-join is empty
-    // at every SF (testdata gives every customer an order), which made the
-    // oracle row vacuously green (VERDICT r3 wrong.1); the recency window
-    // leaves a real, SF-dependent non-empty result to hash-check.
-    "customers_without_orders" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders")
-            .where(col("o_orderdate").cast("date") >= lit("2000-01-01")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy("segment")),
-
-    // Exact interpolated percentiles of event values per type.
-    "event_quantiles" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(bround(expr("percentile(value, 0.5)"), 4).as("p50"),
-          bround(expr("percentile(value, 0.95)"), 4).as("p95"),
-          bround(expr("percentile(value, 0.99)"), 4).as("p99"))
-        .orderBy("event_type")),
-
-    // Exact distinct users per event type — the oracle-checked half of the
-    // distinct-count pair.
-    "users_per_type" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(countDistinct("user_id").as("exact_users"),
-          count(lit(1)).as("n_events"))
-        .orderBy("event_type")),
-
-    // HLL sketch: approximate distinct users per event type (rows-only —
-    // sketch internals are engine-specific; accuracy asserted vs the
-    // exact count in PropertySpec).
-    "approx_users_per_type" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"))
-        .orderBy("event_type")),
-
-    // KLL-style quantile sketch (rows-only — sketch, engine-specific;
-    // rank-error bound vs the exact percentiles asserted in PropertySpec).
-    "approx_event_quantiles" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
-          .as("quantiles"))
-        .select(col("event_type"),
-          bround(element_at(col("quantiles"), 1), 4).as("p50"),
-          bround(element_at(col("quantiles"), 2), 4).as("p95"),
-          bround(element_at(col("quantiles"), 3), 4).as("p99"))
-        .orderBy("event_type")),
-
-    // Pivot: per-user event-type counts as columns.
-    "events_pivot" -> ((s, dir) =>
-      events(s, dir).groupBy("user_id")
-        .pivot("event_type",
-          Seq("click", "view", "purchase", "signup", "error"))
-        .count()
-        .na.fill(0L)
-        .orderBy("user_id")),
-
-    // Unpivot twin: the wide per-user matrix back to long form — stack()
-    // keeps the zero-filled cells, so pivot∘unpivot is lossless.
-    "events_unpivot" -> ((s, dir) =>
-      events(s, dir).groupBy("user_id")
-        .pivot("event_type",
-          Seq("click", "view", "purchase", "signup", "error"))
-        .count()
-        .na.fill(0L)
-        .select(col("user_id"), expr(
-          "stack(5, 'click', click, 'view', view, 'purchase', purchase, " +
-          "'signup', signup, 'error', error) AS (event_type, n_events)"))
-        .orderBy("user_id", "event_type")),
-
-    // Multi-level CUBE: event counts + DECIMAL-exact value totals at
-    // every (event_type × day) marginal, grouping_id disambiguating the
-    // aggregation level exactly as docs_rollup does for ROLLUP.
-    "events_cube" -> ((s, dir) => {
-      val ev = events(s, dir)
-      ev
-        .withColumn("_ms", EventOps.eventMs(ev))
-        .select(col("event_type"),
-          expr("_ms div 86400000").as("day"),
-          col("value").cast("decimal(18,4)").as("v"))
-        .cube("event_type", "day")
-        .agg(count(lit(1)).as("n_events"),
-          bround(sum("v"), 2).cast("double").as("total_value"),
-          grouping_id().cast("long").as("level"))
-        .select(col("event_type"), col("day"), col("n_events"),
-          col("total_value"), col("level"))
-        .orderBy(col("level"), asc_nulls_first("event_type"),
-          asc_nulls_first("day"))
-    }),
-
-    // Exact-DECIMAL power sums finished by one fixed double expression —
-    // the deterministic var_samp (see EventOps.valueVariance).
-    "value_variance" -> ((s, dir) =>
-      EventOps.valueVariance(events(s, dir))),
-
-    // Time-weighted average value per user: DECIMAL-exact value×Δms
-    // sums, one final IEEE division.
-    "twap_users" -> ((s, dir) =>
-      EventOps.twap(events(s, dir))),
-
-    // Time-series resample: dense hourly grid per user, forward-filled
-    // from the last observation (ties broken by ms, event_id desc).
-    "gapfill_hourly" -> ((s, dir) =>
-      EventOps.gapFill(events(s, dir))),
-
-    // ---- Dedup family ---------------------------------------------------
-
-    "exact_dedup" -> ((s, dir) =>
-      Dedup.exactDedup(docs(s, dir)).orderBy("fingerprint")),
-
-    "prefix_dedup" -> ((s, dir) =>
-      Dedup.prefixDedup(docs(s, dir)).orderBy("fingerprint")),
-
-    "dedup_keep_longest" -> ((s, dir) =>
-      Dedup.dedupKeepLongest(docs(s, dir))
-        .select(col("fingerprint"), col("doc_id"),
-          col("n_chars").cast("long").as("n_chars"), col("n_copies"))
-        .orderBy("fingerprint")),
-
-    "minhash_signatures" -> ((s, dir) =>
-      Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")),
-
-    "neardup_pairs" -> ((s, dir) =>
-      Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
-
-    // Classic b×r banding (2 bands × 2 rows): candidates need BOTH
-    // minima of some band to collide — the steeper s-curve that bounds
-    // verify cost as the corpus grows; same exact-Jaccard verify.
-    "neardup_pairs_banded" -> ((s, dir) =>
-      Dedup.nearDupPairsBanded(docs(s, dir)).orderBy("doc_a", "doc_b")),
-
-    // Asymmetric containment (quote/subset detection): |A∩B|/|A| and
-    // /|B| over the LSH candidate pairs — the signal that finds a short
-    // doc embedded in a long one, which symmetric Jaccard misses.
-    "containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
-
-    // Z-order (Morton) clustering key over (user_id, event day): rows
-    // sorted by this key cluster in BOTH dimensions, so parquet min/max
-    // stats prune scans for predicates on either column (ScaleSpec
-    // asserts the two-dimensional file skipping on a written layout).
-    "z_order_key" -> ((s, dir) => {
-      val ev = events(s, dir)
-      ev.withColumn("_ms", EventOps.eventMs(ev))
-        .select(col("event_id"), col("user_id"),
-          expr("_ms div 86400000").as("day"))
-        .withColumn("z", graft.functions.BitInterleave(
-          col("user_id"), col("day"), 21))
-        .orderBy("event_id")
-    }),
-
-    // Exact Levenshtein verify over the LSH-blocked candidate pairs —
-    // the O(len²) last step of fuzzy matching, never run all-pairs.
-    "edit_distance_pairs" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.editDistancePairs(
-        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d)
-    }),
-
-    // PageRank over the MinHash-LSH near-dup pair graph: fixed-point
-    // BIGINT arithmetic (floor divisions only — no float sums), so the
-    // 4-round BSP scores are bit-identical across engines and
-    // partitionings; ranks hub copies (connected boilerplate) above
-    // leaves inside duplicate neighborhoods.
-    "pagerank_neardup" -> ((s, dir) =>
-      Dedup.pageRank(
-        Dedup.nearDupPairs(docs(s, dir)).select("doc_a", "doc_b"))),
-
-    // Triangle enumeration over the (dense) SimHash pair graph: 3-cliques
-    // listed once as doc_a < doc_b < doc_c via the ordered wedge join —
-    // the clustering-coefficient evidence that a duplicate neighborhood
-    // is one mutual template rather than a chain of borderline pairs.
-    "triangle_count" -> ((s, dir) =>
-      Dedup.triangles(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
-
-    // Aggregate twin of triangle_count: per-vertex triangle participation
-    // over the same degree-capped graph, ending in a vertex-sized hash
-    // aggregate instead of a total-order sort over the triangle set —
-    // the form that survives a 100× edge-count scale-up (the enumerate
-    // form's terminal sort is output-sized and grows superlinearly).
-    "triangle_counts_by_vertex" -> ((s, dir) =>
-      Dedup.triangleCounts(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
-
-    // Near-dup clustering: connected components over the MinHash-LSH pair
-    // graph — every doc labeled with its cluster's canonical (minimum)
-    // doc_id, singletons labeling themselves. The post-pair step an LLM
-    // dedup pipeline actually acts on ("keep one per cluster").
-    "neardup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.connectedComponents(
-          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
-          d.select("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    // Same clustering through the O(log n)-round large-star/small-star
-    // contraction — the scale path for deep-diameter graphs; shares
-    // neardup_clusters' transitive-closure oracle, so both algorithms
-    // must produce the identical relation (the flagship_rank two-form
-    // pattern).
-    "neardup_clusters_star" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.connectedComponentsStar(
-          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
-          d.select("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    // The dedup endpoint: cluster the pair graph, then keep one
-    // representative per cluster (longest text, doc_id tiebreak) — the
-    // frame a training run would actually read.
-    "dedup_apply" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val clusters = Dedup.connectedComponents(
-        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
-      Dedup.keepClusterRepresentatives(d, clusters)
-        .select(col("cluster"), col("doc_id"),
-          col("n_chars").cast("long").as("n_chars"))
-        .orderBy("cluster")
-    }),
-
-    // Decontamination: 8-gram overlap between the corpus and a
-    // deterministic 10% holdout slice (doc_id % 10 == 0, standing in for
-    // the benchmark/eval set) — flags training docs that leak eval text.
-    "contamination_overlap" -> ((s, dir) =>
-      Dedup.contaminationOverlap(docs(s, dir), col("doc_id") % 10 === 0)
-        .orderBy("doc_id", "holdout_id")),
-
-    // Sketch path of the same incremental dedup: Bloom-filter pre-screen
-    // (codegen'd membership probe) + exact anti-join on the flagged
-    // candidates only. Oracle = incremental_dedup's SQL — the composition
-    // is provably exact (no false negatives; false positives are
-    // re-checked), so a hash-green row proves the sketch path is
-    // semantics-preserving, the salted_join_agg pattern.
-    "incremental_dedup_bloom" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Scale.bloomIncrementalDedup(
-          d.where(col("doc_id") % 2 === 1),
-          d.where(col("doc_id") % 2 === 0),
-          key = t => md5(substring(lower(t), 1, 64)))
-        .orderBy("fingerprint")
-    }),
-
-    // Cross-corpus NEAR-dup: the odd-id batch's MinHash bands joined
-    // against the even-id corpus' signature index, exact-Jaccard
-    // verified — the incremental counterpart of neardup_pairs (12 of its
-    // 25 sf0.01 pairs straddle the parity split, so the result is real).
-    "incremental_neardup" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.incrementalNearDupPairs(
-          d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0))
-        .orderBy("inc_id", "ex_id")
-    }),
-
-    // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every
-    // doc sharing an 8-gram with the holdout slice — what a training run
-    // reads after the contamination_overlap scan above.
-    "decontaminate" -> ((s, dir) =>
-      Dedup.decontaminate(docs(s, dir), col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")),
-
-    // Direct n-gram Jaccard near-dup pairs via rare-gram blocking — the
-    // deterministic (exact-recall-within-blocking) counterpart of the
-    // probabilistic MinHash-LSH path above; same threshold, different
-    // candidate generation, so the two families cross-check each other.
-    "jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardNgramPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
-
-    // Substring-level duplicate spans (Lee et al.-style exact substring
-    // dedup, hashed-window approximation): maximal token spans whose
-    // 8-token windows appear verbatim in ≥ 2 documents. No pair join —
-    // cost scales with corpus tokens, not candidate pairs².
-    "dup_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(docs(s, dir))
-        .orderBy("doc_id", "span_start")),
-
-    // Per-doc duplicated-span coverage — the "mostly boilerplate found
-    // elsewhere" curation signal thresholded by cleaning pipelines.
-    "dup_span_coverage" -> ((s, dir) =>
-      Dedup.duplicateSpanCoverage(docs(s, dir))
-        .orderBy("doc_id")),
-
-    // Substring-dedup apply: every duplicated span clipped, surviving
-    // token stream hashed — what a boilerplate-removal pass writes back.
-    "dup_span_clip" -> ((s, dir) =>
-      Dedup.clipDuplicateSpans(docs(s, dir))
-        .orderBy("doc_id")),
-
-    "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
-      Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
-
-    // Incremental (cross-corpus) dedup — the production shape: the odd-id
-    // half of the corpus arrives as a new batch and is deduped against
-    // the even-id half's fingerprint index (prefix-64 near-dup screen, so
-    // the planted prefix-duplicate groups make the drop real: ~11 of 250
-    // incoming docs are dropped at sf0.01).
-    "incremental_dedup" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.incrementalDedup(
-          d.where(col("doc_id") % 2 === 1),
-          d.where(col("doc_id") % 2 === 0),
-          key = t => md5(substring(lower(t), 1, 64)))
-        .orderBy("fingerprint")
-    }),
-
-    "simhash_pairs_md5" -> ((s, dir) =>   // md5-sliced portable variant
-      Dedup.simhashPairsPortable(docs(s, dir)).orderBy("doc_a", "doc_b")),
-
-    // ---- Similarity search ----------------------------------------------
-
-    "ann_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L)),
-
-    // ANN index evaluation: recall@10 of the fixed-grid IVF probe against
-    // the exact top-10 — the metric that prices every approximate index's
-    // accuracy trade. The oracle composes the two result oracles and
-    // intersects on vec_id.
-    "ann_recall_ivf" -> ((s, dir) =>
-      Similarity.recallAtK(
-        Similarity.topK(emb(s, dir), queryId = 0L),
-        Similarity.ivfTopK(emb(s, dir), queryId = 0L), k = 10)),
-
-    "ann_topk_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(emb(s, dir), queryId = 0L)),
-
-    "ann_topk_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), queryId = 0L)),
-
-    "ann_topk_lsh_mp" -> ((s, dir) =>   // multi-probe: flips low-margin bits
-      Similarity.lshTopKMultiProbe(emb(s, dir), queryId = 0L)),
-
-    // Batch ANN join: top-10 LSH neighbors for EVERY query in the set
-    // (vec_id < 20) in one plan — the retrieval/indexing shape that
-    // amortizes the banding over the whole query set.
-    "ann_topk_join" -> ((s, dir) =>
-      Similarity.lshTopKJoin(emb(s, dir))
-        .orderBy(col("q_id"), desc("sim"), col("c_id"))),
-
-    // IVF search over a TRAINED codebook (vs ann_topk_ivf's sampled one).
-    // Training is the once-per-corpus-version offline job (see
-    // kmeansCodebook's scaladoc), so it is memoized per (session, sf dir)
-    // — a repeated invocation re-times the search, not the training; the
-    // generated oracle replays the same two Lloyd iterations in SQL.
-    "ann_topk_ivf_kmeans" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), queryId = 0L,
-        codebook = Some(kmeansBook(s, dir)))),
-
-    // Product-quantization ADC top-k: the corpus is searched through its
-    // 8-byte PQ codes (trained 8×16 codebooks, memoized like the k-means
-    // book); the query-side lookup tables ride as literals, so the scan
-    // never touches a corpus vector — the memory-compression ANN shape.
-    // The generated oracle replays encode + ADC over the inlined books.
-    "ann_topk_pq" -> ((s, dir) =>
-      Similarity.pqTopK(emb(s, dir), queryId = 0L,
-        books = Some(pqBook(s, dir)))),
-
-    // Random-projection reduced-space search: 64→16 dims via
-    // deterministic hyperplanes, top-40 candidates by reduced cosine,
-    // exact re-rank to top-10 — the scan-4×-less-data ANN shape.
-    "ann_topk_rp" -> ((s, dir) =>
-      Similarity.rpTopK(emb(s, dir), queryId = 0L)),
-
-    // IVF-PQ — the composed production index (FAISS IVFPQ shape): the
-    // trained coarse codebook routes the query to 4 cells; candidates
-    // inside them rank by ADC over their 8-byte PQ codes. Both trained
-    // codebooks are the memoized once-per-corpus jobs; the oracle
-    // replays coarse training, PQ training, encode, probe, and the
-    // fixed-order ADC sum in one statement.
-    "ann_topk_ivfpq" -> ((s, dir) =>
-      Similarity.ivfPqTopK(emb(s, dir), queryId = 0L,
-        codebook = kmeansBook(s, dir), books = pqBook(s, dir))),
-
-    // Residual-encoding IVF-PQ — the full FAISS recipe: corpus vectors
-    // are PQ-encoded as `v − centroid(cell)` residuals (smaller norm →
-    // smaller ADC error for the same byte budget), and the query builds
-    // one LUT per probed cell from its own residual against that cell.
-    // The oracle replays coarse training, residual computation, residual
-    // PQ training, encode, and the per-cell LUT join in one statement.
-    "ann_topk_ivfpq_residual" -> ((s, dir) =>
-      Similarity.ivfPqResidualTopK(emb(s, dir), queryId = 0L,
-        codebook = kmeansBook(s, dir), books = pqResidBook(s, dir))),
-
-    // The raw corpus has no cosine ≥ 0.9 pairs at small SFs, which made
-    // this oracle row vacuously green (VERDICT r3 wrong.1). Deterministic
-    // perturbed copies of the first 8 vectors are unioned in (new id =
-    // vec_id + 10^7, first component +0.01 — a single double add after the
-    // upcast, bit-identical in the SQL oracle) so the banding + verify
-    // path must recover real planted pairs.
-    "embedding_neardup_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairsFromVecs(plantedVecs(s, dir),
-          threshold = 0.9, planes = 12, tables = 3, dim = EmbDim)
-        .orderBy("vec_a", "vec_b")),
-
-    // Contrastive triplets over the planted near-dup pair graph: each
-    // (anchor, positive) pair gets a deterministic pseudo-random
-    // negative from the raw corpus — the embedding-model training-data
-    // endpoint downstream of the pair search. The pool is DELIBERATELY
-    // gapped (every 7th id dropped) to exercise the rank-based draw:
-    // negatives come from the pool's id-order ranks, so no density
-    // precondition exists.
-    "contrastive_triplets" -> ((s, dir) => {
-      val pv = plantedVecs(s, dir)
-      // Negatives pool = the raw corpus slice of pv (ids < the planted
-      // offset) minus the id gap — reuses the frame the pair search
-      // persists instead of re-scanning the embeddings table.
-      val pool = pv.where(col("vec_id") < 10000000L &&
-        col("vec_id") % 7 =!= 3)
-      Similarity.contrastiveTriplets(pv,
-          Similarity.lshNearDupPairsFromVecs(pv, threshold = 0.9,
-            planes = 12, tables = 3, dim = EmbDim),
-          pool)
-        .orderBy("anchor", "positive")
-    }),
-
-    // SemDeDup-style semantic dedup: the TRAINED k-means codebook assigns
-    // every vector (corpus + the same planted perturbations) to a cell;
-    // near-dup pairs are searched only within cells. Cross-checks the LSH
-    // pair search above: different candidate generation, same planted
-    // truth.
-    "semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedupPairs(plantedVecs(s, dir), kmeansBook(s, dir))
-        .orderBy("vec_a", "vec_b")),
-
-    // ---- Text analysis --------------------------------------------------
-
-    "token_stats" -> ((s, dir) =>
-      TextOps.tokenStats(docs(s, dir))
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          col("n_word_pieces").cast("long").as("n_word_pieces"),
-          col("n_distinct").cast("long").as("n_distinct"),
-          col("avg_token_len"), col("stopword_ratio"), col("distinct_ratio"))
-        .orderBy("doc_id")),
-
-    // Equi-depth token-count histogram: every document ntile'd into 10
-    // equal-population bins under a TOTAL order (n_tokens, doc_id), each
-    // bin summarized — the length-distribution profile read before
-    // choosing packing/truncation thresholds.
-    "token_deciles" -> ((s, dir) =>
-      TextOps.tokenDeciles(docs(s, dir))
-        .select(col("decile"), col("n_docs"),
-          col("min_tokens").cast("long").as("min_tokens"),
-          col("max_tokens").cast("long").as("max_tokens"),
-          col("sum_tokens").cast("long").as("sum_tokens"))
-        .orderBy("decile")),
-
-    "lang_id" -> ((s, dir) =>
-      TextOps.langIdAgg(docs(s, dir))
-        .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
-          col("de_hits").cast("long").as("de_hits"),
-          col("fr_hits").cast("long").as("fr_hits"),
-          col("es_hits").cast("long").as("es_hits"), col("pred_lang"))
-        .orderBy("doc_id")),
-
-    "quality_score" -> ((s, dir) =>
-      TextOps.qualityScore(TextOps.tokenStats(docs(s, dir)))
-        .select(col("doc_id"), col("quality_score"))
-        .orderBy("doc_id")),
-
-    // Corpus-bigram LM quality score (the CCNet-perplexity stand-in):
-    // per-doc mean transition probability in fixed point — exact integer
-    // sums, ONE final IEEE division, so the score is hash-portable where
-    // a log-prob formulation would not be.
-    "lm_score" -> ((s, dir) =>
-      TextOps.lmScore(docs(s, dir)).orderBy("doc_id")),
-
-    // Multi-level aggregation (ROLLUP): corpus stats per (lang, source),
-    // per lang, and grand total in one partial-aggregated pass.
-    "docs_rollup" -> ((s, dir) =>
-      docs(s, dir).rollup("lang", "source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
-          grouping_id().as("level"))
-        .select(col("lang"), col("source"), col("n_docs"),
-          col("total_chars").cast("long").as("total_chars"),
-          col("level").cast("long").as("level"))
-        .orderBy(col("level"), asc_nulls_first("lang"),
-          asc_nulls_first("source"))),
-
-    // Order-insensitive md5-fold XOR checksum per source — the
-    // cross-system reconciliation digest (any engine, any row order,
-    // same 60-bit checksum).
-    "table_checksum" -> ((s, dir) =>
-      Relational.tableChecksum(docs(s, dir), "source",
-        Seq(col("doc_id"), coalesce(col("text"), lit("")), col("lang"),
-          col("source"), col("n_chars")))),
-
-    // Deterministic stratified downsampling (data mixing): 1/2 of English
-    // docs, 1/4 of everything else.
-    "stratified_sample" -> ((s, dir) =>
-      TextOps.stratifiedSample(docs(s, dir), Map("en" -> 2), defaultRate = 4)
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"))
-        .orderBy("doc_id")),
-
-    // Per-(lang, source) quota capping: keep the 3 longest docs per group
-    // (doc_id tiebreak) — the data-mixing step that stops one source from
-    // dominating a stratum.
-    "source_quota" -> ((s, dir) =>
-      TextOps.groupQuota(docs(s, dir), Seq("lang", "source"), quota = 3)
-        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"),
-          asc("rank_in_group"))),
-
-    // Weighted mixture upsampling: src0 docs get 3 epochs, src1 gets 2,
-    // everything else 1 — one row per (doc, epoch).
-    "epoch_mix" -> ((s, dir) =>
-      TextOps.epochMix(docs(s, dir), Map("src0" -> 3, "src1" -> 2))
-        .orderBy("doc_id", "epoch")),
-
-    // Deterministic epoch shuffle: global training order = rank of
-    // md5(seed:doc_id), computed with the two-phase range-partition
-    // prefix machinery (no unpartitioned window).
-    "shuffle_order" -> ((s, dir) =>
-      TextOps.shuffleOrder(docs(s, dir)).orderBy("position")),
-
-    // DSIR-style data selection: every non-holdout doc scored by how
-    // target-typical its hashed-bigram features are (fixed-point
-    // frequency differences — the log-free, hash-portable surrogate).
-    // The holdout slice (doc_id % 10 == 0) plays the quality reference.
-    "importance_weights" -> ((s, dir) =>
-      TextOps.importanceWeights(docs(s, dir), col("doc_id") % 10 === 0)
-        .orderBy("doc_id")),
-
-    // Unicode NFC canonicalization: the ASCII corpus normalizes to
-    // itself, so decomposed accents (e + combining acute, U+0301) are
-    // planted on doc_id % 5 == 0 — composition must change both the
-    // char length and the md5, and match DuckDB's nfc_normalize.
-    "canonicalize_text" -> ((s, dir) => {
-      val planted = docs(s, dir).withColumn("text",
-        when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" caf"), lit("e" + "\u0301")))
-          .otherwise(col("text")))
-      TextOps.canonicalize(planted)
-        .select(col("doc_id"),
-          length(col("canonical")).cast("long").as("n_chars"),
-          md5(col("canonical")).as("canonical_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // Corpus vocabulary: top-100 token frequencies (count desc, token
-    // asc — a total order, so the k-cut is deterministic cross-engine).
-    "vocab_topk" -> ((s, dir) =>
-      TextOps.vocabTopK(docs(s, dir))),
-
-    // Vocabulary coverage: per-doc OOV token fraction against the same
-    // deterministic top-100 vocab — the tokenizer-evaluation signal.
-    "vocab_coverage" -> ((s, dir) =>
-      TextOps.vocabCoverage(docs(s, dir))
-        .orderBy("doc_id")),
-
-    // Deterministic train/val/test holdout split (90/5/5 by Knuth
-    // multiplicative hash of doc_id — a pure projection, so assignment
-    // is stable across machines and reruns); per-split doc/char summary.
-    "split_assign" -> ((s, dir) => TextOps.holdoutSplit(docs(s, dir))),
-
-    // BPE tokenizer training: 16 most-frequent-adjacent-pair merges over
-    // the frequency-weighted word vocabulary (driver-looped like the
-    // Lloyd iterations; ties lexicographic on (lhs, rhs)). The oracle
-    // replays every merge stage in one 16-stage CTE chain.
-    "bpe_merges" -> ((s, dir) => {
-      import s.implicits._
-      bpeMergeTable(s, dir)
-        .toDF("merge_rank", "lhs", "rhs", "merged", "n_occ")
-        .orderBy("merge_rank")
-    }),
-
-    // BPE tokenizer APPLY: encode the corpus with the trained merge
-    // table (memoized once per corpus, like the k-means codebooks) and
-    // emit the token vocabulary with frequencies. The merge list
-    // crossing the driver is ≤16 (lhs, rhs) pairs; the oracle reuses
-    // the training CTE chain and tokenizes its final vocab stage.
-    "bpe_encode" -> ((s, dir) =>
-      TextOps.bpeEncodeTokens(docs(s, dir),
-        bpeMergeTable(s, dir).map(t => (t._2, t._3)))),
-
-    // Dataset card: the one-row corpus summary a curation run publishes
-    // (doc/token counts, stratum cardinalities, exact-dup rate). ONE
-    // partial-aggregated pass; ratios are single IEEE divisions of
-    // exact counts.
-    "corpus_card" -> ((s, dir) => {
-      val d = docs(s, dir)
-      d.agg(
-        count(lit(1)).as("n_docs"),
-        // no lower(): case cannot change a whitespace-split token count.
-        // Null texts contribute null (skipped by SUM), matching the
-        // oracle's SUM-over-CASE — under the repo's legacy sizeOfNull
-        // conf a bare size(null) would be -1 and silently deflate the
-        // total (same guard as duplicateSpanCoverage).
-        sum(when(col("text").isNotNull,
-          size(split(col("text"), " ")).cast("long")))
-          .as("total_tokens"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"),
-        // the canonical exact-dup fingerprint — same normalization as
-        // the dedup operators this rate summarizes
-        countDistinct(TextOps.fingerprint(col("text")))
-          .as("n_fingerprints"))
-      .select(col("n_docs"), col("total_tokens"),
-        (col("total_tokens").cast("double") / col("n_docs"))
-          .as("avg_doc_tokens"),
-        col("n_langs"), col("n_sources"), col("n_fingerprints"),
-        (lit(1.0) - col("n_fingerprints").cast("double") / col("n_docs"))
-          .as("exact_dup_rate"))
-    }),
-
-    // Exact heavy hitters through a Misra–Gries sketch pre-screen + exact
-    // re-count of the ≤127 candidates — deterministic despite the sketch
-    // (superset guarantee), so it shares an exact SQL oracle; the
-    // bounded-memory twin of vocab_topk's full-vocabulary aggregate.
-    "heavy_hitters" -> ((s, dir) =>
-      TextOps.heavyHitters(docs(s, dir))),
-
-    // Gopher-style repetition signals: top-token fraction + duplicate
-    // bigram/trigram occurrence fractions per document.
-    "repetition_stats" -> ((s, dir) =>
-      TextOps.repetitionStats(docs(s, dir))
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          col("top_token_frac"), col("dup_bigram_frac"),
-          col("dup_trigram_frac"))
-        .orderBy("doc_id")),
-
-    // Top-3 distinctive terms per doc by the integer tf·(N−df) relevance
-    // score (tf-idf's ordering without its non-portable logarithm).
-    "top_terms" -> ((s, dir) =>
-      TextOps.topTerms(docs(s, dir))
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          col("score"))
-        .orderBy(col("doc_id"), desc("score"), col("term"))),
-
-    // Corpus-relative length band: keep docs inside the [P5, P95]
-    // discrete-quantile token-count band.
-    "length_filter" -> ((s, dir) =>
-      TextOps.lengthBandFilter(docs(s, dir)).orderBy("doc_id")),
-
-    // Sequence packing: every doc's (sequence, offset) slot in the
-    // doc_id-ordered 2048-token training stream — global prefix sum via
-    // the two-phase range-partition machinery, no unpartitioned window.
-    "pack_sequences" -> ((s, dir) =>
-      TextOps.packSequences(docs(s, dir)).orderBy("doc_id")),
-
-    // Composed curation pass — the full cleaning pipeline as ONE plan:
-    // corpus-quantile length band ∩ quality threshold ∩ language known ∩
-    // exact-dedup representative. Proves the curation operators compose
-    // (each is also oracle-checked standalone); Catalyst fuses the four
-    // doc_id equi-joins into one shuffle-stage chain.
-    "curation_pipeline" -> ((s, dir) =>
-      curationBase(docs(s, dir)).orderBy("doc_id")),
-
-    // The round-5 cleaning pipeline: v1's four gates PLUS the two new
-    // per-doc signals — duplicated-span coverage ≤ 0.5 (drop docs that
-    // are mostly boilerplate found elsewhere) and a non-null bigram LM
-    // score (drop docs too short to score). One plan; Catalyst chains
-    // the six doc_id equi-joins into one shuffle-stage pipeline.
-    "curation_pipeline_v2" -> ((s, dir) => {
-      val d = docs(s, dir)
-      curationBase(d)
-        .join(Dedup.duplicateSpanCoverage(d)
-          .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
-        .join(TextOps.lmScore(d)
-          .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
-        .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
-        .orderBy("doc_id")
-    }),
-
-    // Overlapping token chunks (embedding/RAG prep): 32-token windows
-    // advancing by 24, chunk text hashed for the compare.
-    "chunk_docs" -> ((s, dir) =>
-      TextOps.chunkDocs(docs(s, dir))
-        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
-          col("chunk_md5"))
-        .orderBy("doc_id", "chunk_id")),
-
-    // PII scrub over deterministically planted contacts: per-doc match
-    // counts + md5 of the redacted text (the full scrubbed column would be
-    // the production output; the hash is what the comparator can check).
-    "pii_scrub" -> ((s, dir) =>
-      TextOps.piiScrub(piiDocs(s, dir))
-        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
-          col("n_urls").cast("long").as("n_urls"),
-          col("n_phones").cast("long").as("n_phones"),
-          md5(col("scrubbed")).as("scrubbed_md5"))
-        .orderBy("doc_id")),
-
-    // Per-domain URL aggregation over the same planted corpus — the
-    // blocklist/mixing signal (extract_all → explode → hash-aggregate).
-    "url_domains" -> ((s, dir) =>
-      TextOps.urlDomains(piiDocs(s, dir))
-        .select(col("domain"), col("n_urls"), col("n_docs"))
-        .orderBy("domain")),
-
-    // Line-level boilerplate removal (C4/RefinedWeb cleaning pass) over
-    // deterministically planted banner/footer lines: high-df lines drop,
-    // the df=1 rare footer survives; cleaned text compared by md5.
-    "strip_boilerplate" -> ((s, dir) =>
-      TextOps.stripBoilerplateLines(boilerplateDocs(s, dir))
-        .orderBy("doc_id")),
-
-    // Winnowing-style rolling-hash fingerprint (custom codegen'd
-    // expression; Long arithmetic not portable to the oracle: rows-only).
-    "rolling_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-          TextOps.rollingMinFingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id")),
-
-    // Full winnowing signatures (MOSS scheme): every w-run of 8-gram
-    // rolling hashes contributes its leftmost-minimal (hash, position)
-    // pair — the bounded-density near-dup blocking key. Oracle replays
-    // the Rabin–Karp mod-2^64 hash in HUGEINT and the selection rule as
-    // a ROW_NUMBER window.
-    "winnow_fingerprints" -> ((s, dir) =>
-      TextOps.winnowFingerprints(docs(s, dir))),
-
-    // Winnowing applied: candidate near-dup pairs sharing ≥ 2 rare
-    // (df ≤ 10) selected fingerprints — the signature family's blocking
-    // join, fan-out capped like the rare-gram Jaccard path.
-    "winnow_pairs" -> ((s, dir) => Dedup.winnowPairs(docs(s, dir))),
-
-    // ---- Multimodal plumbing (binary columns; decode stubbed) -----------
-
-    // Full feature path, oracle-checked end-to-end: the LCG payload is
-    // replayed in SQL (like multimodal_histogram) and entropy rides as
-    // the Q40 FIXED-POINT form (square-and-shift binary log, pure
-    // integer — Multimodal.log2Fp), which DuckDB recomputes bit-for-bit
-    // with HUGEINT where libm Shannon doubles would flake the exact
-    // comparator. 512-byte payloads keep the oracle recursion cheap; the
-    // float byte_entropy column stays in the operator (reference parity,
-    // MultimodalSpec) but out of the hash-compared projection.
-    "multimodal_features" -> ((s, dir) => {
-      val n = Tables.load(s, dir, "documents").count()
-      Multimodal.extractFeatures(
-          Multimodal.synthesize(s, n, payloadBytes = 512))
-        .select(col("asset_id"), col("modality"), col("n_bytes"),
-          col("entropy_fp"),
-          // serialized: array columns crash the driver's comparator
-          to_json(col("histogram")).as("histogram"))
-        .orderBy("asset_id")
-    }),
-
-    // Integer core of the feature path, oracle-checked end-to-end: the
-    // synthetic LCG payload is replayed in SQL (recursive CTE over the
-    // affine step, HUGEINT mod-2^64), so the per-asset 16-bin byte
-    // histogram is hash-compared byte-for-byte. 512-byte payloads keep
-    // the oracle's 2^9-step recursion cheap; entropy (float libm, not
-    // bit-portable) stays on the rows-only multimodal_features above.
-    "multimodal_histogram" -> ((s, dir) => {
-      val n = Tables.load(s, dir, "documents").count()
-      Multimodal.extractFeatures(
-          Multimodal.synthesize(s, n, payloadBytes = 512))
-        .select(col("asset_id"), col("modality"),
-          posexplode(col("histogram")).as(Seq("bin", "h")))
-        .select(col("asset_id"), col("modality"),
-          col("bin").cast("long").as("bin"), col("h"))
-        .orderBy("asset_id", "bin")
-    }),
-
-    // Frame sampling (pure Catalyst: posexplode over a stride sequence +
-    // binary substring). Frame selection and byte counts are arithmetic
-    // over the synthetic asset layout, so DuckDB can recompute them.
-    "sample_frames" -> ((s, dir) => {
-      val n = Tables.load(s, dir, "documents").count()
-      Multimodal.sampleFrames(Multimodal.synthesize(s, n))
-        .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
-          length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
-        .orderBy("asset_id", "frame_no")
-    }),
-
-    // Resize/resample plumbing: deterministic byte-decimation stub over
-    // the binary payload; output sizes are pure arithmetic, so DuckDB can
-    // recompute them even though the bytes are synthetic.
-    "resize_assets" -> ((s, dir) => {
-      val n = Tables.load(s, dir, "documents").count()
-      Multimodal.resizeStub(Multimodal.synthesize(s, n), factor = 4)
-        .select(col("asset_id"),
-          length(col("bytes")).cast("long").as("n_bytes"))
-        .orderBy("asset_id")
-    }),
-
-    // ---- Scale tooling ---------------------------------------------------
-
-    // Skew-salted join ≡ plain join: revenue per supplier through the
-    // salted path, oracle-checked against the unsalted SQL join — proving
-    // the skew tool is semantics-preserving.
-    "salted_join_agg" -> ((s, dir) => {
-      val fact = t(s, dir, "lineitem").select(
-        col("l_suppkey").as("suppkey"),
-        col("l_extendedprice").cast("decimal(18,4)").as("amount"))
-      val dim = t(s, dir, "supplier").select(
-        col("s_suppkey").as("suppkey"), col("s_name").as("supplier"))
-      Scale.saltedJoin(fact, dim, "suppkey")
-        .groupBy("supplier")
-        .agg(count(lit(1)).as("n_lineitems"),
-          round(sum("amount"), 2).cast("double").as("revenue"))
-        .orderBy("supplier")
-    }),
-
-    // Join-key skew diagnostics over the lineitem fact's supplier key —
-    // the measurement that justifies (or rules out) the salted join.
-    "key_skew" -> ((s, dir) =>
-      Scale.keySkewStats(t(s, dir, "lineitem"), "l_suppkey")),
-
-    // ---- State audit scans (S10/S11, app.py:193-203) --------------------
-
-    "audit_uploads" -> ((s, dir) =>
-      auditState(s, dir).uploadsOrdered),
-
-    "audit_address_changes" -> ((s, dir) =>
-      auditState(s, dir).addressChangesOrdered)
-  )
-
-  // ---- DuckDB oracle SQL ----------------------------------------------
-  // Omitted (rows-only check) for: simhash_pairs (xxhash64 is not
-  // portable — the md5-sliced simhash_pairs_md5 variant IS oracle-checked)
-  // and approx_users_per_type / approx_event_quantiles (sketches; error
-  // bounds vs the exact twins asserted in PropertySpec). Those three are
-  // the ONLY rows-only entries: multimodal_features is oracle-checked via
-  // the LCG replay + Q40 fixed-point entropy (and the mod-2^64
-  // rolling_fingerprint via HUGEINT arithmetic). The approximate ANN
-  // paths (ann_topk_lsh / ann_topk_ivf / ann_topk_ivf_kmeans /
-  // embedding_neardup_lsh) ARE oracle-checked: their hyperplanes/centroids
-  // are deterministic (k-means trains with order-free DECIMAL means), so
-  // the generated SQL below reproduces them bit-for-bit.
-
-  private val mergedSql =
-    """FROM lineitem l
-      |JOIN part p ON l.l_partkey = p.p_partkey
-      |JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
-
-  private val ctSql =
-    s"""SELECT o.o_custkey AS customer_id, c.c_name AS name,
-       |  p.p_brand AS category,
-       |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS amount
-       |$mergedSql
-       |GROUP BY 1, 2, 3""".stripMargin
-
-  /** SQL twin of [[piiDocs]]'s deterministic contact planting. */
-  private val piiAugSql =
-    """aug AS (SELECT doc_id, text ||
-      |  CASE WHEN doc_id % 7 = 0
-      |    THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
-      |  CASE WHEN doc_id % 11 = 0
-      |    THEN ' via https://site' || (doc_id % 50) || '.example.org/p/' ||
-      |      doc_id ELSE '' END ||
-      |  CASE WHEN doc_id % 13 = 0
-      |    THEN ' call 555-' ||
-      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
-      |    ELSE '' END AS text
-      |  FROM documents)""".stripMargin
-
-  private val shinglesSql =
-    """WITH t AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS tokens
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(tokens) >= 3
-      |    THEN list_transform(range(1, len(tokens) - 1),
-      |      i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
-      |    ELSE [] END) AS shingles
-      |  FROM t)""".stripMargin
-
-  /** Band-minima CTE over `sh` — shared by every MinHash oracle. */
-  private val minhashBandsSql: String =
-    """bands AS (
-      |  SELECT doc_id, 0 AS band,
-      |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
-      |    AS sig FROM sh
-      |  UNION ALL SELECT doc_id, 1,
-      |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
-      |    FROM sh
-      |  UNION ALL SELECT doc_id, 2,
-      |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
-      |    FROM sh
-      |  UNION ALL SELECT doc_id, 3,
-      |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
-      |    FROM sh)""".stripMargin
-
-  /** Candidate verification tail shared by the MinHash pair oracles:
-    * exact Jaccard over the distinct-shingle sets of a `cand(da, db)`
-    * CTE, emitted as (`aName`, `bName`, jaccard) ≥ 0.5.
+  /** One entry per implemented operator (SURVEY.md §2) — composed from
+    * the per-family registry files (EntryHelpers / EntryQueries /
+    * EntryOracleSql / EntryOracles; round-8 split of the former
+    * 3.5k-line single file). The driver contract — names, semantics,
+    * column alignment with `oracleSql` — is unchanged.
     */
-  private def jaccardVerifySql(aName: String, bName: String): String =
-    s"""sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |inter AS (SELECT c.da, c.db, COUNT(*) AS i
-       |  FROM cand c JOIN shing x ON x.doc_id = c.da
-       |  JOIN shing y ON y.doc_id = c.db AND y.s = x.s
-       |  GROUP BY 1, 2)
-       |SELECT c.da AS $aName, c.db AS $bName,
-       |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
-       |    (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
-       |FROM cand c
-       |JOIN sizes sa ON c.da = sa.doc_id
-       |JOIN sizes sb ON c.db = sb.doc_id
-       |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
-       |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
-       |  (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
-       |ORDER BY $aName, $bName""".stripMargin
-
-  /** Containment twin of the pair oracle: same band candidates, both
-    * asymmetric i/|A| and i/|B| directions, either ≥ 0.8 keeps the pair.
-    */
-  private val containmentPairsSql: String =
-    s"""$shinglesSql,
-       |$minhashBandsSql,
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       |shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |inter AS (SELECT c.da, c.db, COUNT(*) AS i
-       |  FROM cand c JOIN shing x ON x.doc_id = c.da
-       |  JOIN shing y ON y.doc_id = c.db AND y.s = x.s
-       |  GROUP BY 1, 2)
-       |SELECT c.da AS doc_a, c.db AS doc_b,
-       |  CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.n AS containment_a,
-       |  CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.n AS containment_b,
-       |  CAST(COALESCE(i.i, 0) AS DOUBLE) /
-       |    (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
-       |FROM cand c
-       |JOIN sizes sa ON c.da = sa.doc_id
-       |JOIN sizes sb ON c.db = sb.doc_id
-       |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
-       |WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.n >= 0.8
-       |   OR CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.n >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** MinHash-LSH near-dup pair oracle — also embedded as the edge set of
-    * the `neardup_clusters` transitive-closure oracle.
-    */
-  private val nearDupPairsSql: String =
-    s"""$shinglesSql,
-       |$minhashBandsSql,
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |${jaccardVerifySql("doc_a", "doc_b")}""".stripMargin
-
-  /** b×r banding twin of [[nearDupPairsSql]] (b=2 bands of r=2
-    * concatenated slice minima — candidate iff BOTH minima of some band
-    * collide).
-    */
-  private val nearDupPairsBandedSql: String =
-    s"""$shinglesSql,
-       |bands2 AS (
-       |  SELECT doc_id, 0 AS band,
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) ||
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
-       |    AS sig FROM sh
-       |  UNION ALL SELECT doc_id, 1,
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) ||
-       |    list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
-       |    FROM sh),
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands2 a JOIN bands2 b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |${jaccardVerifySql("doc_a", "doc_b")}""".stripMargin
-
-  /** Cross-corpus twin of [[nearDupPairsSql]]: incoming (odd) bands join
-    * existing (even) bands instead of the `<` self-join.
-    */
-  private val incNearDupSql: String =
-    s"""$shinglesSql,
-       |$minhashBandsSql,
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig
-       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
-       |${jaccardVerifySql("inc_id", "ex_id")}""".stripMargin
-
-  /** Transitive closure over the (deterministic) near-dup pair graph:
-    * symmetric edges, recursive reachability (UNION dedupe terminates
-    * it), cluster = min reachable doc_id, singletons via the left join.
-    * Also embedded as the cluster CTE of the `dedup_apply` oracle.
-    */
-  /** Fixed-point PageRank twin: replays [[graft.operators.Dedup
-    * .pageRank]]'s 4 BSP rounds over the near-dup pair graph as a CTE
-    * chain — every division a positive floor division (`//` here, `div`
-    * in Spark), sums over exact BIGINTs (cast back from DuckDB's
-    * HUGEINT), so both engines produce identical integers. `adj` and the
-    * pair CTE are MATERIALIZED: four rounds would otherwise re-inline
-    * the whole MinHash-LSH pair search per stage.
-    */
-  private val pageRankSql: String = {
-    val S = 1000000000000L
-    val stages = (1 to 4).map { k =>
-      s"""p$k AS MATERIALIZED (SELECT a.dst AS v, CAST(
-         |    (15 * $S) // (100 * (SELECT nn FROM nv)) +
-         |    (85 * SUM(p.p // a.d)) // 100 AS BIGINT) AS p
-         |  FROM adj a JOIN p${k - 1} p ON a.src = p.v GROUP BY a.dst)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""WITH pr0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-       |$nearDupPairsSql
-       |)),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr0
-       |  UNION ALL SELECT doc_b, doc_a FROM pr0),
-       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-       |adj AS MATERIALIZED (SELECT e.src, e.dst, d.d FROM edges e
-       |  JOIN deg d ON e.src = d.src),
-       |nv AS (SELECT COUNT(DISTINCT src) AS nn FROM adj),
-       |p0 AS (SELECT DISTINCT src AS v,
-       |    CAST($S // (SELECT nn FROM nv) AS BIGINT) AS p FROM adj),
-       |$stages
-       |SELECT v AS doc_id, p AS pr_fp, CAST(p AS DOUBLE) / $S AS pr
-       |FROM p4 ORDER BY pr_fp DESC, doc_id""".stripMargin
-  }
-
-  private val nearDupClustersSql: String =
-    s"""WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM (
-       |$nearDupPairsSql
-       |)),
-       |esym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
-       |  UNION ALL SELECT doc_b, doc_a FROM edges),
-       |reach(s, d) AS (
-       |  SELECT src, dst FROM esym
-       |  UNION
-       |  SELECT r.s, e.dst FROM reach r JOIN esym e ON r.d = e.src),
-       |v AS (SELECT doc_id FROM documents)
-       |SELECT v.doc_id,
-       |  LEAST(v.doc_id, COALESCE(MIN(r.d), v.doc_id)) AS cluster
-       |FROM v LEFT JOIN reach r ON v.doc_id = r.s
-       |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin
-
-  // One SQL for both rank-path variants: flagship_rank (two-phase scale
-  // path) and flagship_rank_window (literal W1 window) must produce the
-  // identical relation.
-  private val flagshipSql =
-    s"""WITH ct AS ($ctSql),
-       |s AS (SELECT customer_id, name, roundbankers(SUM(amount), 2) AS amt
-       |      FROM ct GROUP BY 1, 2)
-       |SELECT customer_id, name, CAST(amt AS DOUBLE) AS amount,
-       |  CAST(DENSE_RANK() OVER (ORDER BY amt DESC) AS INT) AS "rank"
-       |FROM s ORDER BY "rank", customer_id""".stripMargin
-
-  /** Generated oracle for the portable md5-nibble SimHash: 64 per-bit ±1
-    * sums from the first 16 hex nibbles of each distinct token's md5,
-    * packed into four 16-bit band keys, banded pair join, Hamming via
-    * bit_count(xor). Mirrors [[graft.operators.Dedup.simhashPairsPortable]]
-    * integer-for-integer.
-    */
-  private val simhashMd5Sql: String = {
-    val nibDefs = (0 until 16).map(k =>
-      s"strpos('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1 AS nib$k")
-      .mkString(", ")
-    val bitSums = (0 until 64).map { i =>
-      s"SUM(CASE WHEN (nib${i / 4} & ${1 << (i % 4)}) != 0 THEN 1 ELSE -1 END) AS b$i"
-    }.mkString(", ")
-    val chunkDefs = (0 until 4).map { c =>
-      (0 until 16).map(j =>
-        s"(CASE WHEN b${c * 16 + j} > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ") + s" AS chunk_$c"
-    }.mkString(", ")
-    val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, chunk_0, chunk_1, chunk_2, chunk_3, $b AS band, chunk_$b AS bkey FROM sig")
-      .mkString(" UNION ALL ")
-    val ham = (0 until 4).map(c =>
-      s"bit_count(xor(a.chunk_$c, b.chunk_$c))").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id,
-       |  unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-       |  FROM documents),
-       |n AS (SELECT doc_id, $nibDefs FROM t),
-       |b AS (SELECT doc_id, $bitSums FROM n GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $chunkDefs FROM b),
-       |banded AS ($bands),
-       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST($ham AS BIGINT) AS hamming
-       |  FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  // ---- Generated LSH / IVF oracles ------------------------------------
-  // The sign-random-projection hyperplanes are deterministic integer-mixed
-  // doubles (Similarity.planeVec); they are inlined as SQL literals so
-  // DuckDB computes the identical buckets. Embeddings are 64-wide at every
-  // testdata SF. Shortest-round-trip double rendering parses back to the
-  // same binary double (DECIMAL literal → DOUBLE cast is a correct
-  // round-trip for ≤17 significant digits).
-  private val EmbDim = 64
-
-  private def planeSqlLit(salt: Int, i: Int): String =
-    "CAST([" + Similarity.planeVec(salt * 1024 + i, EmbDim).mkString(", ") +
-      "] AS DOUBLE[])"
-
-  /** Σ 2^i over planes whose projection of `vExpr` is ≥ 0 — the SQL twin
-    * of [[graft.operators.Similarity.lshBucket]].
-    */
-  private def bucketSql(vExpr: String, planes: Int, salt: Int): String =
-    (0 until planes).map { i =>
-      s"(CASE WHEN list_inner_product($vExpr, ${planeSqlLit(salt, i)}) >= 0" +
-        s" THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
-
-  private def cosSql(a: String, b: String): String =
-    s"list_inner_product($a, $b) / " +
-      s"sqrt(list_inner_product($a, $a) * list_inner_product($b, $b))"
-
-  private val vecsSql =
-    """vecs AS (SELECT vec_id, label,
-      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings)""".stripMargin
-
-  private def bandedSql(planes: Int, tables: Int, from: String = "vecs",
-                        withLabel: Boolean = true): String = {
-    val cols = if (withLabel) "vec_id, label, v" else "vec_id, v"
-    "banded AS (" + (0 until tables).map { t =>
-      s"SELECT $cols, $t AS tbl, " +
-        bucketSql("v", planes, salt = t) + s" AS bucket FROM $from"
-    }.mkString(" UNION ALL ") + ")"
-  }
-
-  private val annLshSql =
-    s"""WITH $vecsSql,
-       |${bandedSql(planes = 8, tables = 3)},
-       |qb AS (SELECT tbl, bucket, v AS qv FROM banded WHERE vec_id = 0),
-       |sims AS (SELECT b.vec_id, b.label,
-       |  roundbankers(${cosSql("b.v", "q.qv")}, 6) AS sim
-       |  FROM banded b JOIN qb q ON b.tbl = q.tbl AND b.bucket = q.bucket
-       |  WHERE b.vec_id <> 0)
-       |SELECT DISTINCT vec_id, label, sim FROM sims
-       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
-
-  /** Batch-join twin of [[annLshSql]]: every vec_id < 20 is a query; the
-    * same banded CTE serves both join sides, candidates dedup on the id
-    * pair, and the k-cut replays the query-partitioned row_number.
-    */
-  private val annJoinSql =
-    s"""WITH $vecsSql,
-       |${bandedSql(planes = 8, tables = 3, withLabel = false)},
-       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
-       |  FROM banded a JOIN banded b
-       |  ON a.tbl = b.tbl AND a.bucket = b.bucket
-       |  WHERE a.vec_id < 20 AND b.vec_id >= 20),
-       |sims AS (SELECT c.q_id, c.c_id, y.label,
-       |  roundbankers(${cosSql("x.v", "y.v")}, 6) AS sim
-       |  FROM cand c JOIN vecs x ON c.q_id = x.vec_id
-       |  JOIN vecs y ON c.c_id = y.vec_id),
-       |r AS (SELECT q_id, c_id, label, sim, ROW_NUMBER() OVER (
-       |  PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sims)
-       |SELECT q_id, c_id, label, sim FROM r WHERE rn <= 10
-       |ORDER BY q_id, sim DESC, c_id""".stripMargin
-
-  /** Multi-probe twin of [[annLshSql]]: the probe set (query bucket plus
-    * the `probes` single-bit flips with the smallest |projection| margin,
-    * plane-index tiebreak) is recomputed in SQL from the same hyperplane
-    * literals.
-    */
-  private val annLshMultiProbeSql: String = {
-    val projBranches = (for { t <- 0 until 3; i <- 0 until 8 } yield
-      s"SELECT $t AS tbl, $i AS plane, ${1L << i} AS bit, " +
-        s"list_inner_product(q.qv, ${planeSqlLit(t, i)}) AS proj FROM q")
-      .mkString(" UNION ALL ")
-    s"""WITH $vecsSql,
-       |${bandedSql(planes = 8, tables = 3)},
-       |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
-       |projs AS ($projBranches),
-       |base AS (SELECT tbl, SUM(CASE WHEN proj >= 0 THEN bit ELSE 0 END)
-       |  AS b FROM projs GROUP BY tbl),
-       |flips AS (SELECT tbl, bit FROM (
-       |  SELECT tbl, bit, ROW_NUMBER() OVER (PARTITION BY tbl
-       |    ORDER BY abs(proj), plane) AS rn FROM projs) WHERE rn <= 3),
-       |probe AS (SELECT tbl, b AS bucket FROM base
-       |  UNION ALL SELECT f.tbl, xor(b.b, f.bit) FROM flips f
-       |  JOIN base b ON f.tbl = b.tbl),
-       |sims AS (SELECT bd.vec_id, bd.label,
-       |  roundbankers(${cosSql("bd.v", "q.qv")}, 6) AS sim
-       |  FROM banded bd
-       |  JOIN probe p ON bd.tbl = p.tbl AND bd.bucket = p.bucket, q
-       |  WHERE bd.vec_id <> 0)
-       |SELECT DISTINCT vec_id, label, sim FROM sims
-       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
-  }
-
-  /** Near-dup pair oracle over the corpus PLUS the deterministic planted
-    * perturbations (first 8 vectors, first component +0.01 in double space
-    * — one double add on identical operands, so bit-identical to the Spark
-    * side's `element_at(v,1) + 0.01`).
-    */
-  /** Incremental-dedup oracle — shared by the exact anti-join query and
-    * its Bloom-sketch twin (which must produce the identical relation).
-    */
-  private val incDedupSql: String =
-    """WITH fp AS (SELECT doc_id,
-      |    md5(substr(lower(text), 1, 64)) AS fingerprint
-      |  FROM documents),
-      |inc AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
-      |SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-      |FROM inc
-      |WHERE NOT EXISTS (SELECT 1 FROM fp ex
-      |  WHERE ex.doc_id % 2 = 0 AND ex.fingerprint = inc.fingerprint)
-      |GROUP BY 1 ORDER BY fingerprint""".stripMargin
-
-  /** Shared CTE fragment for the 8-gram contamination oracles: `c` =
-    * (corpus doc, distinct gram md5), `hh` = (holdout doc, gram md5) with
-    * the `doc_id % 10 = 0` holdout rule.
-    */
-  private val contamGramsSql: String = {
-    val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
-    s"""t AS (SELECT doc_id, doc_id % 10 = 0 AS h,
-       |  string_split(lower(text), ' ') AS toks FROM documents),
-       |g AS (SELECT doc_id, h, unnest(list_distinct(
-       |    CASE WHEN len(toks) >= 8 THEN
-       |      list_transform(range(1, len(toks) - 6),
-       |        i -> md5(concat_ws(' ', $gram8)))
-       |    ELSE [] END)) AS g FROM t),
-       |c AS (SELECT doc_id, g FROM g WHERE NOT h),
-       |hh AS (SELECT doc_id AS holdout_id, g FROM g WHERE h)""".stripMargin
-  }
-
-  /** SQL twin of [[plantedVecs]] (as a CTE fragment over `vecs0`). */
-  private val pvecsSql =
-    """vecs0 AS (SELECT vec_id,
-      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |pvecs AS (SELECT vec_id, v FROM vecs0
-      |  UNION ALL
-      |  SELECT vec_id + 10000000, [v[1] + 0.01] || v[2:] FROM vecs0
-      |  WHERE vec_id < 8)""".stripMargin
-
-  private val embNearDupSql = {
-    val banded = bandedSql(planes = 12, tables = 3, from = "pvecs",
-      withLabel = false)
-    s"""WITH $pvecsSql,
-       |$banded,
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM banded a JOIN banded b
-       |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       |sims AS (SELECT c.vec_a, c.vec_b,
-       |  roundbankers(${cosSql("x.v", "y.v")}, 6) AS sim
-       |  FROM cand c JOIN pvecs x ON c.vec_a = x.vec_id
-       |  JOIN pvecs y ON c.vec_b = y.vec_id)
-       |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.9
-       |ORDER BY vec_a, vec_b""".stripMargin
-  }
-
-  /** IVF cell-probe twin: centroids are the 16 lowest vec_ids (cell = rank
-    * in that order), assignment is argmax cosine with ties to the higher
-    * cell, probing takes the 4 query-closest cells with ties to the lower
-    * cell — exactly [[graft.operators.Similarity.ivfTopK]]'s rules.
-    */
-  /** Exact brute-force cosine top-10 for query vec 0 — also the ground
-    * truth side of [[annRecallIvfSql]]. */
-  private val annExactSql: String =
-    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
-      |  AS qv FROM embeddings WHERE vec_id = 0),
-      |c AS (SELECT vec_id, label,
-      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE vec_id <> 0)
-      |SELECT vec_id, label,
-      |  roundbankers(list_inner_product(v, qv) /
-      |    sqrt(list_inner_product(v, v) * list_inner_product(qv, qv)), 6)
-      |    AS sim
-      |FROM c, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
-
-  private val annIvfSql =
-    s"""WITH $vecsSql,
-       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-       |  v AS cv FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
-       |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
-       |asg AS (SELECT vec_id, label, v, cell FROM (
-       |  SELECT vecs.vec_id, vecs.label, vecs.v, cent.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-       |      ORDER BY ${cosSql("vecs.v", "cent.cv")} DESC, cent.cell DESC)
-       |      AS rn
-       |  FROM vecs, cent) WHERE rn = 1),
-       |probe AS (SELECT cell FROM (
-       |  SELECT cent.cell, ROW_NUMBER() OVER (
-       |    ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cell ASC) AS rn
-       |  FROM cent, q) WHERE rn <= 4)
-       |SELECT a.vec_id, a.label,
-       |  roundbankers(${cosSql("a.v", "q.qv")}, 6) AS sim
-       |FROM asg a JOIN probe p ON a.cell = p.cell, q
-       |WHERE a.vec_id <> 0
-       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
-
-  /** Trained-codebook IVF twin: replays [[Similarity.kmeansCodebook]]'s
-    * two Lloyd iterations in SQL — same deterministic init (16 lowest
-    * vec_ids), same assignment rule (argmax cosine, ties to the higher
-    * cell), and the same exact-DECIMAL(28,14)-sum mean (order-free, so
-    * both engines train bit-identical centroids) — then probes like
-    * [[annIvfSql]].
-    */
-  private def lloydSql(prev: String, n: Int): String =
-    s"""a$n AS (SELECT vec_id, v, cell FROM (
-       |  SELECT vecs.vec_id, vecs.v, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
-       |  FROM vecs, $prev c) WHERE rn = 1),
-       |m$n AS (SELECT cell, pos,
-       |  CAST(SUM(CAST(v[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
-       |    AS m
-       |  FROM a$n, (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
-       |  GROUP BY cell, pos),
-       |g$n AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m$n
-       |  GROUP BY cell),
-       |cent$n AS (SELECT c.cell, COALESCE(g.mv, c.cv) AS cv
-       |  FROM $prev c LEFT JOIN g$n g ON c.cell = g.cell)"""
-
-  /** CTE chain training the 16-cell codebook (two Lloyd iterations over
-    * `vecs`, deterministic lowest-id init) — ends at `cent2`, the SQL twin
-    * of the memoized [[kmeansBook]].
-    */
-  private val kmeansCent2Sql: String =
-    s"""cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-       |  v AS cv FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
-       |${lloydSql("cent0", 1)},
-       |${lloydSql("cent1", 2)}""".stripMargin
-
-  private val annIvfKmeansSql: String = {
-    s"""WITH $vecsSql,
-       |$kmeansCent2Sql,
-       |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
-       |asg AS (SELECT vec_id, label, v, cell FROM (
-       |  SELECT vecs.vec_id, vecs.label, vecs.v, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
-       |  FROM vecs, cent2 c) WHERE rn = 1),
-       |probe AS (SELECT cell FROM (
-       |  SELECT c.cell, ROW_NUMBER() OVER (
-       |    ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
-       |  FROM cent2 c, q) WHERE rn <= 4)
-       |SELECT a.vec_id, a.label,
-       |  roundbankers(${cosSql("a.v", "q.qv")}, 6) AS sim
-       |FROM asg a JOIN probe p ON a.cell = p.cell, q
-       |WHERE a.vec_id <> 0
-       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
-  }
-
-  /** Semantic-dedup twin: trains the identical cent2 codebook, assigns
-    * the corpus + planted vectors (argmax cosine, ties to the higher
-    * cell — [[graft.operators.Similarity.semanticDedupPairs]]'s rule),
-    * then searches pairs within cells only.
-    */
-  private val semanticDedupSql: String =
-    s"""WITH $vecsSql,
-       |$kmeansCent2Sql,
-       |$pvecsSql,
-       |asg AS (SELECT vec_id, v, cell FROM (
-       |  SELECT p.vec_id, p.v, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
-       |      ORDER BY ${cosSql("p.v", "c.cv")} DESC, c.cell DESC) AS rn
-       |  FROM pvecs p, cent2 c) WHERE rn = 1)
-       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  roundbankers(${cosSql("a.v", "b.v")}, 6) AS sim
-       |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |WHERE roundbankers(${cosSql("a.v", "b.v")}, 6) >= 0.9
-       |ORDER BY vec_a, vec_b""".stripMargin
-
-  /** Generated oracle for the winnowing rolling-hash fingerprint: replays
-    * [[graft.functions.RollingHashWindows]]'s Rabin–Karp window hash
-    * (base 257, arithmetic mod 2^64) in HUGEINT SQL — each window hash is
-    * Σ byte·257^t with the 32 power constants inlined mod 2^64, the
-    * unsigned result converted to the signed long the Spark expression
-    * emits, then the per-doc MIN. The oracle reads code points as bytes,
-    * valid because the corpus is ASCII (the expression hashes UTF-8
-    * bytes); docs shorter than the window keep their null via the left
-    * join.
-    */
-  private val rollingFingerprintSql: String = {
-    val W = 32
-    val powers = Iterator.iterate(1L)(_ * 257L).take(W).toArray
-    val terms = (0 until W).map(t =>
-      s"CAST(b[i+${W - 1 - t}] AS HUGEINT) * " +
-        java.lang.Long.toUnsignedString(powers(t)))
-      .mkString(" + ")
-    s"""WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-       |bs AS (SELECT doc_id, list_transform(range(1, len(t)+1),
-       |    i -> ord(substr(t, i, 1))) AS b, len(t) AS n FROM s),
-       |w AS (SELECT doc_id, unnest(range(1, n - $W + 2)) AS i, b
-       |  FROM bs WHERE n >= $W),
-       |h AS (SELECT doc_id,
-       |  ($terms) % 18446744073709551616 AS hu FROM w),
-       |m AS (SELECT doc_id, MIN(CAST(CASE WHEN hu >= 9223372036854775808
-       |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT)) AS f
-       |  FROM h GROUP BY doc_id)
-       |SELECT s.doc_id, m.f AS fingerprint
-       |FROM s LEFT JOIN m ON s.doc_id = m.doc_id
-       |ORDER BY s.doc_id""".stripMargin
-  }
-
-  /** Generated winnowing oracle: the [[rollingFingerprintSql]] HUGEINT
-    * mod-2^64 Rabin–Karp replay at gram = 8, then the
-    * Schleimer–Wilkerson–Aiken selection — every window of 4 consecutive
-    * hashes keeps its (hash, position)-minimal element (leftmost tie) —
-    * as a per-(doc, window-start) ROW_NUMBER pick, deduplicated.
-    * Mirrors [[graft.operators.TextOps.winnowFingerprints]] step for
-    * step (the ×4 candidate unnest is the same bounded fan-out).
-    */
-  private val winnowFingerprintsSql: String = {
-    val W = 8
-    val Wn = 4
-    val powers = Iterator.iterate(1L)(_ * 257L).take(W).toArray
-    val terms = (0 until W).map(t =>
-      s"CAST(b[i+${W - 1 - t}] AS HUGEINT) * " +
-        java.lang.Long.toUnsignedString(powers(t)))
-      .mkString(" + ")
-    s"""WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-       |bs AS (SELECT doc_id, list_transform(range(1, len(t)+1),
-       |    i -> ord(substr(t, i, 1))) AS b, len(t) AS n FROM s),
-       |w AS (SELECT doc_id, unnest(range(1, n - $W + 2)) AS i, b,
-       |    n - $W + 1 AS nh FROM bs WHERE n >= ${W + Wn - 1}),
-       |h0 AS (SELECT doc_id, i - 1 AS hi, nh,
-       |  ($terms) % 18446744073709551616 AS hu FROM w),
-       |h AS (SELECT doc_id, hi, nh,
-       |  CAST(CASE WHEN hu >= 9223372036854775808
-       |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS f
-       |  FROM h0),
-       |cand AS (SELECT doc_id, hi, f, unnest(range(
-       |    greatest(0, hi - ${Wn - 1}), least(hi, nh - $Wn) + 1)) AS p
-       |  FROM h),
-       |sel AS (SELECT doc_id, p, f, hi, ROW_NUMBER() OVER (
-       |    PARTITION BY doc_id, p ORDER BY f, hi) AS rn FROM cand)
-       |SELECT DISTINCT doc_id, hi AS pos, f AS fp FROM sel WHERE rn = 1
-       |ORDER BY doc_id, pos""".stripMargin
-  }
-
-  /** Generated BPE-training oracle: replays
-    * [[graft.operators.TextOps.bpeMerges]]'s 16 merge stages in ONE CTE
-    * chain (the Lloyd-chain pattern). Per stage: split the
-    * chr(31)-suffix-delimited symbol strings, count adjacent pairs
-    * weighted by word frequency (SUM over BIGINT — cast back from
-    * HUGEINT at the end), argmax with the lexicographic (lhs, rhs)
-    * tie-break, and apply the merge as one literal `replace` — which
-    * scans left-to-right non-overlapping in both engines, i.e. greedy
-    * BPE application. The suffix (not infix) delimiter is what makes
-    * consecutive merge sites independent occurrences for `replace`.
-    */
-  private val BpeN = 16
-
-  private val bpeChainSql: String = {
-    val sep = "chr(31)"
-    // Each stage consumes bv{k-1} TWICE (pair count + merge apply):
-    // without MATERIALIZED, CTE inlining doubles the tree per stage and
-    // bv16 expands to 2^16 scans of documents.parquet.
-    val stages = (1 to BpeN).map { k =>
-      s"""bs$k AS (SELECT list_filter(string_split(seq, $sep),
-         |    x -> x <> '') AS s, n FROM bv${k - 1}),
-         |bp$k AS (SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(n) AS c
-         |  FROM (SELECT s, n, unnest(range(1, len(s))) AS i
-         |        FROM bs$k WHERE len(s) >= 2)
-         |  GROUP BY lhs, rhs),
-         |bm$k AS MATERIALIZED (SELECT lhs, rhs, c FROM bp$k
-         |  ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |bv$k AS MATERIALIZED (SELECT replace(seq,
-         |    lhs || $sep || rhs || $sep, lhs || rhs || $sep) AS seq, n
-         |  FROM bv${k - 1}, bm$k)""".stripMargin
-    }.mkString(",\n")
-    s"""bw AS (SELECT word, COUNT(*) AS n FROM (
-       |    SELECT unnest(string_split(lower(text), ' ')) AS word
-       |    FROM documents) WHERE word <> '' GROUP BY word),
-       |bv0 AS (SELECT regexp_replace(word, '(.)', '\\1' || $sep, 'g')
-       |    AS seq, n FROM bw),
-       |$stages""".stripMargin
-  }
-
-  private val bpeMergesSql: String = {
-    val rows = (1 to BpeN).map { k =>
-      s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
-        s"lhs || rhs AS merged, CAST(c AS BIGINT) AS n_occ FROM bm$k"
-    }.mkString("\nUNION ALL ")
-    s"""WITH $bpeChainSql
-       |SELECT * FROM ($rows) ORDER BY merge_rank""".stripMargin
-  }
-
-  /** Tokenizer-apply twin: the training chain's final vocab stage
-    * (`bv$BpeN` — all merges applied) tokenized back into symbols and
-    * frequency-counted, mirroring [[graft.operators.TextOps
-    * .bpeEncodeTokens]] run on [[graft.operators.TextOps.bpeMerges]]'s
-    * output.
-    */
-  private val bpeEncodeSql: String =
-    s"""WITH $bpeChainSql,
-       |tok AS (SELECT unnest(list_filter(string_split(seq, chr(31)),
-       |    x -> x <> '')) AS token, n FROM bv$BpeN)
-       |SELECT token, CAST(SUM(n) AS BIGINT) AS n_occ FROM tok
-       |GROUP BY token ORDER BY n_occ DESC, token""".stripMargin
-
-  /** Contrastive-triplet twin: the pair graph is [[embNearDupSql]] as a
-    * CTE; the negative replays the rank-based Knuth-hash draw over the
-    * gapped pool (plain `%` — operands non-negative, so it equals
-    * Spark's `pmod`): ROW_NUMBER over vec_id gives the pool ranks, the
-    * three stepped candidate ranks join back to ids, and the CASE chain
-    * is the first-valid-candidate pick; `sim_neg` is the same 6dp
-    * cosine.
-    */
-  private val contrastiveTripletsSql: String =
-    s"""WITH pairs0 AS (SELECT * FROM ($embNearDupSql)),
-       |$pvecsSql,
-       |pool AS (SELECT vec_id, v FROM vecs0 WHERE vec_id % 7 <> 3),
-       |pr AS (SELECT vec_id, v,
-       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk FROM pool),
-       |n AS (SELECT COUNT(*) AS nn FROM pool),
-       |t0 AS (SELECT vec_a, vec_b, sim, n.nn AS nn,
-       |    (vec_a * 2654435761 + vec_b) % n.nn AS r0
-       |  FROM pairs0, n),
-       |c AS (SELECT t0.vec_a, t0.vec_b, t0.sim,
-       |    p0.vec_id AS id0, p1.vec_id AS id1, p2.vec_id AS id2,
-       |    p0.v AS v0, p1.v AS v1, p2.v AS v2
-       |  FROM t0 JOIN pr p0 ON p0.rk = t0.r0
-       |  JOIN pr p1 ON p1.rk = (t0.r0 + 1) % t0.nn
-       |  JOIN pr p2 ON p2.rk = (t0.r0 + 2) % t0.nn),
-       |sel AS (SELECT vec_a, vec_b, sim,
-       |    CASE WHEN id0 <> vec_a AND id0 <> vec_b THEN id0
-       |         WHEN id1 <> vec_a AND id1 <> vec_b THEN id1
-       |         ELSE id2 END AS negative,
-       |    CASE WHEN id0 <> vec_a AND id0 <> vec_b THEN v0
-       |         WHEN id1 <> vec_a AND id1 <> vec_b THEN v1
-       |         ELSE v2 END AS nv
-       |  FROM c)
-       |SELECT sel.vec_a AS anchor, sel.vec_b AS positive, sel.negative,
-       |  sel.sim AS sim_pos,
-       |  roundbankers(${cosSql("a.v", "sel.nv")}, 6) AS sim_neg
-       |FROM sel
-       |JOIN pvecs a ON sel.vec_a = a.vec_id
-       |ORDER BY anchor, positive""".stripMargin
-
-  /** Shared CTE chain for the duplicate-span oracles: md5-hashed 8-token
-    * windows with 0-based positions, windows occurring in ≥ 2 distinct
-    * docs, and the gaps-and-islands merge (new island when the position
-    * gap exceeds the window width) into maximal spans — mirroring
-    * [[graft.operators.Dedup.duplicateSpans]] step for step.
-    */
-  private val dupSpansCteSql: String = {
-    val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
-    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-       |  FROM documents),
-       |p AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
-       |  FROM t WHERE len(toks) >= 8),
-       |g AS (SELECT doc_id, i - 1 AS pos,
-       |  md5(concat_ws(' ', $gram8)) AS gh FROM p),
-       |dup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nd
-       |  FROM g GROUP BY gh) WHERE nd >= 2),
-       |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
-       |isl AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (
-       |    PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS nw
-       |  FROM hits),
-       |isl2 AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id
-       |    ORDER BY pos) AS island FROM isl),
-       |spans AS (SELECT doc_id, island,
-       |    CAST(MIN(pos) AS BIGINT) AS span_start,
-       |    CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
-       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
-  }
-
-  /** PQ ADC top-k oracle: replays the ENTIRE path in SQL — per-subspace
-    * k-means training (two Lloyd iterations over 8-dim subvectors,
-    * deterministic lowest-vec_id init, exact DECIMAL(28,14) means — the
-    * [[kmeansCent2Sql]] contract, here one combined pass per iteration
-    * across all 8 subspaces), corpus encode (argmin with the same reduced
-    * `cv·cv − 2·sv·cv` distance and lower-cell ties), the query-side
-    * lookup table (`q·q − 2·q·cv + cv·cv`, the association the Spark
-    * driver loop reproduces), and the fixed-order 8-term ADC sum (pivoted
-    * columns added left-to-right — matching the Spark side's literal `+`
-    * chain, since a SUM over rows would be order-dependent in double).
-    */
-  private val PqM = 8; private val PqSub = 8; private val PqK = 16
-
-  private def pqLloydSql(prev: String, n: Int, sub: String = "sub",
-                         p: String = "p"): String =
-    s"""${p}a$n AS (SELECT vec_id, s, sv, c FROM (
-       |  SELECT $sub.vec_id, $sub.s, $sub.sv, cc.c,
-       |    ROW_NUMBER() OVER (PARTITION BY $sub.vec_id, $sub.s
-       |      ORDER BY list_inner_product(cc.cv, cc.cv)
-       |        - 2 * list_inner_product($sub.sv, cc.cv) ASC, cc.c ASC)
-       |      AS rn
-       |  FROM $sub JOIN $prev cc ON $sub.s = cc.s) WHERE rn = 1),
-       |${p}m$n AS (SELECT s, c, pos,
-       |  CAST(SUM(CAST(sv[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
-       |    AS mval
-       |  FROM ${p}a$n, (SELECT unnest(range(1, ${PqSub + 1})) AS pos) p
-       |  GROUP BY s, c, pos),
-       |${p}g$n AS (SELECT s, c, list(mval ORDER BY pos) AS mv FROM ${p}m$n
-       |  GROUP BY s, c),
-       |${p}cent$n AS (SELECT cc.s, cc.c, COALESCE(g.mv, cc.cv) AS cv
-       |  FROM $prev cc LEFT JOIN ${p}g$n g ON cc.s = g.s AND cc.c = g.c)"""
-
-  /** CTE chain replaying PQ training over `vecs` (ends at `pcent2`),
-    * corpus encode (`enc`, queryId 0 excluded), and the query-side
-    * lookup table (`lut`) — shared by the PQ and IVF-PQ oracles. CTE
-    * names are `p`-prefixed so the chain composes with [[kmeansCent2Sql]]
-    * in one statement.
-    */
-  private val pqChainSql: String =
-    s"""pss AS (SELECT unnest(range(0, $PqM)) AS s),
-       |sub AS (SELECT vec_id, s,
-       |  list_slice(v, s*$PqSub + 1, s*$PqSub + $PqSub) AS sv
-       |  FROM vecs, pss),
-       |pcent0 AS (SELECT s,
-       |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS c,
-       |    sv AS cv
-       |  FROM sub WHERE vec_id IN
-       |    (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $PqK)),
-       |${pqLloydSql("pcent0", 1)},
-       |${pqLloydSql("pcent1", 2)},
-       |enc AS (SELECT vec_id, s, c FROM (
-       |  SELECT sub.vec_id, sub.s, cc.c,
-       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-       |      ORDER BY list_inner_product(cc.cv, cc.cv)
-       |        - 2 * list_inner_product(sub.sv, cc.cv) ASC, cc.c ASC) AS rn
-       |  FROM sub JOIN pcent2 cc ON sub.s = cc.s
-       |  WHERE sub.vec_id <> 0) WHERE rn = 1),
-       |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
-       |lut AS (SELECT cc.s, cc.c,
-       |  list_inner_product(q.qsv, q.qsv)
-       |    - 2 * list_inner_product(q.qsv, cc.cv)
-       |    + list_inner_product(cc.cv, cc.cv) AS d
-       |  FROM pcent2 cc JOIN q ON cc.s = q.s),
-       |terms AS (SELECT e.vec_id, e.s, l.d
-       |  FROM enc e JOIN lut l ON e.s = l.s AND e.c = l.c)""".stripMargin
-
-  private val pqTermsSum = (0 until PqM).map(s => s"d$s").mkString(" + ")
-  private val pqPivots = (0 until PqM).map(s =>
-    s"MAX(CASE WHEN s = $s THEN d END) AS d$s").mkString(", ")
-
-  private val annPqSql: String =
-    s"""WITH $vecsSql,
-       |$pqChainSql,
-       |piv AS (SELECT vec_id, $pqPivots FROM terms GROUP BY vec_id)
-       |SELECT p.vec_id, v.label, roundbankers($pqTermsSum, 6) AS adist
-       |FROM piv p JOIN vecs v ON p.vec_id = v.vec_id
-       |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
-
-  /** IVF-PQ twin: the k-means coarse codebook trains exactly as in
-    * [[annIvfKmeansSql]] (cosine Lloyd, `cent2`), the PQ books and codes
-    * exactly as in [[annPqSql]] (`pcent2`/`enc` — disjoint CTE names),
-    * and the final rank keeps only vectors assigned to the 4
-    * query-closest coarse cells, ordered by the fixed-order ADC sum.
-    */
-  private val annIvfPqSql: String =
-    s"""WITH $vecsSql,
-       |$kmeansCent2Sql,
-       |$pqChainSql,
-       |asg AS (SELECT vec_id, cell FROM (
-       |  SELECT vecs.vec_id, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
-       |  FROM vecs, cent2 c) WHERE rn = 1),
-       |kq AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
-       |probe AS (SELECT cell FROM (
-       |  SELECT c.cell, ROW_NUMBER() OVER (
-       |    ORDER BY ${cosSql("kq.qv", "c.cv")} DESC, c.cell ASC) AS rn
-       |  FROM cent2 c, kq) WHERE rn <= 4),
-       |piv AS (SELECT vec_id, $pqPivots FROM terms GROUP BY vec_id)
-       |SELECT p.vec_id, v.label, roundbankers($pqTermsSum, 6) AS adist
-       |FROM piv p
-       |JOIN vecs v ON p.vec_id = v.vec_id
-       |JOIN asg a ON p.vec_id = a.vec_id
-       |JOIN probe pr ON a.cell = pr.cell
-       |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
-
-  /** Residual IVF-PQ twin: coarse codebook and probe cells exactly as in
-    * [[annIvfPqSql]]; the PQ chain trains over RESIDUALS `v − cv(cell)`
-    * (CTE `rv`, elementwise double subtraction — the Spark side's
-    * `zip_with`), with the same Lloyd contract under `r`-prefixed names;
-    * the query side builds one LUT per probed cell from the query's
-    * residual against that cell's centroid, joined back through each
-    * vector's coarse cell — a residual code is only comparable inside
-    * its own cell's frame of reference.
-    */
-  private val annIvfPqResidualSql: String =
-    s"""WITH $vecsSql,
-       |$kmeansCent2Sql,
-       |asg AS (SELECT vec_id, v, cell FROM (
-       |  SELECT vecs.vec_id, vecs.v, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
-       |      ORDER BY ${cosSql("vecs.v", "c.cv")} DESC, c.cell DESC) AS rn
-       |  FROM vecs, cent2 c) WHERE rn = 1),
-       |rv AS (SELECT a.vec_id,
-       |  list_transform(range(1, ${EmbDim + 1}), i -> a.v[i] - c.cv[i])
-       |    AS v, a.cell
-       |  FROM asg a JOIN cent2 c ON a.cell = c.cell),
-       |pss AS (SELECT unnest(range(0, $PqM)) AS s),
-       |rsub AS (SELECT vec_id, s,
-       |  list_slice(v, s*$PqSub + 1, s*$PqSub + $PqSub) AS sv
-       |  FROM rv, pss),
-       |rcent0 AS (SELECT s,
-       |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS c,
-       |    sv AS cv
-       |  FROM rsub WHERE vec_id IN
-       |    (SELECT vec_id FROM rv ORDER BY vec_id LIMIT $PqK)),
-       |${pqLloydSql("rcent0", 1, "rsub", "r")},
-       |${pqLloydSql("rcent1", 2, "rsub", "r")},
-       |renc AS (SELECT vec_id, s, c FROM (
-       |  SELECT rsub.vec_id, rsub.s, cc.c,
-       |    ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
-       |      ORDER BY list_inner_product(cc.cv, cc.cv)
-       |        - 2 * list_inner_product(rsub.sv, cc.cv) ASC, cc.c ASC)
-       |      AS rn
-       |  FROM rsub JOIN rcent2 cc ON rsub.s = cc.s
-       |  WHERE rsub.vec_id <> 0) WHERE rn = 1),
-       |kq AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
-       |probe AS (SELECT cell FROM (
-       |  SELECT c.cell, ROW_NUMBER() OVER (
-       |    ORDER BY ${cosSql("kq.qv", "c.cv")} DESC, c.cell ASC) AS rn
-       |  FROM cent2 c, kq) WHERE rn <= 4),
-       |qr AS (SELECT c.cell,
-       |  list_transform(range(1, ${EmbDim + 1}), i -> kq.qv[i] - c.cv[i])
-       |    AS qv
-       |  FROM cent2 c JOIN probe pr ON c.cell = pr.cell, kq),
-       |qsub AS (SELECT cell, s,
-       |  list_slice(qv, s*$PqSub + 1, s*$PqSub + $PqSub) AS qsv
-       |  FROM qr, pss),
-       |lut AS (SELECT qs.cell, cc.s, cc.c,
-       |  list_inner_product(qs.qsv, qs.qsv)
-       |    - 2 * list_inner_product(qs.qsv, cc.cv)
-       |    + list_inner_product(cc.cv, cc.cv) AS d
-       |  FROM rcent2 cc JOIN qsub qs ON cc.s = qs.s),
-       |terms AS (SELECT e.vec_id, e.s, l.d
-       |  FROM renc e JOIN rv a ON e.vec_id = a.vec_id
-       |  JOIN lut l ON a.cell = l.cell AND e.s = l.s AND e.c = l.c),
-       |piv AS (SELECT vec_id, $pqPivots FROM terms GROUP BY vec_id)
-       |SELECT p.vec_id, v.label, roundbankers($pqTermsSum, 6) AS adist
-       |FROM piv p JOIN vecs v ON p.vec_id = v.vec_id
-       |ORDER BY adist, p.vec_id LIMIT 10""".stripMargin
-
-  /** Random-projection twin: the 16 reduction hyperplanes (salt 7 —
-    * disjoint from every LSH table's planes) inline as literals; the
-    * reduced-space candidate cut and the exact re-rank replay
-    * [[graft.operators.Similarity.rpTopK]]'s two bround-before-rank
-    * orderings.
-    */
-  private val annRpSql: String = {
-    val rvExpr = "[" + (0 until 16).map(i =>
-      s"list_inner_product(v, ${planeSqlLit(7, i)})").mkString(", ") + "]"
-    s"""WITH $vecsSql,
-       |red AS (SELECT vec_id, label, v, $rvExpr AS rv FROM vecs),
-       |q AS (SELECT rv AS qrv, v AS qv FROM red WHERE vec_id = 0),
-       |cand AS (SELECT vec_id, label, v, ROW_NUMBER() OVER (
-       |    ORDER BY roundbankers(${cosSql("rv", "q.qrv")}, 6) DESC,
-       |      vec_id) AS rn
-       |  FROM red, q WHERE vec_id <> 0)
-       |SELECT c.vec_id, c.label,
-       |  roundbankers(${cosSql("c.v", "q.qv")}, 6) AS sim
-       |FROM cand c, q WHERE c.rn <= 40
-       |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
-  }
-
-  /** Per-doc duplicated-span coverage oracle — also embedded as a CTE of
-    * the `curation_pipeline_v2` oracle.
-    */
-  private val dupSpanCoverageSql: String =
-    s"""WITH $dupSpansCteSql,
-       |cov AS (SELECT doc_id, COUNT(*) AS n_spans,
-       |    SUM(span_len) AS dup_tokens
-       |  FROM spans GROUP BY doc_id)
-       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-       |  CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
-       |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-       |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / len(t.toks)
-       |    AS dup_frac
-       |FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
-       |ORDER BY t.doc_id""".stripMargin
-
-  /** Fixed-point bigram LM score oracle — also embedded as a CTE of the
-    * `curation_pipeline_v2` oracle.
-    */
-  private val lmScoreSql: String =
-    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-      |  FROM documents),
-      |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
-      |  FROM t),
-      |tk AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM p),
-      |uni AS (SELECT w1 AS w, COUNT(*) AS c1 FROM tk GROUP BY w1),
-      |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM tk
-      |  WHERE w2 IS NOT NULL GROUP BY w1, w2),
-      |sc AS (SELECT tk.doc_id, COUNT(*) AS n_bigrams,
-      |    CAST(SUM(bi.c2 * 100000000 // uni.c1) AS BIGINT)
-      |      AS prob_fp_sum
-      |  FROM tk
-      |  JOIN bi ON tk.w1 = bi.w1 AND tk.w2 = bi.w2
-      |  JOIN uni ON tk.w1 = uni.w
-      |  WHERE tk.w2 IS NOT NULL GROUP BY tk.doc_id)
-      |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-      |  COALESCE(sc.prob_fp_sum, 0) AS prob_fp_sum,
-      |  CAST(sc.prob_fp_sum AS DOUBLE) / (sc.n_bigrams * 100000000)
-      |    AS avg_prob
-      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-      |ORDER BY d.doc_id""".stripMargin
-
-  private val enList = "('the','a','of','and','to','in','is','it')"
-  private val deList = "('der','die','das','und','ist','mit','ein','zu')"
-  private val frList = "('le','la','les','et','est','une','dans','que')"
-  private val esList = "('el','los','las','y','es','una','en','por')"
-
-  def oracleSql: Map[String, String] = Map(
-
-    "merged_detail" ->
-      s"""SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS customer_id,
-         |  c.c_name AS name, p.p_partkey AS product_code,
-         |  p.p_name AS product_name, p.p_brand AS category,
-         |  l.l_extendedprice AS amount
-         |$mergedSql
-         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
-
-    "category_totals" ->
-      s"""WITH ct AS ($ctSql)
-         |SELECT customer_id, name, category, CAST(amount AS DOUBLE) AS amount
-         |FROM ct ORDER BY customer_id, name, category""".stripMargin,
-
-    "flagship_rank" -> flagshipSql,
-
-    "flagship_rank_window" -> flagshipSql,
-
-    "nested_details" ->
-      s"""WITH ct AS ($ctSql),
-         |r AS (SELECT customer_id, name, category,
-         |  COALESCE(CAST(CAST(roundbankers(amount, 2) AS DECIMAL(18,2))
-         |    AS VARCHAR), '') AS amt
-         |  FROM ct)
-         |SELECT customer_id,
-         |  string_agg(COALESCE(name, '') || '|' || COALESCE(category, '')
-         |      || '|' || amt, ';'
-         |    ORDER BY name NULLS FIRST, category NULLS FIRST) AS details
-         |FROM r GROUP BY customer_id ORDER BY customer_id""".stripMargin,
-
-    "users_per_type" ->
-      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-        |  COUNT(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "ann_topk_lsh" -> annLshSql,
-
-    "ann_topk_join" -> annJoinSql,
-
-    "ann_topk_lsh_mp" -> annLshMultiProbeSql,
-
-    "ann_topk_ivf" -> annIvfSql,
-
-    "ann_topk_ivf_kmeans" -> annIvfKmeansSql,
-
-    "ann_topk_pq" -> annPqSql,
-
-    "ann_topk_rp" -> annRpSql,
-
-    "ann_topk_ivfpq" -> annIvfPqSql,
-
-    "ann_topk_ivfpq_residual" -> annIvfPqResidualSql,
-
-    "embedding_neardup_lsh" -> embNearDupSql,
-
-    "semantic_dedup" -> semanticDedupSql,
-
-    "contrastive_triplets" -> contrastiveTripletsSql,
-
-    "incremental_neardup" -> incNearDupSql,
-
-    "incremental_dedup" -> incDedupSql,
-
-    // Same relation by construction: the bloom pre-screen is exact-
-    // composition-preserving, so the sketch path must hash-match the
-    // plain anti-join's oracle.
-    "incremental_dedup_bloom" -> incDedupSql,
-
-    "source_quota" ->
-      """WITH r AS (SELECT lang, source, doc_id,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    ROW_NUMBER() OVER (PARTITION BY lang, source
-        |      ORDER BY length(text) DESC, doc_id) AS rank_in_group
-        |  FROM documents)
-        |SELECT lang, source, doc_id, n_chars, rank_in_group
-        |FROM r WHERE rank_in_group <= 3
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST, rank_in_group"""
-        .stripMargin,
-
-    "canonicalize_text" ->
-      """WITH p AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 0 THEN text || ' caf' || 'e' || chr(769)
-        |       ELSE text END AS text FROM documents),
-        |n AS (SELECT doc_id, nfc_normalize(text) AS c FROM p)
-        |SELECT doc_id, CAST(length(c) AS BIGINT) AS n_chars,
-        |  md5(c) AS canonical_md5
-        |FROM n ORDER BY doc_id""".stripMargin,
-
-    "vocab_topk" ->
-      """SELECT token, COUNT(*) AS n
-        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
-        |      FROM documents)
-        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
-
-    // Replays the total-order vocab k-cut, then per-doc OOV counting via
-    // a NOT-IN over the vocab CTE; rate is one IEEE division.
-    "vocab_coverage" ->
-      """WITH v AS (SELECT token FROM (
-        |    SELECT token, COUNT(*) AS n
-        |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
-        |          FROM documents)
-        |    GROUP BY token ORDER BY n DESC, token LIMIT 100)),
-        |t AS (SELECT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS token
-        |  FROM documents),
-        |c AS (SELECT doc_id, COUNT(*) AS n_tokens,
-        |    SUM(CASE WHEN token NOT IN (SELECT token FROM v)
-        |        THEN 1 ELSE 0 END) AS n_oov
-        |  FROM t GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov,
-        |  CASE WHEN coalesce(c.n_tokens, 0) > 0
-        |    THEN CAST(c.n_oov AS DOUBLE) / c.n_tokens END AS oov_rate
-        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "bpe_merges" -> bpeMergesSql,
-
-    "bpe_encode" -> bpeEncodeSql,
-
-    "split_assign" ->
-      """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        |FROM (SELECT CASE
-        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 90 THEN 'train'
-        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 95 THEN 'val'
-        |    ELSE 'test' END AS split, n_chars FROM documents)
-        |GROUP BY split ORDER BY split""".stripMargin,
-
-    "corpus_card" ->
-      """WITH a AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-        |    AS total_tokens,
-        |  COUNT(DISTINCT lang) AS n_langs,
-        |  COUNT(DISTINCT source) AS n_sources,
-        |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_fingerprints
-        |  FROM documents)
-        |SELECT n_docs, total_tokens,
-        |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
-        |  n_langs, n_sources, n_fingerprints,
-        |  1.0 - CAST(n_fingerprints AS DOUBLE) / n_docs AS exact_dup_rate
-        |FROM a""".stripMargin,
-
-    // Exact oracle for the sketch-prescreened heavy hitters: the
-    // Misra–Gries candidate set provably contains every token above the
-    // n/100 threshold, and the exact re-count filters to precisely this
-    // relation — the incremental_dedup_bloom shared-oracle pattern.
-    "heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(string_split(lower(text), ' '))
-        |    AS token FROM documents),
-        |n AS (SELECT COUNT(*) AS n FROM tok),
-        |c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok
-        |  GROUP BY token)
-        |SELECT c.token, c.n_occurrences FROM c, n
-        |WHERE c.n_occurrences * 100 > n.n
-        |ORDER BY c.token""".stripMargin,
-
-    "dup_spans" ->
-      s"""WITH $dupSpansCteSql
-         |SELECT doc_id, span_start, span_len FROM spans
-         |ORDER BY doc_id, span_start""".stripMargin,
-
-    "dup_span_clip" ->
-      s"""WITH $dupSpansCteSql,
-         |tokpos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
-         |  toks FROM t),
-         |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM tokpos),
-         |cov AS (SELECT doc_id, unnest(range(span_start,
-         |  span_start + span_len)) AS pos FROM spans),
-         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
-         |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
-         |  WHERE cov.pos IS NULL),
-         |k AS (SELECT doc_id, COUNT(*) AS kept_tokens,
-         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clipped_md5
-         |  FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-         |  COALESCE(k.clipped_md5, md5('')) AS clipped_md5
-         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "dup_span_coverage" -> dupSpanCoverageSql,
-
-    // DSIR importance weights: hashed-bigram buckets (integer value of
-    // the first 3 md5 hex digits), fixed-point per-bucket frequency
-    // differences, exact per-doc sums — TextOps.importanceWeights
-    // integer for integer.
-    "importance_weights" -> {
-      def nib(k: Int) =
-        s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
-      s"""WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS tgt,
-         |  string_split(lower(text), ' ') AS toks FROM documents),
-         |p AS (SELECT doc_id, tgt, unnest(range(1, len(toks))) AS i, toks
-         |  FROM t),
-         |hx AS (SELECT doc_id, tgt,
-         |  md5(concat_ws(' ', toks[i], toks[i+1])) AS h FROM p),
-         |f AS (SELECT doc_id, tgt,
-         |  ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS b FROM hx),
-         |tot AS (SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
-         |  SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS ns FROM f),
-         |tc AS (SELECT b, COUNT(*) AS ct FROM f WHERE tgt GROUP BY b),
-         |sc AS (SELECT b, COUNT(*) AS cs FROM f WHERE NOT tgt GROUP BY b),
-         |r AS (SELECT COALESCE(tc.b, sc.b) AS b,
-         |  (COALESCE(tc.ct, 0) * 100000000 // tot.nt)
-         |    - (COALESCE(sc.cs, 0) * 100000000 // tot.ns) AS r
-         |  FROM tc FULL JOIN sc ON tc.b = sc.b, tot),
-         |s AS (SELECT f.doc_id, COUNT(*) AS n_feats,
-         |    CAST(SUM(r.r) AS BIGINT) AS importance_fp
-         |  FROM f JOIN r ON f.b = r.b WHERE NOT f.tgt GROUP BY f.doc_id)
-         |SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
-         |  COALESCE(s.importance_fp, 0) AS importance_fp,
-         |  CAST(s.importance_fp AS DOUBLE) / (s.n_feats * 100000000)
-         |    AS avg_importance
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
-         |LEFT JOIN s ON d.doc_id = s.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
-
-    // Fixed-point bigram LM score: integer `(c2·10^8) // c1` per
-    // transition, exact BIGINT per-doc sums, one final IEEE division —
-    // replaying TextOps.lmScore's arithmetic step for step.
-    "lm_score" -> lmScoreSql,
-
-    "key_skew" ->
-      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
-        |  GROUP BY 1),
-        |t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c)
-        |SELECT c.l_suppkey, c.n,
-        |  CAST(c.n AS DOUBLE) / t.total AS share,
-        |  CAST(c.n AS DOUBLE) * t.nkeys / t.total AS skew_ratio
-        |FROM c, t ORDER BY c.n DESC, c.l_suppkey LIMIT 10""".stripMargin,
-
-    "shuffle_order" ->
-      """SELECT doc_id,
-        |  md5('graft:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
-        |  ROW_NUMBER() OVER (
-        |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
-        |    AS position
-        |FROM documents ORDER BY position""".stripMargin,
-
-    "simhash_pairs_md5" -> simhashMd5Sql,
-
-    "rolling_fingerprint" -> rollingFingerprintSql,
-
-    "winnow_fingerprints" -> winnowFingerprintsSql,
-
-    "winnow_pairs" ->
-      s"""WITH wfp AS (SELECT DISTINCT doc_id, fp
-         |  FROM ($winnowFingerprintsSql)),
-         |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wfp
-         |  GROUP BY fp) WHERE df BETWEEN 2 AND 10),
-         |bl AS (SELECT doc_id, fp FROM wfp JOIN rare USING (fp))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(COUNT(*) AS BIGINT) AS n_shared
-         |FROM bl a JOIN bl b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
-
-    "retention_cohorts" ->
-      """WITH a AS (SELECT DISTINCT user_id,
-        |    epoch_ms(ts) // 604800000 AS bucket FROM events),
-        |c AS (SELECT user_id, bucket, MIN(bucket) OVER (
-        |    PARTITION BY user_id) AS cohort_bucket FROM a)
-        |SELECT cohort_bucket, bucket - cohort_bucket AS bucket_offset,
-        |  CAST(COUNT(*) AS BIGINT) AS n_users
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Fixed-point row-normalized transition matrix: n·10^6 floor-divided
-    // by the per-source total (SUM over BIGINT is HUGEINT in DuckDB —
-    // cast back), ONE final exact division for the readable double.
-    "event_transitions" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |    epoch_ms(ts) AS ms FROM events),
-        |p AS (SELECT event_type AS src_type, lead(event_type) OVER (
-        |    PARTITION BY user_id ORDER BY ms, event_id) AS dst_type
-        |  FROM e),
-        |c AS (SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT src_type, dst_type, n,
-        |  CAST((n * 1000000) // CAST(SUM(n) OVER (
-        |    PARTITION BY src_type) AS BIGINT) AS BIGINT) AS prob_fp,
-        |  CAST((n * 1000000) // CAST(SUM(n) OVER (
-        |    PARTITION BY src_type) AS BIGINT) AS DOUBLE) / 1000000
-        |    AS prob
-        |FROM c ORDER BY src_type, dst_type""".stripMargin,
-
-    // SCD2 twin: survivors are rows whose value differs from the
-    // previous event's (adjacent-equal runs collapse); validity bounds
-    // and versions then come from windows over the survivors only.
-    "scd2_users" ->
-      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms
-        |  FROM events),
-        |l AS (SELECT user_id, event_id, value, ms, lag(value) OVER (
-        |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
-        |s AS (SELECT user_id, event_id, value, ms FROM l
-        |  WHERE prev IS NULL OR prev <> value)
-        |SELECT user_id, value, ms AS effective_from_ms,
-        |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
-        |    AS effective_to_ms,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-        |    ORDER BY ms, event_id) AS BIGINT) AS version,
-        |  (lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
-        |    IS NULL) AS is_current
-        |FROM s ORDER BY user_id, version""".stripMargin,
-
-    "resize_assets" ->
-      """WITH n AS (SELECT COUNT(*) AS c FROM documents)
-        |SELECT unnest(range((SELECT c FROM n))) AS asset_id,
-        |  CAST(1024 AS BIGINT) AS n_bytes
-        |ORDER BY asset_id""".stripMargin,
-
-    // Full feature replay: the multimodal_histogram LCG CTE, plus
-    // Multimodal.log2Fp's square-and-shift Q40 binary log as a second
-    // recursion over the ≤ 513 distinct bin counts (HUGEINT mantissa —
-    // the 122-bit intermediate square fits int128), composed into the
-    // fixed-point entropy Σ h·(L(512) − L(h)) // 512 and the dense
-    // histogram serialized exactly as Spark's to_json.
-    "multimodal_features" ->
-      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
-        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
-        |g(asset_id, i, x) AS (
-        |  SELECT CAST(id AS BIGINT), 0,
-        |    CAST((((CAST(id AS HUGEINT) * 6364136223846793005
-        |             + 1442695040888963407) % 18446744073709551616)
-        |          * 6364136223846793005 + 1442695040888963407)
-        |         % 18446744073709551616 AS HUGEINT)
-        |  FROM ids
-        |  UNION ALL
-        |  SELECT asset_id, i + 1,
-        |    CAST(((x * 6364136223846793005) % 18446744073709551616
-        |          + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
-        |  FROM g WHERE i < 511),
-        |hist AS (SELECT asset_id,
-        |    CAST(x // 1152921504606846976 AS BIGINT) AS bin, COUNT(*) AS h
-        |  FROM g GROUP BY 1, 2),
-        |bins AS (SELECT CAST(a.id AS BIGINT) AS asset_id, b.bin
-        |  FROM ids a, (SELECT CAST(unnest(range(16)) AS BIGINT) AS bin) b),
-        |dense AS (SELECT b.asset_id, b.bin, COALESCE(hist.h, 0) AS h
-        |  FROM bins b LEFT JOIN hist
-        |    ON b.asset_id = hist.asset_id AND b.bin = hist.bin),
-        |vals AS (SELECT DISTINCT h AS v FROM hist UNION SELECT 512),
-        |p2 AS (SELECT CAST(e AS INT) AS e, CAST(1 AS BIGINT) << CAST(e AS INT) AS pv
-        |  FROM (SELECT unnest(range(61)) AS e)),
-        |ipart AS (SELECT v, MAX(e) AS ip FROM vals JOIN p2 ON pv <= v
-        |  GROUP BY v),
-        |lg(v, k, x, frac) AS (
-        |  SELECT i.v, 0,
-        |    CAST(CAST(i.v AS BIGINT) << (60 - i.ip) AS HUGEINT),
-        |    CAST(0 AS BIGINT)
-        |  FROM ipart i
-        |  UNION ALL
-        |  SELECT v, k + 1,
-        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
-        |         THEN ((x*x) // 1152921504606846976) // 2
-        |         ELSE (x*x) // 1152921504606846976 END,
-        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
-        |         THEN frac * 2 + 1 ELSE frac * 2 END
-        |  FROM lg WHERE k < 40),
-        |l2 AS (SELECT lg.v,
-        |    (CAST(i.ip AS BIGINT) << 40) + lg.frac AS lfp
-        |  FROM lg JOIN ipart i ON lg.v = i.v WHERE lg.k = 40),
-        |ent AS (SELECT d.asset_id,
-        |    CAST(SUM(d.h * (l512.lfp - lh.lfp)) // 512 AS BIGINT)
-        |      AS entropy_fp
-        |  FROM dense d
-        |  JOIN l2 lh ON lh.v = d.h
-        |  CROSS JOIN (SELECT lfp FROM l2 WHERE v = 512) l512
-        |  WHERE d.h > 0
-        |  GROUP BY 1),
-        |hj AS (SELECT asset_id,
-        |    '[' || string_agg(CAST(h AS VARCHAR), ',' ORDER BY bin) || ']'
-        |      AS histogram
-        |  FROM dense GROUP BY 1)
-        |SELECT e.asset_id,
-        |  CASE e.asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |    ELSE 'video' END AS modality,
-        |  CAST(512 AS BIGINT) AS n_bytes, e.entropy_fp, hj.histogram
-        |FROM ent e JOIN hj ON e.asset_id = hj.asset_id
-        |ORDER BY e.asset_id""".stripMargin,
-
-    // Replays Multimodal.synthesize's 64-bit LCG (x' = x·A + C mod 2^64;
-    // payload byte i = top byte of iterate i+2) in a recursive CTE with
-    // HUGEINT arithmetic — bin = top 4 bits = x div 2^60. Zero-count bins
-    // are re-attached via a bins×assets frame, matching the dense 16-slot
-    // histogram Spark emits.
-    "multimodal_histogram" ->
-      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
-        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
-        |g(asset_id, i, x) AS (
-        |  SELECT CAST(id AS BIGINT), 0,
-        |    CAST((((CAST(id AS HUGEINT) * 6364136223846793005
-        |             + 1442695040888963407) % 18446744073709551616)
-        |          * 6364136223846793005 + 1442695040888963407)
-        |         % 18446744073709551616 AS HUGEINT)
-        |  FROM ids
-        |  UNION ALL
-        |  SELECT asset_id, i + 1,
-        |    CAST(((x * 6364136223846793005) % 18446744073709551616
-        |          + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
-        |  FROM g WHERE i < 511),
-        |hist AS (SELECT asset_id,
-        |    CAST(x // 1152921504606846976 AS BIGINT) AS bin, COUNT(*) AS h
-        |  FROM g GROUP BY 1, 2),
-        |bins AS (SELECT CAST(a.id AS BIGINT) AS asset_id, b.bin
-        |  FROM ids a, (SELECT CAST(unnest(range(16)) AS BIGINT) AS bin) b)
-        |SELECT b.asset_id,
-        |  CASE b.asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |    ELSE 'video' END AS modality,
-        |  b.bin, COALESCE(hist.h, 0) AS h
-        |FROM bins b LEFT JOIN hist
-        |  ON b.asset_id = hist.asset_id AND b.bin = hist.bin
-        |ORDER BY b.asset_id, b.bin""".stripMargin,
-
-    "sample_frames" ->
-      """WITH n AS (SELECT COUNT(*) AS c FROM documents),
-        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
-        |vids AS (SELECT id, 16 + (id % 16) AS n_frames FROM ids
-        |         WHERE id % 3 = 2),
-        |fr AS (SELECT id AS asset_id,
-        |  unnest(range(0, n_frames, 4)) AS frame_no FROM vids)
-        |SELECT asset_id, frame_no, CAST(256 AS BIGINT) AS n_frame_bytes
-        |FROM fr WHERE (frame_no + 1) * 256 <= 4096
-        |ORDER BY asset_id, frame_no""".stripMargin,
-
-    "salted_join_agg" ->
-      """SELECT s.s_name AS supplier, COUNT(*) AS n_lineitems,
-        |  CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "audit_uploads" ->
-      """SELECT * FROM (
-        |  SELECT CAST(2 AS BIGINT) AS id, 'batch_2.xlsx' AS filename,
-        |    '2026-01-02T00:00:00' AS "timestamp",
-        |    CAST(0 AS BIGINT) AS transactions_rows,
-        |    (SELECT COUNT(*) FROM customer) AS customers_rows,
-        |    CAST(0 AS BIGINT) AS products_rows
-        |  UNION ALL
-        |  SELECT CAST(1 AS BIGINT), 'batch_1.xlsx', '2026-01-01T00:00:00',
-        |    CAST(0 AS BIGINT), (SELECT COUNT(*) FROM customer),
-        |    CAST(0 AS BIGINT))
-        |ORDER BY "timestamp" DESC, id DESC""".stripMargin,
-
-    "audit_address_changes" ->
-      """WITH ch AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS id,
-        |    CAST(c_custkey AS VARCHAR) AS customer_id,
-        |    c_mktsegment || ' St ' || c_nationkey AS old_address,
-        |    c_mktsegment || ' St ' || c_nationkey || 'B' AS new_address,
-        |    '2026-01-02T00:00:00' AS change_timestamp,
-        |    CAST(2 AS BIGINT) AS upload_id
-        |  FROM customer WHERE c_custkey % 3 = 0)
-        |SELECT id, customer_id, old_address, new_address, change_timestamp,
-        |  upload_id
-        |FROM ch ORDER BY change_timestamp DESC, id DESC""".stripMargin,
-
-    "top_spenders" ->
-      s"""WITH ct AS ($ctSql),
-         |r AS (SELECT category, customer_id, name, amount,
-         |  ROW_NUMBER() OVER (PARTITION BY category
-         |    ORDER BY amount DESC, customer_id ASC, name ASC) AS rn FROM ct)
-         |SELECT category, customer_id, name,
-         |  CAST(roundbankers(amount, 2) AS DOUBLE) AS amount
-         |FROM r WHERE rn = 1 ORDER BY category""".stripMargin,
-
-    "parse_customers" ->
-      """WITH b AS (
-        |  SELECT c_custkey, c_custkey || '_' || c_name || '_' ||
-        |    lower(c_mktsegment) || '@example.com_' || c_nationkey || '_' ||
-        |    c_mktsegment || ' St ' || c_nationkey || '_' ||
-        |    (c_custkey * 7) AS core
-        |  FROM customer),
-        |r AS (
-        |  SELECT CASE
-        |    WHEN c_custkey % 89 = 0 THEN '{bad_' || c_custkey || '_record}'
-        |    WHEN c_custkey % 97 = 0 THEN '{' || core
-        |    ELSE '{' || core || '}' END AS line
-        |  FROM b),
-        |f AS (SELECT trim(line) AS l FROM r
-        |      WHERE trim(line) LIKE '{%' AND trim(line) LIKE '%}'),
-        |c AS (SELECT substr(l, 2, length(l) - 2) AS content FROM f),
-        |p AS (SELECT string_split(content, '_') AS parts FROM c
-        |      WHERE len(string_split(content, '_')) = 6)
-        |SELECT parts[1] AS customer_id, parts[2] AS name, parts[3] AS email,
-        |  parts[4] AS dob, parts[5] AS address, parts[6] AS created_date
-        |FROM p ORDER BY CAST(customer_id AS BIGINT)""".stripMargin,
-
-    "cdc_lag" ->
-      """SELECT user_id, event_id, old_value, new_value FROM (
-        |  SELECT user_id, event_id,
-        |    lag(value) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_ms(ts), event_id) AS old_value,
-        |    value AS new_value
-        |  FROM events)
-        |WHERE old_value IS NOT NULL AND old_value <> new_value
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "event_windows" ->
-      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
-        |  event_type, COUNT(*) AS n_events,
-        |  CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-        |    AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Width 1h = 2 slides of 30min → every event lands in exactly the
-    // window starting at its latest 30-min boundary and the one before.
-    "event_windows_hopping" ->
-      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value
-        |  FROM events),
-        |w AS (
-        |  SELECT (ms // 1800000) * 1800000 AS ws, event_type, value FROM e
-        |  UNION ALL
-        |  SELECT (ms // 1800000) * 1800000 - 1800000, event_type, value
-        |  FROM e)
-        |SELECT ws AS window_start_ms, event_type, COUNT(*) AS n_events,
-        |  CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-        |    AS total_value
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
-        |l AS (SELECT user_id, event_id, ms, lag(ms) OVER (
-        |  PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
-        |f AS (SELECT user_id, event_id, ms, CASE WHEN prev IS NULL
-        |  OR ms - prev > 1800000 THEN 1 ELSE 0 END AS flag FROM l),
-        |s AS (SELECT user_id, ms, event_id, CAST(SUM(flag) OVER (
-        |  PARTITION BY user_id ORDER BY ms, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |  AS session_id FROM f)
-        |SELECT user_id, session_id, MIN(ms) AS session_start_ms,
-        |  MAX(ms) AS session_end_ms, COUNT(*) AS n_events
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // session_window twin: gap comparisons in MICROSECONDS (Spark merges
-    // windows at its internal micros precision and the timestamps carry
-    // sub-ms digits); two events exactly `gap` apart MERGE — the merge
-    // boundary is inclusive (EventOpsSpec pins this), so the island rule
-    // is strict `>`, the same rule as sessionize only in micros.
-    "session_windows" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |l AS (SELECT user_id, event_id, us, lag(us) OVER (
-        |  PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
-        |f AS (SELECT user_id, us, CASE WHEN prev IS NULL
-        |  OR us - prev > 1800000000 THEN 1 ELSE 0 END AS flag FROM l),
-        |s AS (SELECT user_id, us, SUM(flag) OVER (
-        |  PARTITION BY user_id ORDER BY us
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
-        |SELECT user_id,
-        |  CAST(MIN(us) // 1000 AS BIGINT) AS session_start_ms,
-        |  CAST((MAX(us) + 1800000000) // 1000 AS BIGINT) AS session_end_ms,
-        |  COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_ms""".stripMargin,
-
-    "funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
-        |  FROM events),
-        |s0 AS (SELECT user_id, MIN(ms) AS t FROM e
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s1 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
-        |  JOIN s0 ON e.user_id = s0.user_id
-        |  WHERE e.event_type = 'click' AND e.ms > s0.t GROUP BY e.user_id),
-        |s2 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ms > s1.t
-        |  GROUP BY e.user_id)
-        |SELECT * FROM (
-        |  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
-        |    CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
-        |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
-        |    CAST(COUNT(*) AS BIGINT) FROM s1
-        |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
-        |    CAST(COUNT(*) AS BIGINT) FROM s2)
-        |ORDER BY step_idx""".stripMargin,
-
-    "running_total" ->
-      """SELECT o_orderkey, o_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-        |    PARTITION BY o_custkey
-        |    ORDER BY epoch_ms(o_orderdate), o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    AS running_spend
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-
-    "category_customers" ->
-      s"""SELECT p.p_brand AS category,
-         |  COUNT(DISTINCT o.o_custkey) AS n_customers,
-         |  COUNT(*) AS n_lineitems
-         |$mergedSql
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "customers_without_orders" ->
-      """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
-        |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey = c.c_custkey
-        |                    AND CAST(o.o_orderdate AS DATE)
-        |                          >= DATE '2000-01-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "event_quantiles" ->
-      """SELECT event_type,
-        |  roundbankers(quantile_cont(value, 0.5), 4) AS p50,
-        |  roundbankers(quantile_cont(value, 0.95), 4) AS p95,
-        |  roundbankers(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "events_pivot" ->
-      """SELECT user_id,
-        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
-        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
-        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // pivot∘unpivot is lossless: the same wide CTE fanned back out to
-    // long form, zero cells kept.
-    "events_unpivot" ->
-      """WITH w AS (SELECT user_id,
-        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
-        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
-        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
-        |FROM events GROUP BY 1)
-        |SELECT user_id, event_type, n_events FROM (
-        |  SELECT user_id, 'click' AS event_type, click AS n_events FROM w
-        |  UNION ALL SELECT user_id, 'view', view FROM w
-        |  UNION ALL SELECT user_id, 'purchase', purchase FROM w
-        |  UNION ALL SELECT user_id, 'signup', signup FROM w
-        |  UNION ALL SELECT user_id, 'error', error FROM w)
-        |ORDER BY user_id, event_type""".stripMargin,
-
-    "events_cube" ->
-      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
-        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(roundbankers(SUM(v), 2) AS DOUBLE) AS total_value,
-        |  CAST(GROUPING(event_type, day) AS BIGINT) AS level
-        |FROM e GROUP BY CUBE(event_type, day)
-        |ORDER BY level, event_type NULLS FIRST, day NULLS FIRST"""
-        .stripMargin,
-
-    // Exact DECIMAL power sums; variance finished by the identical fixed
-    // double expression on both engines.
-    "value_variance" ->
-      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
-        |    SUM(CAST(value AS DECIMAL(18,4)) *
-        |        CAST(value AS DECIMAL(18,4))) AS svv
-        |  FROM events GROUP BY 1)
-        |SELECT event_type, n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
-        |    AS mean,
-        |  (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) -
-        |   CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
-        |  (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_samp
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    "twap_users" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    CAST(value AS DECIMAL(18,4)) AS v, epoch_ms(ts) AS ms
-        |  FROM events),
-        |l AS (SELECT user_id, v, ms, lead(ms) OVER (
-        |    PARTITION BY user_id ORDER BY ms, event_id) AS nxt FROM e),
-        |i AS (SELECT user_id, v, nxt - ms AS w FROM l
-        |  WHERE nxt IS NOT NULL)
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-        |  CAST(SUM(w) AS BIGINT) AS span_ms,
-        |  CAST(SUM(v * w) AS DOUBLE) /
-        |    CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS twap
-        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Dense per-user grid via range() (upper-exclusive → b1+1), bucket
-    // observations collapsed by (ms, event_id) DESC row_number, forward
-    // fill as last_value IGNORE NULLS over the running frame.
-    "gapfill_hourly" ->
-      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
-        |    epoch_ms(ts) // 3600000 AS bucket FROM events),
-        |lb AS (SELECT user_id, bucket, value FROM (
-        |    SELECT user_id, bucket, value, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id, bucket
-        |      ORDER BY ms DESC, event_id DESC) AS rn FROM e)
-        |  WHERE rn = 1),
-        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
-        |  FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
-        |    FROM e GROUP BY 1)),
-        |j AS (SELECT g.user_id, g.bucket, lb.value FROM grid g
-        |  LEFT JOIN lb ON g.user_id = lb.user_id AND g.bucket = lb.bucket)
-        |SELECT user_id, bucket,
-        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS filled_value,
-        |  (value IS NOT NULL) AS is_observed
-        |FROM j ORDER BY user_id, bucket""".stripMargin,
-
-    "asof_join" ->
-      """WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
-        |  FROM events WHERE event_type = 'click'),
-        |p0 AS (SELECT user_id, epoch_ms(ts) AS ms, value,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts)
-        |    ORDER BY event_id DESC) AS rn
-        |  FROM events WHERE event_type = 'purchase'),
-        |purch AS (SELECT user_id, ms, value FROM p0 WHERE rn = 1)
-        |SELECT c.user_id, c.event_id, p.value AS last_purchase
-        |FROM clicks c ASOF LEFT JOIN purch p
-        |  ON c.user_id = p.user_id AND c.ms >= p.ms
-        |ORDER BY c.user_id, c.event_id""".stripMargin,
-
-    "nation_revenue" ->
-      """SELECT r.r_name AS region, n.n_name AS nation,
-        |  COUNT(*) AS n_lineitems,
-        |  CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "topk_per_category_agg" ->
-      s"""WITH ct AS ($ctSql),
-         |r AS (SELECT category, CAST(customer_id AS VARCHAR) AS cid,
-         |  CAST(amount AS DOUBLE) AS amt,
-         |  ROW_NUMBER() OVER (PARTITION BY category
-         |    ORDER BY CAST(amount AS DOUBLE) DESC,
-         |             CAST(customer_id AS VARCHAR) ASC) AS rk FROM ct)
-         |SELECT category, CAST(rk AS BIGINT) AS rk, cid AS customer_id,
-         |  amt AS amount
-         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
-
-    "topk_per_category" ->
-      s"""WITH ct AS ($ctSql),
-         |r AS (SELECT category, customer_id, name, amount,
-         |  ROW_NUMBER() OVER (PARTITION BY category
-         |    ORDER BY amount DESC, customer_id ASC) AS rk FROM ct)
-         |SELECT category, CAST(rk AS BIGINT) AS rk, customer_id, name,
-         |  CAST(amount AS DOUBLE) AS amount
-         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
-
-    "cdc_state_join" ->
-      """WITH thr AS (SELECT MAX(event_id) // 2 AS t FROM events),
-        |e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value
-        |      FROM events),
-        |state AS (SELECT user_id, value FROM (
-        |  SELECT e.user_id, e.value, ROW_NUMBER() OVER (
-        |    PARTITION BY e.user_id ORDER BY e.ms DESC, e.event_id DESC)
-        |    AS rn
-        |  FROM e, thr WHERE e.event_id <= thr.t) WHERE rn = 1),
-        |batch AS (SELECT e.* FROM e, thr WHERE e.event_id > thr.t),
-        |x AS (SELECT b.user_id, b.event_id, COALESCE(
-        |    LAG(b.value) OVER (PARTITION BY b.user_id
-        |      ORDER BY b.ms, b.event_id), s.value) AS old_value,
-        |    b.value AS new_value
-        |  FROM batch b LEFT JOIN state s ON b.user_id = s.user_id)
-        |SELECT user_id, event_id, old_value, new_value FROM x
-        |WHERE old_value IS NOT NULL AND old_value <> new_value
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "dedup_keep_longest" ->
-      """WITH k AS (SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
-        |  doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
-        |w AS (SELECT fingerprint, doc_id, n_chars,
-        |  ROW_NUMBER() OVER (PARTITION BY fingerprint
-        |    ORDER BY n_chars DESC, doc_id ASC) AS rn,
-        |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies FROM k)
-        |SELECT fingerprint, doc_id, n_chars, n_copies FROM w
-        |WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
-
-    "docs_rollup" ->
-      """SELECT lang, source, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(GROUPING(lang, source) AS BIGINT) AS level
-        |FROM documents GROUP BY ROLLUP(lang, source)
-        |ORDER BY level, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-
-    "stratified_sample" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
-        |ORDER BY doc_id""".stripMargin,
-
-    // md5-fold XOR digest: the first 15 hex nibbles parsed positionally
-    // (DuckDB has no conv(); 16^k weights are exact BIGINT literals),
-    // then commutative bit_xor — row order and partitioning free.
-    "table_checksum" -> {
-      val fold = (0 until 15).map { k =>
-        val w = BigInt(16).pow(14 - k)
-        s"(CAST(strpos('0123456789abcdef', substr(m, ${k + 1}, 1)) - 1 " +
-          s"AS BIGINT) * $w)"
-      }.mkString(" +\n        |    ")
-      s"""WITH h AS (SELECT source,
-         |    $fold AS hh
-         |  FROM (SELECT source, md5(concat_ws('|', doc_id,
-         |      COALESCE(text, ''), lang, source, n_chars)) AS m
-         |    FROM documents))
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(bit_xor(hh) AS BIGINT) AS checksum
-         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    "repetition_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |    MAX(c) AS top FROM (
-        |    SELECT doc_id, tok, COUNT(*) AS c FROM
-        |      (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |bi AS (SELECT doc_id, len(bg) AS n, len(list_distinct(bg)) AS d
-        |  FROM (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
-        |      list_transform(range(1, len(toks)),
-        |        i -> concat_ws(' ', toks[i], toks[i+1]))
-        |    ELSE [] END AS bg FROM t)),
-        |tri AS (SELECT doc_id, len(tg) AS n, len(list_distinct(tg)) AS d
-        |  FROM (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-        |    ELSE [] END AS tg FROM t))
-        |SELECT ta.doc_id, n_tokens,
-        |  CAST(top AS DOUBLE) / n_tokens AS top_token_frac,
-        |  CASE WHEN bi.n = 0 THEN 0.0
-        |    ELSE CAST(bi.n - bi.d AS DOUBLE) / bi.n END AS dup_bigram_frac,
-        |  CASE WHEN tri.n = 0 THEN 0.0
-        |    ELSE CAST(tri.n - tri.d AS DOUBLE) / tri.n END
-        |    AS dup_trigram_frac
-        |FROM ta JOIN bi ON ta.doc_id = bi.doc_id
-        |JOIN tri ON ta.doc_id = tri.doc_id
-        |ORDER BY ta.doc_id""".stripMargin,
-
-    "top_terms" ->
-      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
-        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
-        |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |     FROM documents) GROUP BY 1, 2),
-        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-        |r AS (SELECT t.doc_id, t.tok AS term,
-        |    CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
-        |    CAST(t.tf * (n.n - d.df) AS BIGINT) AS score,
-        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
-        |      ORDER BY t.tf * (n.n - d.df) DESC, t.tok ASC) AS rn
-        |  FROM tf t JOIN df d USING (tok), n)
-        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
-        |ORDER BY doc_id, score DESC, term""".stripMargin,
-
-    "length_filter" -> lengthFilterSql,
-
-    // Packing twin: one window cumsum (the oracle engine is single-node,
-    // so the literal form is fine there), integer div/mod boundaries.
-    "pack_sequences" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
-        |      AS st FROM t)
-        |SELECT doc_id, n_tokens, st // 2048 AS seq_id,
-        |  st % 2048 AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // Chunking twin: same stride arithmetic, 1-based inclusive list_slice.
-    // greatest(0, ·) also absorbs the //-floors-toward-negative vs
-    // DIV-truncates-toward-zero difference on short docs.
-    "chunk_docs" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS n FROM documents),
-        |c AS (SELECT doc_id, toks, n,
-        |    unnest(range(0, greatest(0, (n - 32 + 23) // 24) + 1))
-        |      AS chunk_id FROM t)
-        |SELECT doc_id, chunk_id,
-        |  CAST(len(list_slice(toks, chunk_id * 24 + 1,
-        |    least(chunk_id * 24 + 32, n))) AS BIGINT) AS n_chunk_tokens,
-        |  md5(array_to_string(list_slice(toks, chunk_id * 24 + 1,
-        |    least(chunk_id * 24 + 32, n)), ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "pii_scrub" ->
-      s"""WITH $piiAugSql
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text,
-         |    '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text,
-         |    '${TextOps.UrlPattern}')) AS BIGINT) AS n_urls,
-         |  CAST(len(regexp_extract_all(text,
-         |    '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
-         |    '${TextOps.UrlPattern}', '<URL>', 'g'),
-         |    '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS scrubbed_md5
-         |FROM aug ORDER BY doc_id""".stripMargin,
-
-    "url_domains" ->
-      s"""WITH $piiAugSql,
-         |u AS (SELECT doc_id,
-         |    unnest(regexp_extract_all(text, '${TextOps.UrlPattern}'))
-         |      AS url FROM aug)
-         |SELECT regexp_extract(url, 'https?://([A-Za-z0-9._-]+)', 1)
-         |    AS domain,
-         |  CAST(COUNT(*) AS BIGINT) AS n_urls,
-         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Replays the banner/footer planting, per-line df over md5(trim),
-    // NOT-IN anti-join, and ordered string_agg reassembly.
-    "strip_boilerplate" ->
-      """WITH aug AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
-        |    text ||
-        |    CASE WHEN doc_id % 4 = 0
-        |      THEN chr(10) || 'all rights reserved 2024' ELSE '' END ||
-        |    CASE WHEN doc_id % 97 = 0
-        |      THEN chr(10) || 'rare footer ' || doc_id ELSE '' END AS text
-        |  FROM documents),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
-        |f AS (SELECT doc_id, i - 1 AS idx, l[i] AS line,
-        |    md5(trim(l[i])) AS lf
-        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
-        |        FROM ls)),
-        |b AS (SELECT lf FROM (SELECT lf, COUNT(DISTINCT doc_id) AS nd
-        |    FROM f GROUP BY 1) WHERE nd > 5),
-        |k AS (SELECT doc_id, idx, line FROM f
-        |  WHERE lf NOT IN (SELECT lf FROM b)),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
-        |    md5(string_agg(line, chr(10) ORDER BY idx)) AS cleaned_md5
-        |  FROM k GROUP BY 1),
-        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM f GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
-        |  CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0)
-        |    AS BIGINT) AS n_removed,
-        |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
-        |FROM documents d
-        |LEFT JOIN tot ON d.doc_id = tot.doc_id
-        |LEFT JOIN agg ON d.doc_id = agg.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "exact_dedup" ->
-      """SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS doc_id,
-        |  COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "prefix_dedup" ->
-      """SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
-        |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "minhash_signatures" ->
-      s"""$shinglesSql
-         |SELECT doc_id,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
-         |    AS sig_0,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
-         |    AS sig_1,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
-         |    AS sig_2,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
-         |    AS sig_3
-         |FROM sh ORDER BY doc_id""".stripMargin,
-
-    "neardup_pairs" -> nearDupPairsSql,
-
-    "neardup_pairs_banded" -> nearDupPairsBandedSql,
-
-    "containment_pairs" -> containmentPairsSql,
-
-    // Bit-interleave replay: sum of shifted masked bits of both inputs.
-    "z_order_key" ->
-      """SELECT event_id, user_id,
-        |  (epoch_ms(ts) // 86400000) AS day,
-        |  CAST(list_sum(list_transform(range(0, 21), i ->
-        |      (((user_id >> i) & 1) << (2 * i)) +
-        |      ((((epoch_ms(ts) // 86400000) >> i) & 1) << (2 * i + 1))))
-        |    AS BIGINT) AS z
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // Levenshtein verify joined over the MATERIALIZED LSH pair CTE (two
-    // join arms would otherwise re-run the MinHash pipeline twice).
-    "edit_distance_pairs" ->
-      s"""WITH ndp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |$nearDupPairsSql
-         |))
-         |SELECT p.doc_a, p.doc_b,
-         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
-         |  CAST((CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000000)
-         |    // GREATEST(length(a.text), length(b.text), 1) AS BIGINT)
-         |    AS norm_fp
-         |FROM ndp p JOIN documents a ON p.doc_a = a.doc_id
-         |JOIN documents b ON p.doc_b = b.doc_id
-         |ORDER BY 1, 2""".stripMargin,
-
-    "pagerank_neardup" -> pageRankSql,
-
-    // Ordered wedge join over the a<b SimHash pair list: (a<b)⋈(b<c)
-    // closed against (a<c) — each 3-clique exactly once. The pair CTE is
-    // MATERIALIZED (three self-join arms would otherwise re-inline the
-    // whole 64-bit-sum SimHash pipeline three times). Replays the
-    // operator's deterministic degree cap (256 smallest-id neighbors per
-    // vertex per orientation — exact at test SFs, a skew bound at scale).
-    "triangle_count" ->
-      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |$simhashMd5Sql
-         |)),
-         |sp AS (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
-         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
-         |  FROM sp0)
-         |  WHERE ra <= 256 AND rb <= 256)
-         |SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
-         |FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
-         |JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
-         |ORDER BY 1, 2, 3""".stripMargin,
-
-    // Per-vertex twin: same capped wedge closure, 3-arm UNION ALL of the
-    // triangle's member vertices, GROUP BY vertex — replays the
-    // explode-and-count aggregate exactly.
-    "triangle_counts_by_vertex" ->
-      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |$simhashMd5Sql
-         |)),
-         |sp AS (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
-         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
-         |  FROM sp0)
-         |  WHERE ra <= 256 AND rb <= 256),
-         |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
-         |  FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
-         |  JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
-         |SELECT doc_id, COUNT(*) AS n_triangles FROM (
-         |  SELECT a AS doc_id FROM tri
-         |  UNION ALL SELECT b FROM tri
-         |  UNION ALL SELECT c FROM tri)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
-    // filter 2..10, blocking self-join, exact Jaccard over full gram sets.
-    "jaccard_pairs" -> {
-      val gram6 = (0 until 6).map(o => s"toks[i+$o]").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) >= 6 THEN
-        |      list_transform(range(1, len(toks) - 4),
-        |        i -> md5(concat_ws(' ', $gram6)))
-        |    ELSE [] END)) AS g FROM t),
-        |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
-        |  WHERE df BETWEEN 2 AND 10),
-        |blocked AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM blocked a JOIN blocked b
-        |  ON a.g = b.g AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
-        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
-        |  FROM cand c JOIN g x ON x.doc_id = c.da
-        |  JOIN g y ON y.doc_id = c.db AND y.g = x.g
-        |  GROUP BY 1, 2)
-        |SELECT c.da AS doc_a, c.db AS doc_b,
-        |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
-        |FROM cand c
-        |JOIN sizes sa ON c.da = sa.doc_id
-        |JOIN sizes sb ON c.db = sb.doc_id
-        |JOIN inter i ON c.da = i.da AND c.db = i.db
-        |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
-
-    "neardup_clusters" -> nearDupClustersSql,
-
-    "neardup_clusters_star" -> nearDupClustersSql,
-
-    // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
-    // predicate, set-distinct grams per doc before the overlap join.
-    "contamination_overlap" ->
-      s"""WITH $contamGramsSql
-         |SELECT c.doc_id, hh.holdout_id, COUNT(*) AS n_shared
-         |FROM c JOIN hh ON c.g = hh.g
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // minShared = 1, so "flagged" reduces to sharing ANY distinct 8-gram.
-    "decontaminate" ->
-      s"""WITH $contamGramsSql,
-         |flag AS (SELECT DISTINCT c.doc_id FROM c JOIN hh ON c.g = hh.g)
-         |SELECT d.doc_id, d.lang, d.source FROM documents d
-         |WHERE d.doc_id % 10 <> 0
-         |  AND NOT EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "epoch_mix" ->
-      """WITH n AS (SELECT doc_id, source,
-        |  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
-        |    AS n_epochs
-        |  FROM documents)
-        |SELECT doc_id, source,
-        |  CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
-        |FROM n ORDER BY doc_id, epoch""".stripMargin,
-
-    // Keep-one-per-cluster endpoint: the clusters oracle embeds as a CTE,
-    // then the same longest-text / doc_id-ascending window picks each
-    // cluster's representative.
-    "dedup_apply" ->
-      s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
-         |k AS (SELECT cl.cluster, cl.doc_id,
-         |    CAST(length(d.text) AS BIGINT) AS n_chars,
-         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
-         |      ORDER BY length(d.text) DESC, cl.doc_id ASC) AS rn
-         |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
-         |SELECT cluster, doc_id, n_chars FROM k WHERE rn = 1
-         |ORDER BY cluster""".stripMargin,
-
-    "ann_topk" -> annExactSql,
-
-    "ann_recall_ivf" ->
-      s"""SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         |  roundbankers(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS recall
-         |FROM ($annExactSql) ex
-         |JOIN ($annIvfSql) ap ON ex.vec_id = ap.vec_id""".stripMargin,
-
-    "token_stats" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
-         |  FROM documents)
-         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
-         |    AS BIGINT) AS n_word_pieces,
-         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
-         |    AS avg_token_len,
-         |  CAST(len(list_filter(toks, x -> x IN $enList)) AS DOUBLE) /
-         |    len(toks) AS stopword_ratio,
-         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-         |    AS distinct_ratio
-         |FROM t ORDER BY doc_id""".stripMargin,
-
-    // Equi-depth deciles: ntile under the identical TOTAL order
-    // (n_tokens, doc_id) — both engines use the standard "first
-    // (total mod n) buckets get the extra row" rule, so bin boundaries
-    // match exactly. Null texts excluded on both sides.
-    "token_deciles" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents WHERE text IS NOT NULL),
-        |d AS (SELECT doc_id, n_tokens, CAST(ntile(10) OVER (
-        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS decile FROM t)
-        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
-
-    "lang_id" -> langIdSql,
-
-    "quality_score" -> qualityScoreSql,
-
-    // Composed curation pass: the component oracles embed as subqueries,
-    // so the composite stays definitionally in sync with each piece.
-    "curation_pipeline" ->
-      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
-         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
-         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
-         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(lower(trim(text))))
-         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
-         |  q.quality_score, l.pred_lang
-         |FROM documents d
-         |JOIN band USING (doc_id) JOIN q USING (doc_id)
-         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
-         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "curation_pipeline_v2" ->
-      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
-         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
-         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
-         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(lower(trim(text)))),
-         |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
-         |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql))
-         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
-         |  q.quality_score, l.pred_lang, dsc.dup_frac, lm.avg_prob
-         |FROM documents d
-         |JOIN band USING (doc_id) JOIN q USING (doc_id)
-         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
-         |JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
-         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
-         |  AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL
-         |ORDER BY d.doc_id""".stripMargin
-  )
-
-  private lazy val lengthFilterSql =
-    """WITH t AS (SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      |  FROM documents),
-      |b AS (SELECT
-      |    percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
-      |    percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi
-      |  FROM t)
-      |SELECT doc_id, n_tokens FROM t, b
-      |WHERE n_tokens >= lo AND n_tokens <= hi
-      |ORDER BY doc_id""".stripMargin
-
-  // COALESCE(…, 0): a NULL text must count as 0 hits → 'unknown',
-  // matching langIdAgg's explode_outer + sum semantics (list_filter on
-  // a NULL list would otherwise propagate NULL and fall through the
-  // argmax CASE to 'es').
-  private lazy val langIdSql =
-    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-       |  FROM documents),
-       |h AS (SELECT doc_id,
-       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $enList)), 0)
-       |    AS BIGINT) AS en_hits,
-       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $deList)), 0)
-       |    AS BIGINT) AS de_hits,
-       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $frList)), 0)
-       |    AS BIGINT) AS fr_hits,
-       |  CAST(COALESCE(len(list_filter(toks, x -> x IN $esList)), 0)
-       |    AS BIGINT) AS es_hits
-       |  FROM t)
-       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
-       |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
-       |    THEN 'unknown'
-       |  WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
-       |    THEN 'en'
-       |  WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
-       |    THEN 'de'
-       |  WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
-       |    THEN 'fr'
-       |  ELSE 'es' END AS pred_lang
-       |FROM h ORDER BY doc_id""".stripMargin
-
-  private lazy val qualityScoreSql =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |  FROM documents),
-       |s AS (SELECT doc_id, len(toks) AS n_tokens,
-       |  len(list_distinct(toks)) AS n_distinct,
-       |  len(list_filter(toks, x -> x IN $enList)) AS hits FROM t)
-       |SELECT doc_id,
-       |  (CASE WHEN n_tokens >= 20 THEN 1.0
-       |        ELSE n_tokens / 20.0 END) * 0.4 +
-       |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
-       |  (CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.02
-       |        THEN 1.0 ELSE 0.0 END) * 0.2 AS quality_score
-       |FROM s ORDER BY doc_id""".stripMargin
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EntryQueries.all
+
+  /** DuckDB oracle SQL per `queries` entry (omitted → rows-only check). */
+  def oracleSql: Map[String, String] = EntryOracles.all
 }

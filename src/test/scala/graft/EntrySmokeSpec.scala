@@ -38,8 +38,11 @@ class EntrySmokeSpec extends AnyFunSuite {
     // Every new query must ship with a DuckDB oracle unless it joins this
     // explicitly-documented list (engine-specific hashes/sketches/floats,
     // each equivalence- or error-bound-tested in ScalaTest instead).
+    // (multimodal_features graduated to a full oracle in round 8 via the
+    // Q40 fixed-point entropy replay — the remaining three are sketches
+    // or engine-specific hashes by construction.)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("approx_event_quantiles",
-      "approx_users_per_type", "multimodal_features", "simhash_pairs"))
+      "approx_users_per_type", "simhash_pairs"))
   }
 }
