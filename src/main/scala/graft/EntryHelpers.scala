@@ -86,6 +86,21 @@ private[graft] object EntryHelpers {
         concat(lit("\nrare footer "), col("doc_id").cast("string")))
         .otherwise(lit(""))))
 
+  /** Deterministic structure planting for `gopher_rules`: the corpus text
+    * has no bullets, ellipses, or numerals, so deterministic doc subsets
+    * get a 10-line bullet block (bullet-ratio rule), a 20-token numeric
+    * tail (alpha-word rule) and an ellipsis-terminated line (ellipsis
+    * rule) — pure string-literal concatenation, replayed by the SQL twin.
+    */
+  private[graft] def gopherDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat(
+      when(col("doc_id") % 15 === 0, lit("- item\n" * 10)).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 21 === 0,
+        lit(" 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        lit("\nto be continued...")).otherwise(lit(""))))
+
   /** Per-(session, sf dir) memo for deterministic setup work — dimension
     * stats, trained codebooks, audit-state builds — so a repeated query
     * invocation (Bench's min-of-2) re-times the operator, not its setup.

@@ -950,6 +950,93 @@ private[graft] object EntryOracles {
         |LEFT JOIN agg ON d.doc_id = agg.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // First-occurrence paragraph dedup: same planting + line explode as
+    // strip_boilerplate, winner per md5(trim(line)) is MIN(doc_id·10⁶+idx),
+    // ordered string_agg reassembly of the surviving lines.
+    "paragraph_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || 'all rights reserved 2024' ELSE '' END ||
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN chr(10) || 'rare footer ' || doc_id ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+        |f AS (SELECT doc_id, i - 1 AS idx, l[i] AS line,
+        |    md5(trim(l[i])) AS lf
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM ls)),
+        |firsts AS (SELECT lf, MIN(doc_id * 1000000 + idx) AS fk
+        |  FROM f GROUP BY 1),
+        |k AS (SELECT f.doc_id, f.idx, f.line FROM f JOIN firsts
+        |  ON f.lf = firsts.lf AND f.doc_id * 1000000 + f.idx = firsts.fk),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY idx)) AS cleaned_md5
+        |  FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(tot.n_paras, 0) - coalesce(agg.n_kept, 0)
+        |    AS BIGINT) AS n_removed,
+        |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Gopher §A1.1 rule suite: replays the structure planting, then every
+    // signal as list ops over the same token/line splits Spark uses.
+    "gopher_rules" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 15 = 0
+         |      THEN repeat('- item' || chr(10), 10) ELSE '' END ||
+         |    text ||
+         |    CASE WHEN doc_id % 21 = 0
+         |      THEN ' 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 0
+         |      THEN chr(10) || 'to be continued...' ELSE '' END AS text
+         |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |    string_split_regex(text, '\\s+') AS w,
+         |    string_split(text, chr(10)) AS l,
+         |    len(regexp_extract_all(text, '#')) +
+         |      len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+         |  FROM aug),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+         |      / len(w) AS mean_word_len,
+         |    CAST(n_sym AS DOUBLE) / len(w) AS symbol_ratio,
+         |    CAST(len(list_filter(l, x -> x LIKE '- %')) AS DOUBLE)
+         |      / len(l) AS bullet_ratio,
+         |    CAST(len(list_filter(l, x -> x LIKE '%...')) AS DOUBLE)
+         |      / len(l) AS ellipsis_ratio,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS DOUBLE) / len(w) AS alpha_ratio,
+         |    CAST(len(list_intersect(list_distinct(w),
+         |      ['the','be','to','of','and','that','have','with']))
+         |      AS BIGINT) AS n_stop_distinct
+         |  FROM sig)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, n_stop_distinct,
+         |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AS rule_mean_word_len,
+         |  symbol_ratio <= 0.1 AS rule_symbol_ratio,
+         |  bullet_ratio <= 0.9 AS rule_bullets,
+         |  ellipsis_ratio <= 0.3 AS rule_ellipsis,
+         |  alpha_ratio >= 0.8 AS rule_alpha,
+         |  n_stop_distinct >= 2 AS rule_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000) AND
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
+         |  symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND
+         |  ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND
+         |  n_stop_distinct >= 2 AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS doc_id,
         |  COUNT(*) AS n_copies
@@ -1125,6 +1212,21 @@ private[graft] object EntryOracles {
          |ORDER BY cluster""".stripMargin,
 
     "ann_topk" -> annExactSql,
+
+    // Trains the identical exact-DECIMAL(28,14) per-component centroid
+    // (the lloydSql mean contract), then ranks ascending centroid-cosine.
+    "embedding_outliers" ->
+      s"""WITH $vecsSql,
+         |m AS (SELECT pos,
+         |    CAST(SUM(CAST(v[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+         |      AS m
+         |  FROM vecs, (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
+         |  GROUP BY pos),
+         |c AS (SELECT list(m ORDER BY pos) AS cv FROM m)
+         |SELECT vec_id, label,
+         |  roundbankers(${cosSql("v", "cv")}, 6) AS sim_centroid
+         |FROM vecs, c
+         |ORDER BY sim_centroid ASC, vec_id LIMIT 25""".stripMargin,
 
     "ann_recall_ivf" ->
       s"""SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,

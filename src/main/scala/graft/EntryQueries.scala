@@ -555,6 +555,12 @@ private[graft] object EntryQueries {
 
     "ann_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L)),
 
+    // Outlier surfacing by centroid distance: the 25 vectors least
+    // similar to the exact-DECIMAL corpus centroid (OOD/corrupt-sample
+    // first pass; ascending — head is the most anomalous).
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(emb(s, dir), k = 25)),
+
     // ANN index evaluation: recall@10 of the fixed-grid IVF probe against
     // the exact top-10 — the metric that prices every approximate index's
     // accuracy trade. The oracle composes the two result oracles and
@@ -937,6 +943,19 @@ private[graft] object EntryQueries {
     // the df=1 rare footer survives; cleaned text compared by md5.
     "strip_boilerplate" -> ((s, dir) =>
       TextOps.stripBoilerplateLines(boilerplateDocs(s, dir))
+        .orderBy("doc_id")),
+
+    // Corpus-wide first-occurrence paragraph dedup (RefinedWeb-style);
+    // same planted line input as strip_boilerplate so the two cleaning
+    // passes are directly comparable on one corpus.
+    "paragraph_dedup" -> ((s, dir) =>
+      TextOps.dedupParagraphs(boilerplateDocs(s, dir))
+        .orderBy("doc_id")),
+
+    // Gopher rule-suite hard quality gates (Rae et al. 2021 §A1.1) over
+    // deterministically structure-planted docs (bullets/numbers/ellipses).
+    "gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(gopherDocs(s, dir))
         .orderBy("doc_id")),
 
     // Winnowing-style rolling-hash fingerprint (custom codegen'd

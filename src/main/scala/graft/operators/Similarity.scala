@@ -801,4 +801,39 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"))
       .select(lit(k.toLong).as("k"), col("n_hits"),
         bround(col("n_hits").cast("double") / k, 6).as("recall"))
+
+  /** Embedding outlier detection by centroid distance: the `k` corpus
+    * vectors LEAST similar (cosine) to the corpus centroid — the cheap
+    * first-pass a curation pipeline runs to surface mislabeled, corrupt,
+    * or out-of-distribution samples before training (the SemDeDup /
+    * D4-family "prune far from the cluster center" signal, applied
+    * globally). Returns (vec_id, label, sim_centroid) ascending — the
+    * head of the list is the most anomalous.
+    *
+    * Scale: the centroid is an exact per-component DECIMAL(28,14) mean
+    * (order-free — the [[kmeansCodebook]] contract, so the SQL oracle
+    * trains the identical centroid) computed as ONE map-side-combined
+    * hash aggregate over the posexploded corpus (shuffle rows = dim ×
+    * partitions, never n); it folds to a single-row array frame that
+    * broadcasts back against one corpus scan. The ranking is a
+    * TakeOrdered over k rows — no global sort. Similarity is bround'd to
+    * 6dp before ranking with a vec_id tiebreak, so the k-cut is a total
+    * order.
+    */
+  def centroidOutliers(embeddings: DataFrame, k: Int = 25): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val centroid = vecs
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+            count(lit(1))).as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+    vecs.crossJoin(broadcast(centroid))
+      .select(col("vec_id"), col("label"),
+        bround(cosine(col("v"), col("cv")), 6).as("sim_centroid"))
+      .orderBy(asc("sim_centroid"), col("vec_id"))
+      .limit(k)
+  }
 }

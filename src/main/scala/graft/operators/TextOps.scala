@@ -994,6 +994,116 @@ object TextOps {
         col("merged"), col("n_occ"))
   }
 
+  /** Corpus-wide exact paragraph deduplication (the RefinedWeb /
+    * "exact-substring at paragraph granularity" cleaning pass): every
+    * newline-separated segment keeps ONLY its first occurrence across the
+    * whole corpus — first in (doc_id, position) order — and every later
+    * repetition is dropped, wherever it appears. Complements
+    * [[stripBoilerplateLines]]: that pass removes lines whose document
+    * frequency exceeds a threshold everywhere (including the first copy);
+    * this one keeps exactly one canonical copy of every repeated segment,
+    * the form dedup-before-training wants (no content is lost, only
+    * repetition). Returns one row per document: (doc_id, n_paras,
+    * n_removed, cleaned_md5) with cleaned_md5 hashing the surviving
+    * segments rejoined in original order.
+    *
+    * Scale: the first-occurrence winner per segment is a hash aggregate
+    * of a packed (doc_id·10⁶ + idx) key over md5(trim(segment)) — partial
+    * map-side combine absorbs even a corpus-dominating segment (a giant
+    * boilerplate paragraph becomes ONE group whose min is folded
+    * per-partition, not a single skewed sort partition — why this is an
+    * agg+join, not a row_number window). The keep-side join is an
+    * equi-join on the 32-byte hash; reassembly is the deterministic
+    * `array_sort`-of-`collect_list` per-doc aggregate shared with
+    * [[stripBoilerplateLines]]. Shuffles carry (hash, key) pairs and
+    * per-doc line structs — never the corpus text twice.
+    */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val packed = col("doc_id") * 1000000L + col("idx")
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("_lf", md5(trim(col("line"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = lines.groupBy("_lf").agg(min(packed).as("_fk"))
+    val agg = lines.join(firsts, Seq("_lf"))
+      .where(packed === col("_fk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line")))).as("cleaned_md5"))
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    docs.select(col("doc_id")).join(totals, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        (coalesce(col("n_paras"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
+  // Gopher rule-suite stopword list (Rae et al. 2021, §A1.1): the rule
+  // asks for >= 2 distinct hits from exactly this public list.
+  val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rule suite (Rae et al. 2021, §A1.1 —
+    * the public MassiveText filter set), one row per document with each
+    * rule's measured signal, its boolean verdict, and the composite
+    * `pass`. Complements [[qualityScore]] (a soft score) and
+    * [[repetitionStats]] (the repetition family): these are the hard
+    * accept/reject gates a curation pipeline applies first.
+    *
+    * Rules: word count in [50, 100000]; mean word length in [3, 10];
+    * symbol-to-word ratio ("#" or "...") <= 0.1; lines starting with a
+    * bullet <= 90%; lines ending in an ellipsis <= 30%; >= 80% of words
+    * contain an alphabetic character; >= 2 distinct hits from
+    * [[GopherStopwords]].
+    *
+    * Scale: one narrow projection — every signal is a per-row
+    * higher-order-function pass over the in-row token/line arrays
+    * (interpreted HOFs; the [[tokenStats]] trade — measured faster than
+    * the exploded-aggregate shape at this row width), no shuffle, no
+    * join; ratios are single IEEE divisions of exact integer counts, so
+    * the SQL oracle reproduces them bit-for-bit.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val lines = split(col(textCol), "\n")
+    val nWords = size(words)
+    val nLines = size(lines)
+    docs.select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        (aggregate(words, lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / nWords).as("mean_word_len"),
+        ((regexp_count(col(textCol), lit("#")) +
+          regexp_count(col(textCol), lit("\\.\\.\\.")))
+          .cast("double") / nWords).as("symbol_ratio"),
+        (size(filter(lines, l => l.startsWith("- ")))
+          .cast("double") / nLines).as("bullet_ratio"),
+        (size(filter(lines, l => l.endsWith("...")))
+          .cast("double") / nLines).as("ellipsis_ratio"),
+        (size(filter(words, w => w.rlike("[A-Za-z]")))
+          .cast("double") / nWords).as("alpha_ratio"),
+        size(array_intersect(array_distinct(words),
+          typedLit(GopherStopwords))).cast("long").as("n_stop_distinct"))
+      .withColumn("rule_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("rule_bullets", col("bullet_ratio") <= 0.9)
+      .withColumn("rule_ellipsis", col("ellipsis_ratio") <= 0.3)
+      .withColumn("rule_alpha", col("alpha_ratio") >= 0.8)
+      .withColumn("rule_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("pass",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+        col("rule_symbol_ratio") && col("rule_bullets") &&
+        col("rule_ellipsis") && col("rule_alpha") && col("rule_stopwords"))
+  }
+
   // Small per-language stopword lists for the heuristic. Deliberately tiny:
   // the point is the (portable, codegen'd) mechanism, not lexicon coverage.
   val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")

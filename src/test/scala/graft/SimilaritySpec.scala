@@ -435,4 +435,23 @@ class SimilaritySpec extends AnyFunSuite {
     // partition count — the property the SQL oracle relies on.
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("centroidOutliers: farthest-from-centroid vectors surface first, " +
+       "ascending, k-bounded, partition-invariant") {
+    import spark.implicits._
+    // Centroid ≈ (0.25, 0.275): vector 2 (-1, 0) points away from it,
+    // vector 1 (0, 1) is orthogonal-ish, 0 and 3 align with it.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(-1f, 0f), 1), (3L, Array(1f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.length === 2)
+    assert(out(0)._1 === 2L)               // most anomalous first
+    assert(out(0)._2 <= out(1)._2)         // ascending similarity
+    val rep = Similarity.centroidOutliers(emb.repartition(3), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq === rep.toSeq)        // exact-DECIMAL centroid
+  }
 }

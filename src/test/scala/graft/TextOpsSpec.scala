@@ -497,4 +497,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) === ((2L, 1L, 0L, Some(0.0))))
     assert(out(3) === ((3L, 0L, 0L, None)))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedupParagraphs: first (doc_id, idx) occurrence survives " +
+       "corpus-wide, every later copy dropped, ordered reassembly") {
+    val d = Seq(
+      (0L, "alpha\nshared"),  // introduces both "alpha" and "shared"
+      (1L, "shared\nbeta"),   // "shared" is a repeat → dropped
+      (2L, "shared\nshared")  // both copies later than doc 0 → all gone
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupParagraphs(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 0L, md5Hex("alpha\nshared")),
+      (1L, 2L, 1L, md5Hex("beta")),
+      (2L, 2L, 2L, md5Hex(""))))
+  }
+
+  test("gopherRules: every rule verdict on hand-built documents") {
+    val goodText = (Seq.fill(50)("there") ++ Seq("the", "be")).mkString(" ")
+    val d = Seq(
+      (0L, goodText),                      // passes all seven rules
+      (1L, Seq.fill(11)("- x").mkString("\n")), // all-bullet, 22 short words
+      (2L, "one two...\nthree..."),        // both lines ellipsis-terminated
+      (3L, "1 2 3 4 the be")               // 4/6 words non-alphabetic
+    ).toDF("doc_id", "text")
+    val rows = TextOps.gopherRules(d).orderBy("doc_id").collect()
+    def b(i: Int, c: String) = rows(i).getAs[Boolean](c)
+    // doc 0: 52 words, mean len 255/52 ≈ 4.90, 2 distinct stopwords
+    assert(rows(0).getAs[Long]("n_words") === 52L)
+    assert(b(0, "pass"))
+    // doc 1: bullet ratio 11/11 > 0.9; 22 words < 50; mean len < 3
+    assert(!b(1, "rule_bullets") && !b(1, "rule_word_count") &&
+      !b(1, "rule_mean_word_len") && !b(1, "pass"))
+    // doc 2: ellipsis ratio 2/2 > 0.3 and "..." symbols 2/3 > 0.1
+    assert(!b(2, "rule_ellipsis") && !b(2, "rule_symbol_ratio") &&
+      !b(2, "pass"))
+    // doc 3: alpha ratio 2/6 < 0.8 but stopword rule holds (the, be)
+    assert(!b(3, "rule_alpha") && b(3, "rule_stopwords") && !b(3, "pass"))
+  }
 }
