@@ -644,663 +644,6 @@ private[graft] object EntryOracles {
         |  UNION ALL SELECT user_id, 'purchase', purchase FROM w
         |  UNION ALL SELECT user_id, 'signup', signup FROM w
         |  UNION ALL SELECT user_id, 'error', error FROM w)
-        |ORDER BY user_id, event_type""".stripMargin,
-
-    "events_cube" ->
-      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
-        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(roundbankers(SUM(v), 2) AS DOUBLE) AS total_value,
-        |  CAST(GROUPING(event_type, day) AS BIGINT) AS level
-        |FROM e GROUP BY CUBE(event_type, day)
-        |ORDER BY level, event_type NULLS FIRST, day NULLS FIRST"""
-        .stripMargin,
-
-    // Exact DECIMAL power sums; variance finished by the identical fixed
-    // double expression on both engines.
-    "value_variance" ->
-      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
-        |    SUM(CAST(value AS DECIMAL(18,4)) *
-        |        CAST(value AS DECIMAL(18,4))) AS svv
-        |  FROM events GROUP BY 1)
-        |SELECT event_type, n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
-        |    AS mean,
-        |  (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) -
-        |   CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
-        |  (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_samp
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    "twap_users" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    CAST(value AS DECIMAL(18,4)) AS v, epoch_ms(ts) AS ms
-        |  FROM events),
-        |l AS (SELECT user_id, v, ms, lead(ms) OVER (
-        |    PARTITION BY user_id ORDER BY ms, event_id) AS nxt FROM e),
-        |i AS (SELECT user_id, v, nxt - ms AS w FROM l
-        |  WHERE nxt IS NOT NULL)
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-        |  CAST(SUM(w) AS BIGINT) AS span_ms,
-        |  CAST(SUM(v * w) AS DOUBLE) /
-        |    CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS twap
-        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Dense per-user grid via range() (upper-exclusive → b1+1), bucket
-    // observations collapsed by (ms, event_id) DESC row_number, forward
-    // fill as last_value IGNORE NULLS over the running frame.
-    "gapfill_hourly" ->
-      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
-        |    epoch_ms(ts) // 3600000 AS bucket FROM events),
-        |lb AS (SELECT user_id, bucket, value FROM (
-        |    SELECT user_id, bucket, value, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id, bucket
-        |      ORDER BY ms DESC, event_id DESC) AS rn FROM e)
-        |  WHERE rn = 1),
-        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
-        |  FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
-        |    FROM e GROUP BY 1)),
-        |j AS (SELECT g.user_id, g.bucket, lb.value FROM grid g
-        |  LEFT JOIN lb ON g.user_id = lb.user_id AND g.bucket = lb.bucket)
-        |SELECT user_id, bucket,
-        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS filled_value,
-        |  (value IS NOT NULL) AS is_observed
-        |FROM j ORDER BY user_id, bucket""".stripMargin,
-
-    "asof_join" ->
-      """WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
-        |  FROM events WHERE event_type = 'click'),
-        |p0 AS (SELECT user_id, epoch_ms(ts) AS ms, value,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts)
-        |    ORDER BY event_id DESC) AS rn
-        |  FROM events WHERE event_type = 'purchase'),
-        |purch AS (SELECT user_id, ms, value FROM p0 WHERE rn = 1)
-        |SELECT c.user_id, c.event_id, p.value AS last_purchase
-        |FROM clicks c ASOF LEFT JOIN purch p
-        |  ON c.user_id = p.user_id AND c.ms >= p.ms
-        |ORDER BY c.user_id, c.event_id""".stripMargin,
-
-    "nation_revenue" ->
-      """SELECT r.r_name AS region, n.n_name AS nation,
-        |  COUNT(*) AS n_lineitems,
-        |  CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "topk_per_category_agg" ->
-      s"""WITH ct AS ($ctSql),
-         |r AS (SELECT category, CAST(customer_id AS VARCHAR) AS cid,
-         |  CAST(amount AS DOUBLE) AS amt,
-         |  ROW_NUMBER() OVER (PARTITION BY category
-         |    ORDER BY CAST(amount AS DOUBLE) DESC,
-         |             CAST(customer_id AS VARCHAR) ASC) AS rk FROM ct)
-         |SELECT category, CAST(rk AS BIGINT) AS rk, cid AS customer_id,
-         |  amt AS amount
-         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
-
-    "topk_per_category" ->
-      s"""WITH ct AS ($ctSql),
-         |r AS (SELECT category, customer_id, name, amount,
-         |  ROW_NUMBER() OVER (PARTITION BY category
-         |    ORDER BY amount DESC, customer_id ASC) AS rk FROM ct)
-         |SELECT category, CAST(rk AS BIGINT) AS rk, customer_id, name,
-         |  CAST(amount AS DOUBLE) AS amount
-         |FROM r WHERE rk <= 3 ORDER BY category, rk""".stripMargin,
-
-    "cdc_state_join" ->
-      """WITH thr AS (SELECT MAX(event_id) // 2 AS t FROM events),
-        |e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value
-        |      FROM events),
-        |state AS (SELECT user_id, value FROM (
-        |  SELECT e.user_id, e.value, ROW_NUMBER() OVER (
-        |    PARTITION BY e.user_id ORDER BY e.ms DESC, e.event_id DESC)
-        |    AS rn
-        |  FROM e, thr WHERE e.event_id <= thr.t) WHERE rn = 1),
-        |batch AS (SELECT e.* FROM e, thr WHERE e.event_id > thr.t),
-        |x AS (SELECT b.user_id, b.event_id, COALESCE(
-        |    LAG(b.value) OVER (PARTITION BY b.user_id
-        |      ORDER BY b.ms, b.event_id), s.value) AS old_value,
-        |    b.value AS new_value
-        |  FROM batch b LEFT JOIN state s ON b.user_id = s.user_id)
-        |SELECT user_id, event_id, old_value, new_value FROM x
-        |WHERE old_value IS NOT NULL AND old_value <> new_value
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "dedup_keep_longest" ->
-      """WITH k AS (SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
-        |  doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
-        |w AS (SELECT fingerprint, doc_id, n_chars,
-        |  ROW_NUMBER() OVER (PARTITION BY fingerprint
-        |    ORDER BY n_chars DESC, doc_id ASC) AS rn,
-        |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies FROM k)
-        |SELECT fingerprint, doc_id, n_chars, n_copies FROM w
-        |WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
-
-    "docs_rollup" ->
-      """SELECT lang, source, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(GROUPING(lang, source) AS BIGINT) AS level
-        |FROM documents GROUP BY ROLLUP(lang, source)
-        |ORDER BY level, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-
-    "stratified_sample" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
-        |ORDER BY doc_id""".stripMargin,
-
-    // md5-fold XOR digest: the first 15 hex nibbles parsed positionally
-    // (DuckDB has no conv(); 16^k weights are exact BIGINT literals),
-    // then commutative bit_xor — row order and partitioning free.
-    "table_checksum" -> {
-      val fold = (0 until 15).map { k =>
-        val w = BigInt(16).pow(14 - k)
-        s"(CAST(strpos('0123456789abcdef', substr(m, ${k + 1}, 1)) - 1 " +
-          s"AS BIGINT) * $w)"
-      }.mkString(" +\n        |    ")
-      s"""WITH h AS (SELECT source,
-         |    $fold AS hh
-         |  FROM (SELECT source, md5(concat_ws('|', doc_id,
-         |      COALESCE(text, ''), lang, source, n_chars)) AS m
-         |    FROM documents))
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(bit_xor(hh) AS BIGINT) AS checksum
-         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    "repetition_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |    MAX(c) AS top FROM (
-        |    SELECT doc_id, tok, COUNT(*) AS c FROM
-        |      (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |bi AS (SELECT doc_id, len(bg) AS n, len(list_distinct(bg)) AS d
-        |  FROM (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
-        |      list_transform(range(1, len(toks)),
-        |        i -> concat_ws(' ', toks[i], toks[i+1]))
-        |    ELSE [] END AS bg FROM t)),
-        |tri AS (SELECT doc_id, len(tg) AS n, len(list_distinct(tg)) AS d
-        |  FROM (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-        |    ELSE [] END AS tg FROM t))
-        |SELECT ta.doc_id, n_tokens,
-        |  CAST(top AS DOUBLE) / n_tokens AS top_token_frac,
-        |  CASE WHEN bi.n = 0 THEN 0.0
-        |    ELSE CAST(bi.n - bi.d AS DOUBLE) / bi.n END AS dup_bigram_frac,
-        |  CASE WHEN tri.n = 0 THEN 0.0
-        |    ELSE CAST(tri.n - tri.d AS DOUBLE) / tri.n END
-        |    AS dup_trigram_frac
-        |FROM ta JOIN bi ON ta.doc_id = bi.doc_id
-        |JOIN tri ON ta.doc_id = tri.doc_id
-        |ORDER BY ta.doc_id""".stripMargin,
-
-    "top_terms" ->
-      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
-        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
-        |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |     FROM documents) GROUP BY 1, 2),
-        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-        |r AS (SELECT t.doc_id, t.tok AS term,
-        |    CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
-        |    CAST(t.tf * (n.n - d.df) AS BIGINT) AS score,
-        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
-        |      ORDER BY t.tf * (n.n - d.df) DESC, t.tok ASC) AS rn
-        |  FROM tf t JOIN df d USING (tok), n)
-        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
-        |ORDER BY doc_id, score DESC, term""".stripMargin,
-
-    "length_filter" -> lengthFilterSql,
-
-    // Packing twin: one window cumsum (the oracle engine is single-node,
-    // so the literal form is fine there), integer div/mod boundaries.
-    "pack_sequences" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
-        |      AS st FROM t)
-        |SELECT doc_id, n_tokens, st // 2048 AS seq_id,
-        |  st % 2048 AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // Chunking twin: same stride arithmetic, 1-based inclusive list_slice.
-    // greatest(0, ·) also absorbs the //-floors-toward-negative vs
-    // DIV-truncates-toward-zero difference on short docs.
-    "chunk_docs" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS n FROM documents),
-        |c AS (SELECT doc_id, toks, n,
-        |    unnest(range(0, greatest(0, (n - 32 + 23) // 24) + 1))
-        |      AS chunk_id FROM t)
-        |SELECT doc_id, chunk_id,
-        |  CAST(len(list_slice(toks, chunk_id * 24 + 1,
-        |    least(chunk_id * 24 + 32, n))) AS BIGINT) AS n_chunk_tokens,
-        |  md5(array_to_string(list_slice(toks, chunk_id * 24 + 1,
-        |    least(chunk_id * 24 + 32, n)), ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "pii_scrub" ->
-      s"""WITH $piiAugSql
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text,
-         |    '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text,
-         |    '${TextOps.UrlPattern}')) AS BIGINT) AS n_urls,
-         |  CAST(len(regexp_extract_all(text,
-         |    '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
-         |    '${TextOps.UrlPattern}', '<URL>', 'g'),
-         |    '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS scrubbed_md5
-         |FROM aug ORDER BY doc_id""".stripMargin,
-
-    "url_domains" ->
-      s"""WITH $piiAugSql,
-         |u AS (SELECT doc_id,
-         |    unnest(regexp_extract_all(text, '${TextOps.UrlPattern}'))
-         |      AS url FROM aug)
-         |SELECT regexp_extract(url, 'https?://([A-Za-z0-9._-]+)', 1)
-         |    AS domain,
-         |  CAST(COUNT(*) AS BIGINT) AS n_urls,
-         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Replays the banner/footer planting, per-line df over md5(trim),
-    // NOT-IN anti-join, and ordered string_agg reassembly.
-    "strip_boilerplate" ->
-      """WITH aug AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
-        |    text ||
-        |    CASE WHEN doc_id % 4 = 0
-        |      THEN chr(10) || 'all rights reserved 2024' ELSE '' END ||
-        |    CASE WHEN doc_id % 97 = 0
-        |      THEN chr(10) || 'rare footer ' || doc_id ELSE '' END AS text
-        |  FROM documents),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
-        |f AS (SELECT doc_id, i - 1 AS idx, l[i] AS line,
-        |    md5(trim(l[i])) AS lf
-        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
-        |        FROM ls)),
-        |b AS (SELECT lf FROM (SELECT lf, COUNT(DISTINCT doc_id) AS nd
-        |    FROM f GROUP BY 1) WHERE nd > 5),
-        |k AS (SELECT doc_id, idx, line FROM f
-        |  WHERE lf NOT IN (SELECT lf FROM b)),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
-        |    md5(string_agg(line, chr(10) ORDER BY idx)) AS cleaned_md5
-        |  FROM k GROUP BY 1),
-        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM f GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
-        |  CAST(coalesce(tot.n_lines, 0) - coalesce(agg.n_kept, 0)
-        |    AS BIGINT) AS n_removed,
-        |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
-        |FROM documents d
-        |LEFT JOIN tot ON d.doc_id = tot.doc_id
-        |LEFT JOIN agg ON d.doc_id = agg.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // First-occurrence paragraph dedup: same planting + line explode as
-    // strip_boilerplate, winner per md5(trim(line)) is MIN(doc_id·10⁶+idx),
-    // ordered string_agg reassembly of the surviving lines.
-    "paragraph_dedup" ->
-      """WITH aug AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
-        |    text ||
-        |    CASE WHEN doc_id % 4 = 0
-        |      THEN chr(10) || 'all rights reserved 2024' ELSE '' END ||
-        |    CASE WHEN doc_id % 97 = 0
-        |      THEN chr(10) || 'rare footer ' || doc_id ELSE '' END AS text
-        |  FROM documents),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
-        |f AS (SELECT doc_id, i - 1 AS idx, l[i] AS line,
-        |    md5(trim(l[i])) AS lf
-        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
-        |        FROM ls)),
-        |firsts AS (SELECT lf, MIN(doc_id * 1000000 + idx) AS fk
-        |  FROM f GROUP BY 1),
-        |k AS (SELECT f.doc_id, f.idx, f.line FROM f JOIN firsts
-        |  ON f.lf = firsts.lf AND f.doc_id * 1000000 + f.idx = firsts.fk),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
-        |    md5(string_agg(line, chr(10) ORDER BY idx)) AS cleaned_md5
-        |  FROM k GROUP BY 1),
-        |tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM f GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
-        |  CAST(coalesce(tot.n_paras, 0) - coalesce(agg.n_kept, 0)
-        |    AS BIGINT) AS n_removed,
-        |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
-        |FROM documents d
-        |LEFT JOIN tot ON d.doc_id = tot.doc_id
-        |LEFT JOIN agg ON d.doc_id = agg.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // Gopher §A1.1 rule suite: replays the structure planting, then every
-    // signal as list ops over the same token/line splits Spark uses.
-    "gopher_rules" ->
-      s"""WITH aug AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 15 = 0
-         |      THEN repeat('- item' || chr(10), 10) ELSE '' END ||
-         |    text ||
-         |    CASE WHEN doc_id % 21 = 0
-         |      THEN ' 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9'
-         |      ELSE '' END ||
-         |    CASE WHEN doc_id % 6 = 0
-         |      THEN chr(10) || 'to be continued...' ELSE '' END AS text
-         |  FROM documents),
-         |sig AS (SELECT doc_id,
-         |    string_split_regex(text, '\\s+') AS w,
-         |    string_split(text, chr(10)) AS l,
-         |    len(regexp_extract_all(text, '#')) +
-         |      len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
-         |  FROM aug),
-         |m AS (SELECT doc_id,
-         |    CAST(len(w) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
-         |      / len(w) AS mean_word_len,
-         |    CAST(n_sym AS DOUBLE) / len(w) AS symbol_ratio,
-         |    CAST(len(list_filter(l, x -> x LIKE '- %')) AS DOUBLE)
-         |      / len(l) AS bullet_ratio,
-         |    CAST(len(list_filter(l, x -> x LIKE '%...')) AS DOUBLE)
-         |      / len(l) AS ellipsis_ratio,
-         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-         |      AS DOUBLE) / len(w) AS alpha_ratio,
-         |    CAST(len(list_intersect(list_distinct(w),
-         |      ['the','be','to','of','and','that','have','with']))
-         |      AS BIGINT) AS n_stop_distinct
-         |  FROM sig)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
-         |  ellipsis_ratio, alpha_ratio, n_stop_distinct,
-         |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
-         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AS rule_mean_word_len,
-         |  symbol_ratio <= 0.1 AS rule_symbol_ratio,
-         |  bullet_ratio <= 0.9 AS rule_bullets,
-         |  ellipsis_ratio <= 0.3 AS rule_ellipsis,
-         |  alpha_ratio >= 0.8 AS rule_alpha,
-         |  n_stop_distinct >= 2 AS rule_stopwords,
-         |  (n_words >= 50 AND n_words <= 100000) AND
-         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
-         |  symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND
-         |  ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND
-         |  n_stop_distinct >= 2 AS pass
-         |FROM m ORDER BY doc_id""".stripMargin,
-
-    "exact_dedup" ->
-      """SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS doc_id,
-        |  COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "prefix_dedup" ->
-      """SELECT md5(substr(lower(text), 1, 64)) AS fingerprint,
-        |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "minhash_signatures" ->
-      s"""$shinglesSql
-         |SELECT doc_id,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
-         |    AS sig_0,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
-         |    AS sig_1,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
-         |    AS sig_2,
-         |  list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
-         |    AS sig_3
-         |FROM sh ORDER BY doc_id""".stripMargin,
-
-    "neardup_pairs" -> nearDupPairsSql,
-
-    "neardup_pairs_banded" -> nearDupPairsBandedSql,
-
-    "containment_pairs" -> containmentPairsSql,
-
-    // Bit-interleave replay: sum of shifted masked bits of both inputs.
-    "z_order_key" ->
-      """SELECT event_id, user_id,
-        |  (epoch_ms(ts) // 86400000) AS day,
-        |  CAST(list_sum(list_transform(range(0, 21), i ->
-        |      (((user_id >> i) & 1) << (2 * i)) +
-        |      ((((epoch_ms(ts) // 86400000) >> i) & 1) << (2 * i + 1))))
-        |    AS BIGINT) AS z
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // Levenshtein verify joined over the MATERIALIZED LSH pair CTE (two
-    // join arms would otherwise re-run the MinHash pipeline twice).
-    "edit_distance_pairs" ->
-      s"""WITH ndp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |$nearDupPairsSql
-         |))
-         |SELECT p.doc_a, p.doc_b,
-         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
-         |  CAST((CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000000)
-         |    // GREATEST(length(a.text), length(b.text), 1) AS BIGINT)
-         |    AS norm_fp
-         |FROM ndp p JOIN documents a ON p.doc_a = a.doc_id
-         |JOIN documents b ON p.doc_b = b.doc_id
-         |ORDER BY 1, 2""".stripMargin,
-
-    "pagerank_neardup" -> pageRankSql,
-
-    // Ordered wedge join over the a<b SimHash pair list: (a<b)⋈(b<c)
-    // closed against (a<c) — each 3-clique exactly once. The pair CTE is
-    // MATERIALIZED (three self-join arms would otherwise re-inline the
-    // whole 64-bit-sum SimHash pipeline three times). Replays the
-    // operator's deterministic degree cap (256 smallest-id neighbors per
-    // vertex per orientation — exact at test SFs, a skew bound at scale).
-    "triangle_count" ->
-      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |$simhashMd5Sql
-         |)),
-         |sp AS (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
-         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
-         |  FROM sp0)
-         |  WHERE ra <= 256 AND rb <= 256)
-         |SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
-         |FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
-         |JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
-         |ORDER BY 1, 2, 3""".stripMargin,
-
-    // Per-vertex twin: same capped wedge closure, 3-arm UNION ALL of the
-    // triangle's member vertices, GROUP BY vertex — replays the
-    // explode-and-count aggregate exactly.
-    "triangle_counts_by_vertex" ->
-      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |$simhashMd5Sql
-         |)),
-         |sp AS (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
-         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
-         |  FROM sp0)
-         |  WHERE ra <= 256 AND rb <= 256),
-         |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
-         |  FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
-         |  JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
-         |SELECT doc_id, COUNT(*) AS n_triangles FROM (
-         |  SELECT a AS doc_id FROM tri
-         |  UNION ALL SELECT b FROM tri
-         |  UNION ALL SELECT c FROM tri)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
-    // filter 2..10, blocking self-join, exact Jaccard over full gram sets.
-    "jaccard_pairs" -> {
-      val gram6 = (0 until 6).map(o => s"toks[i+$o]").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) >= 6 THEN
-        |      list_transform(range(1, len(toks) - 4),
-        |        i -> md5(concat_ws(' ', $gram6)))
-        |    ELSE [] END)) AS g FROM t),
-        |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
-        |  WHERE df BETWEEN 2 AND 10),
-        |blocked AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM blocked a JOIN blocked b
-        |  ON a.g = b.g AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
-        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
-        |  FROM cand c JOIN g x ON x.doc_id = c.da
-        |  JOIN g y ON y.doc_id = c.db AND y.g = x.g
-        |  GROUP BY 1, 2)
-        |SELECT c.da AS doc_a, c.db AS doc_b,
-        |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
-        |FROM cand c
-        |JOIN sizes sa ON c.da = sa.doc_id
-        |JOIN sizes sb ON c.db = sb.doc_id
-        |JOIN inter i ON c.da = i.da AND c.db = i.db
-        |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
-
-    "neardup_clusters" -> nearDupClustersSql,
-
-    "neardup_clusters_star" -> nearDupClustersSql,
-
-    // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
-    // predicate, set-distinct grams per doc before the overlap join.
-    "contamination_overlap" ->
-      s"""WITH $contamGramsSql
-         |SELECT c.doc_id, hh.holdout_id, COUNT(*) AS n_shared
-         |FROM c JOIN hh ON c.g = hh.g
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // minShared = 1, so "flagged" reduces to sharing ANY distinct 8-gram.
-    "decontaminate" ->
-      s"""WITH $contamGramsSql,
-         |flag AS (SELECT DISTINCT c.doc_id FROM c JOIN hh ON c.g = hh.g)
-         |SELECT d.doc_id, d.lang, d.source FROM documents d
-         |WHERE d.doc_id % 10 <> 0
-         |  AND NOT EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "epoch_mix" ->
-      """WITH n AS (SELECT doc_id, source,
-        |  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
-        |    AS n_epochs
-        |  FROM documents)
-        |SELECT doc_id, source,
-        |  CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
-        |FROM n ORDER BY doc_id, epoch""".stripMargin,
-
-    // Keep-one-per-cluster endpoint: the clusters oracle embeds as a CTE,
-    // then the same longest-text / doc_id-ascending window picks each
-    // cluster's representative.
-    "dedup_apply" ->
-      s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
-         |k AS (SELECT cl.cluster, cl.doc_id,
-         |    CAST(length(d.text) AS BIGINT) AS n_chars,
-         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
-         |      ORDER BY length(d.text) DESC, cl.doc_id ASC) AS rn
-         |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
-         |SELECT cluster, doc_id, n_chars FROM k WHERE rn = 1
-         |ORDER BY cluster""".stripMargin,
-
-    "ann_topk" -> annExactSql,
-
-    // Trains the identical exact-DECIMAL(28,14) per-component centroid
-    // (the lloydSql mean contract), then ranks ascending centroid-cosine.
-    "embedding_outliers" ->
-      s"""WITH $vecsSql,
-         |m AS (SELECT pos,
-         |    CAST(SUM(CAST(v[pos] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
-         |      AS m
-         |  FROM vecs, (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
-         |  GROUP BY pos),
-         |c AS (SELECT list(m ORDER BY pos) AS cv FROM m)
-         |SELECT vec_id, label,
-         |  roundbankers(${cosSql("v", "cv")}, 6) AS sim_centroid
-         |FROM vecs, c
-         |ORDER BY sim_centroid ASC, vec_id LIMIT 25""".stripMargin,
-
-    "ann_recall_ivf" ->
-      s"""SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         |  roundbankers(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS recall
-         |FROM ($annExactSql) ex
-         |JOIN ($annIvfSql) ap ON ex.vec_id = ap.vec_id""".stripMargin,
-
-    "token_stats" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
-         |  FROM documents)
-         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
-         |    AS BIGINT) AS n_word_pieces,
-         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
-         |    AS avg_token_len,
-         |  CAST(len(list_filter(toks, x -> x IN $enList)) AS DOUBLE) /
-         |    len(toks) AS stopword_ratio,
-         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-         |    AS distinct_ratio
-         |FROM t ORDER BY doc_id""".stripMargin,
-
-    // Equi-depth deciles: ntile under the identical TOTAL order
-    // (n_tokens, doc_id) — both engines use the standard "first
-    // (total mod n) buckets get the extra row" rule, so bin boundaries
-    // match exactly. Null texts excluded on both sides.
-    "token_deciles" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents WHERE text IS NOT NULL),
-        |d AS (SELECT doc_id, n_tokens, CAST(ntile(10) OVER (
-        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS decile FROM t)
-        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
-
-    "lang_id" -> langIdSql,
-
-    "quality_score" -> qualityScoreSql,
-
-    // Composed curation pass: the component oracles embed as subqueries,
-    // so the composite stays definitionally in sync with each piece.
-    "curation_pipeline" ->
-      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
-         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
-         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
-         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(lower(trim(text))))
-         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
-         |  q.quality_score, l.pred_lang
-         |FROM documents d
-         |JOIN band USING (doc_id) JOIN q USING (doc_id)
-         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
-         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "curation_pipeline_v2" ->
-      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
-         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
-         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
-         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(lower(trim(text)))),
-         |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
-         |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql))
-         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
-         |  q.quality_score, l.pred_lang, dsc.dup_frac, lm.avg_prob
-         |FROM documents d
-         |JOIN band USING (doc_id) JOIN q USING (doc_id)
-         |JOIN l USING (doc_id) JOIN reps USING (doc_id)
-         |JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
-         |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
-         |  AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL
-         |ORDER BY d.doc_id""".stripMargin
-  )
+        |ORDER BY user_id, event_type""".stripMargin
+  ) ++ EntryOraclesB.all
 }

@@ -48,4 +48,30 @@ class PlanContractSpec extends AnyFunSuite {
     val p = fmt("flagship_rank")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("embedding_outliers ranks via TakeOrdered (k rows), never a " +
+       "global sort of the corpus") {
+    val p = fmt("embedding_outliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-cut must be a TakeOrdered, not Sort+Limit")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("paragraph_dedup resolves first-occurrence winners with hash " +
+       "aggregates and equi-joins — no window sort over a segment group") {
+    val p = fmt("paragraph_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("\nWindow") && !p.contains("RunningWindowFunction"),
+      "winner-per-segment must be min-aggregated (skew-safe), not a " +
+        "row_number window over the segment hash")
+  }
+
+  test("gopher_rules is a single narrow projection — no shuffle, no join") {
+    val p = fmt("gopher_rules")
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).size
+    assert(exchanges <= 1 && (exchanges == 0 || p.contains("rangepartitioning")),
+      "rule evaluation itself must not shuffle (the terminal orderBy " +
+        "range partition is the only allowed exchange)")
+    assert(!"Join".r.findFirstIn(p).isDefined, "no join in the rule pass")
+  }
 }
