@@ -272,6 +272,37 @@ private[graft] object EntryOracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Unrolled k-core peel replay over the SimHash pair graph — one
+    * degree-filter + edge-semi-join CTE pair per round, like the BPE
+    * 16-stage merge chain. `rounds` must equal the operator's maxRounds:
+    * the Spark loop proves fixpoint-within-budget (it throws otherwise),
+    * and a fixpoint is stable under extra rounds, so replaying exactly
+    * `rounds` rounds lands on the same edge set no matter how many
+    * rounds the peel actually needed.
+    */
+  private[graft] def kCoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH sp AS MATERIALIZED (SELECT doc_a, doc_b FROM (\n")
+    sb.append(simhashMd5Sql)
+    sb.append("\n)),\nr0 AS MATERIALIZED (")
+    sb.append("SELECT doc_a AS src, doc_b AS dst FROM sp\n")
+    sb.append("  UNION SELECT doc_b, doc_a FROM sp)")
+    // every r$i is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and each round references its predecessor three times —
+    // unhinted, the 12-round chain expands 3^12 copies of the SimHash
+    // pipeline and never finishes
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+d$i AS (SELECT src AS v FROM r${i - 1} GROUP BY src
+  HAVING COUNT(*) >= $k),
+r$i AS MATERIALIZED (SELECT e.src, e.dst FROM r${i - 1} e
+  JOIN d$i a ON e.src = a.v JOIN d$i b ON e.dst = b.v)""")
+    }
+    sb.append(s"\nSELECT src AS doc_id, COUNT(*) AS core_degree " +
+      s"FROM r$rounds GROUP BY src ORDER BY doc_id")
+    sb.toString
+  }
+
   // ---- Generated LSH / IVF oracles ------------------------------------
   // The sign-random-projection hyperplanes are deterministic integer-mixed
   // doubles (Similarity.planeVec); they are inlined as SQL literals so

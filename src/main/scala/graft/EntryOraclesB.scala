@@ -459,6 +459,10 @@ private[graft] object EntryOraclesB {
 
     "pagerank_neardup" -> pageRankSql,
 
+    // Unrolled 12-round peel replay (rounds = the operator's maxRounds;
+    // fixpoint is stable under extra rounds — see kCoreSql's scaladoc).
+    "kcore_graph" -> kCoreSql(2, 12),
+
     // Ordered wedge join over the a<b SimHash pair list: (a<b)⋈(b<c)
     // closed against (a<c) — each 3-clique exactly once. The pair CTE is
     // MATERIALIZED (three self-join arms would otherwise re-inline the
@@ -667,7 +671,99 @@ private[graft] object EntryOraclesB {
          |JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
          |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
          |  AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // BM25 with the log-free fixed-point scoring formula mirrored
+    // operation-for-operation (see TextOps.bm25TopK scaladoc for the
+    // derivation); `//` is DuckDB's BIGINT floor division = Spark DIV on
+    // the all-positive operands here.
+    "bm25_topk" ->
+      """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents) GROUP BY doc_id, tok),
+        |q(query_id, tok) AS (VALUES
+        |  ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+        |  ('q_sort_merge', 'sort'), ('q_sort_merge', 'merge'),
+        |  ('q_stream_window', 'stream'), ('q_stream_window', 'window'),
+        |  ('q_stream_window', 'agg')),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+        |  GROUP BY doc_id),
+        |corpus AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |  (SELECT COUNT(*) FROM (SELECT
+        |     unnest(string_split(lower(text), ' ')) FROM documents)) AS tt),
+        |sc AS (SELECT q.query_id, tf.doc_id, COUNT(*) AS n_terms,
+        |    CAST(SUM(
+        |      (((2 * (n - df) + 1) * 1000000) // (2 * df + 1)) *
+        |      ((22000 * tf.tf * 100000) //
+        |       (10000 * tf.tf + 3000 + 9 * ((dl.dl * 1000 * n) // tt)))
+        |    ) AS BIGINT) AS score_fp
+        |  FROM tf JOIN q ON tf.tok = q.tok
+        |  JOIN dfreq ON tf.tok = dfreq.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN corpus
+        |  GROUP BY q.query_id, tf.doc_id),
+        |rk AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+        |SELECT query_id, rank, doc_id, n_terms, score_fp,
+        |  CAST(score_fp AS DOUBLE) / 100000000000.0 AS score
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The window-rank formulation reproduces the TopKAggregator's
+    // (tf desc, doc_id asc) posting order exactly.
+    "inverted_index" ->
+      """WITH tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents) GROUP BY tok, doc_id),
+        |rk AS (SELECT tok, doc_id, tf, ROW_NUMBER() OVER (PARTITION BY tok
+        |    ORDER BY tf DESC, doc_id) AS rn FROM tf),
+        |p AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(tf AS VARCHAR), ';' ORDER BY rn) AS postings
+        |  FROM rk WHERE rn <= 5 GROUP BY tok),
+        |s AS (SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT)
+        |    AS total_tf FROM tf GROUP BY tok)
+        |SELECT s.tok AS term, s.df, s.total_tf, p.postings
+        |FROM s JOIN p ON s.tok = p.tok ORDER BY term""".stripMargin,
+
+    // Direct range-predicate join (DuckDB's IEJoin handles it natively);
+    // the Spark side's bin-bucketing + distinct lands on the same pairs.
+    "session_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT user_id, event_id, ms, lag(ms) OVER (
+        |  PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, ms, CASE WHEN prev IS NULL
+        |  OR ms - prev > 1800000 THEN 1 ELSE 0 END AS flag FROM l),
+        |s AS (SELECT user_id, ms, CAST(SUM(flag) OVER (
+        |  PARTITION BY user_id ORDER BY ms, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS session_id FROM f),
+        |sess AS (SELECT user_id, session_id, MIN(ms) AS a, MAX(ms) AS b
+        |  FROM s GROUP BY 1, 2)
+        |SELECT x.user_id AS user_a, x.session_id AS session_a,
+        |  y.user_id AS user_b, y.session_id AS session_b,
+        |  LEAST(x.b, y.b) - GREATEST(x.a, y.a) AS overlap_ms
+        |FROM sess x JOIN sess y ON x.user_id < y.user_id
+        |  AND x.a <= y.b AND y.a <= x.b
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "pmi_cooccur" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+        |  FROM t),
+        |tk AS (SELECT doc_id, i, toks[i] AS tok FROM pos),
+        |pairs AS (SELECT a.tok AS x, b.tok AS y FROM tk a JOIN tk b
+        |  ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2),
+        |cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y),
+        |cx AS (SELECT x, COUNT(*) AS c_x FROM pairs GROUP BY x),
+        |cy AS (SELECT y, COUNT(*) AS c_y FROM pairs GROUP BY y),
+        |n AS (SELECT COUNT(*) AS np FROM pairs)
+        |SELECT x, y, c_xy, c_x, c_y,
+        |  (c_xy * np * 1000000) // (c_x * c_y) AS pmi_fp,
+        |  (CAST(c_xy AS DOUBLE) * np) / (CAST(c_x AS DOUBLE) * c_y)
+        |    AS pmi_ratio
+        |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+        |WHERE c_xy >= 50 ORDER BY x, y""".stripMargin
   )
 }
 

@@ -97,6 +97,13 @@ private[graft] object EntryQueries {
     "sessionize" -> ((s, dir) =>
       EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
 
+    // Interval-overlap range join over session intervals, executed as a
+    // bin-bucketed EQUI-join (no nested-loop/cartesian node — pinned by
+    // the plan audit); cross-user overlapping session pairs.
+    "session_overlap" -> ((s, dir) =>
+      EventOps.sessionOverlapPairs(events(s, dir))
+        .orderBy("user_a", "session_a", "user_b", "session_b")),
+
     // Spark-native session_window sessionization (the batch twin of the
     // streaming sessionCounts): the oracle replays the merge rule at
     // MICROSECOND precision — Spark merges windows on internal micros,
@@ -415,6 +422,14 @@ private[graft] object EntryQueries {
     "triangle_count" -> ((s, dir) =>
       Dedup.triangles(
         Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+
+    // 2-core of the SimHash pair graph: peel degree-<2 vertices to a
+    // fixpoint — the dense-duplication-community detector. BSP peel loop
+    // with per-round persists; driver sees only edge counts.
+    "kcore_graph" -> ((s, dir) =>
+      Dedup.kCore(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
 
     // Aggregate twin of triangle_count: per-vertex triangle participation
     // over the same degree-capped graph, ending in a vertex-sized hash
@@ -875,6 +890,22 @@ private[graft] object EntryQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"))
         .orderBy(col("doc_id"), desc("score"), col("term"))),
+
+    // BM25 top-k retrieval (log-free fixed-point scoring) for the three
+    // contract queries — query_id/rank is a total order.
+    "bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir), TextOps.DefaultRetrievalQueries)
+        .orderBy("query_id", "rank")),
+
+    // Inverted index with bounded (TopKAggregator) posting lists.
+    "inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(docs(s, dir))
+        .orderBy("term")),
+
+    // Windowed co-occurrence + log-free PMI association scores.
+    "pmi_cooccur" -> ((s, dir) =>
+      TextOps.pmiCooccur(docs(s, dir))
+        .orderBy("x", "y")),
 
     // Corpus-relative length band: keep docs inside the [P5, P95]
     // discrete-quantile token-count band.

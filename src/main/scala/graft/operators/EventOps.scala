@@ -164,6 +164,51 @@ object EventOps {
            count(lit(1)).as("n_events"))
   }
 
+  /** Interval-overlap self-join over [[sessionize]]'s session intervals:
+    * every cross-user pair of sessions whose [start, end] ranges overlap
+    * (inclusive endpoints), with the overlap length — concurrent-activity
+    * mining, and the repo's canonical RANGE-JOIN pattern. Spark has no
+    * native interval join; the naive formulation is a
+    * BroadcastNestedLoopJoin (quadratic at scale). Instead each interval
+    * explodes into the hour bins it touches (`sequence(a div bin,
+    * b div bin)` — ceil(duration/bin) rows, a small constant for
+    * gap-bounded sessions), the join becomes an EQUI-join on the bin key
+    * (hash-shuffleable, AQE-skew-splittable), the exact overlap predicate
+    * filters within buckets, and a `distinct` collapses pairs that share
+    * several bins. Bin width trades replication (long intervals × narrow
+    * bins) against bucket fan-in (short bins × dense traffic); an hour
+    * fits the 30-minute-gap sessions this feeds on.
+    */
+  def sessionOverlapPairs(events: DataFrame,
+                          gapMs: Long = 30L * 60 * 1000,
+                          binMs: Long = 3600000L): DataFrame = {
+    val sess = sessionize(events, gapMs)
+      .select(col("user_id"), col("session_id"),
+        col("session_start_ms").as("a"), col("session_end_ms").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val binned = sess.withColumn("_bin",
+      explode(sequence(expr(s"a DIV ${binMs}L"), expr(s"b DIV ${binMs}L"))))
+    // Distinct bin column names per side: both projections share one
+    // lineage, so a bare `left("_bin") === right("_bin")` would resolve
+    // to the SAME attribute (trivially true) and the join would degrade
+    // to a nested loop over the remaining non-equi predicates.
+    val left = binned.select(col("_bin").as("_bin_l"),
+      col("user_id").as("user_a"), col("session_id").as("session_a"),
+      col("a").as("_la"), col("b").as("_lb"))
+    val right = binned.select(col("_bin").as("_bin_r"),
+      col("user_id").as("user_b"), col("session_id").as("session_b"),
+      col("a").as("_ra"), col("b").as("_rb"))
+    left.join(right,
+        col("_bin_l") === col("_bin_r") &&
+          col("user_a") < col("user_b") &&
+          col("_la") <= col("_rb") && col("_ra") <= col("_lb"))
+      .select(col("user_a"), col("session_a"), col("user_b"),
+        col("session_b"),
+        (least(col("_lb"), col("_rb")) - greatest(col("_la"), col("_ra")))
+          .as("overlap_ms"))
+      .distinct()
+  }
+
   /** Spark-native sessionization via the built-in `session_window` — the
     * batch twin of [[graft.streaming.StreamingPipeline.sessionCounts]],
     * exposed with epoch-millis bounds so the built-in's gap semantics are

@@ -1104,6 +1104,175 @@ object TextOps {
         col("rule_ellipsis") && col("rule_alpha") && col("rule_stopwords"))
   }
 
+  /** BM25 top-k retrieval: score every document against a fixed set of
+    * term queries and return the `k` best per query — the query→document
+    * direction that [[topTerms]]' document→term ranking doesn't cover,
+    * and the shape a corpus-curation pipeline uses for "find documents
+    * about X" seed expansion.
+    *
+    * The scoring is BM25 (k1 = 1.2, b = 0.75) with the logarithm removed:
+    * `ln` is not a correctly-rounded IEEE operation, so the usual
+    * `ln((N-df+0.5)/(df+0.5))` idf can differ in the last ulp across
+    * engines and flip a rank. Instead the idf keeps the RATIO
+    * `(N-df+0.5)/(df+0.5)` itself (monotone in rarity, same ordering
+    * semantics) and the whole per-term score is computed in 64-bit
+    * fixed-point with integer floor-division only — bit-exact in any
+    * engine, and summable across terms in any order (the same trick as
+    * [[lmScore]]'s probability sums):
+    *
+    *  - `dlr_fp  = (dl·1000·N) div T`                 ≈ 1000·dl/avgdl
+    *  - `idf_fp  = ((2(N−df)+1)·10^6) div (2df+1)`    ≈ 10^6·idf-ratio
+    *  - `tfc_fp  = (22000·tf·10^5) div (10000·tf + 3000 + 9·dlr_fp)`
+    *                                                   ≈ 10^5·tf-component
+    *  - `score_fp = idf_fp·tfc_fp` (scale 10^11), summed exactly per doc.
+    *
+    * Headroom: idf_fp·tfc_fp < 9.2·10^18 up to N ≈ 10^8 docs; beyond
+    * that drop the idf scale a decade per two decades of corpus growth.
+    *
+    * Plan shape: the (doc_id, tok, tf) aggregate is partial-agg'd
+    * map-side; the query-term table is a broadcast literal; df is a
+    * vocabulary-sized aggregate joined on term; N and T attach as a
+    * broadcast 1-row frame (no driver collect); the final top-k cut is a
+    * window partitioned BY QUERY — bounded by k·|queries| rows out, and
+    * each query partition holds only docs that matched ≥1 term.
+    */
+  /** Fixed retrieval query set over the synthetic corpus vocabulary —
+    * the `bm25_topk` driver-contract queries.
+    */
+  val DefaultRetrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "q_hash_join" -> Seq("hash", "join"),
+    "q_sort_merge" -> Seq("sort", "merge"),
+    "q_stream_window" -> Seq("stream", "window", "agg"))
+
+  def bm25TopK(docs: DataFrame,
+               queries: Seq[(String, Seq[String])],
+               k: Int = 5,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(
+      queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "tok"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val corpus = docs.agg(count(lit(1)).as("_n"))
+      .crossJoin(docs.select(explode(split(lower(col(textCol)), " "))
+        .as("_t")).agg(count(lit(1)).as("_tt")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score_fp"), asc("doc_id"))
+    tf.join(qdf, Seq("tok"))
+      .join(dfreq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("_dlr_fp", expr("(dl * 1000L * _n) DIV _tt"))
+      .withColumn("_idf_fp",
+        expr("((2L * (_n - df) + 1L) * 1000000L) DIV (2L * df + 1L)"))
+      .withColumn("_tfc_fp",
+        expr("(22000L * tf * 100000L) DIV " +
+          "(10000L * tf + 3000L + 9L * _dlr_fp)"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("_idf_fp * _tfc_fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms").cast("long").as("n_terms"), col("score_fp"),
+        (col("score_fp").cast("double") / lit(1e11)).as("score"))
+  }
+
+  /** Inverted index over the corpus: one row per term with document
+    * frequency, total term frequency, and a BOUNDED posting list — the
+    * `maxPostings` highest-tf documents serialized `doc:tf;…` (tf desc,
+    * doc_id asc). The structure behind [[bm25TopK]] made materializable:
+    * build once, range-partition by term, and point-lookups become
+    * parquet row-group hits.
+    *
+    * The posting-list cut uses [[graft.functions.TopKAggregator]] — a
+    * bounded-memory partial-aggregated top-k, NOT a window sort, so a
+    * stopword term with 10^9 postings costs O(n log k) map-side work
+    * instead of a full per-term shuffle sort (the same window-vs-
+    * aggregator contrast as `topk_per_category{,_agg}`). Doc ids ride
+    * through the aggregator zero-padded to 12 digits so the tie-break
+    * orders numerically, and are stripped on output.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 5,
+                    textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = tf.groupBy("tok").agg(count(lit(1)).as("df"),
+      sum("tf").as("total_tf"))
+    val top = graft.functions.TopKAggregator.topKPerGroup(
+      tf.select(col("tok"), col("tf").cast("double").as("score"),
+        lpad(col("doc_id").cast("string"), 12, "0").as("payload")),
+      "tok", "score", "payload", maxPostings)
+    val postings = top
+      // collect_list order is partition-arbitrary; rk (1..k, unique per
+      // group) rides in struct position 0 so array_sort rebuilds the
+      // total order before the join to a string
+      .select(col("tok"), struct(col("rk").as("rk"),
+        concat_ws(":", col("payload").cast("long").cast("string"),
+          col("score").cast("long").cast("string")).as("entry")).as("_e"))
+      .groupBy("tok")
+      .agg(array_join(transform(array_sort(collect_list(col("_e"))),
+        e => e.getField("entry")), ";").as("postings"))
+    stats.join(postings, Seq("tok"))
+      .select(col("tok").as("term"), col("df"), col("total_tf"),
+        col("postings"))
+  }
+
+  /** Windowed co-occurrence + PMI-surrogate association scores: for every
+    * ordered token pair (x, y) with y within `window` positions after x,
+    * count co-occurrences and score association as the pointwise mutual
+    * information RATIO `(c_xy · n_pairs) / (c_x · c_y)` — PMI without its
+    * logarithm (same ordering, and `ln` is not portably rounded; see
+    * [[topTerms]]). The score is emitted fixed-point
+    * (`(c_xy·n_pairs·10^6) div (c_x·c_y)`) plus a single-IEEE-division
+    * double twin. The word-embedding / collocation-mining primitive.
+    *
+    * Plan: positions explode into (pos, tok) pairs joined per doc on a
+    * position-offset equi-join (offset ∈ [1, window] — `window` copies,
+    * NOT a range join), then two vocabulary-sized aggregates; margins
+    * join back on x and y. Only pairs with `c_xy ≥ minCount` survive to
+    * the output (collocation mining's support threshold), keeping the
+    * result vocabulary²-bounded in theory but support-bounded in
+    * practice.
+    */
+  def pmiCooccur(docs: DataFrame, window: Int = 2, minCount: Long = 50,
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(lower(col(textCol)), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = (1 to window).map(lit(_))
+    val right = toks.select(col("doc_id"), col("pos").as("_rpos"),
+      col("tok").as("y"))
+    val pairs = toks
+      .withColumn("_off", explode(array(offsets: _*)))
+      .withColumn("_rpos", col("pos") + col("_off"))
+      .join(right, Seq("doc_id", "_rpos"))
+      .select(col("tok").as("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val cx = pairs.groupBy("x").agg(count(lit(1)).as("c_x"))
+    val cy = pairs.groupBy("y").agg(count(lit(1)).as("c_y"))
+    val n = pairs.agg(count(lit(1)).as("_np"))
+    cxy.where(col("c_xy") >= minCount)
+      .join(cx, Seq("x")).join(cy, Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("(c_xy * _np * 1000000L) DIV (c_x * c_y)").as("pmi_fp"),
+        (col("c_xy").cast("double") * col("_np") /
+          (col("c_x").cast("double") * col("c_y"))).as("pmi_ratio"))
+  }
+
   // Small per-language stopword lists for the heuristic. Deliberately tiny:
   // the point is the (portable, codegen'd) mechanism, not lexicon coverage.
   val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")

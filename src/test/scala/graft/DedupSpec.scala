@@ -328,6 +328,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Map(0L -> 0L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("kCore: cascading peel strips the pendant chain, keeps the " +
+       "triangle") {
+    // Triangle 1-2-3 with a pendant chain 3-4-5: round 1 peels 5
+    // (degree 1), which DROPS 4 to degree 1 — round 2 peels 4. The
+    // 2-core is the triangle alone, every vertex at within-core
+    // degree 2. Exercises the cascade, not just one peel round.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val core = Dedup.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // An acyclic graph has an EMPTY 2-core (everything peels away).
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(Dedup.kCore(path, k = 2).count() === 0L)
+  }
+
   test("connectedComponents propagates labels across a chain") {
     // Diameter-3 chain: the label must take 3 propagation rounds to reach
     // the far end — exercises the iteration, not just one hop.

@@ -38,6 +38,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((7L, 1L, 3L), (7L, 2L, 1L), (8L, 1L, 2L)))
   }
 
+  test("sessionOverlapPairs: overlap detected across hour-bin " +
+       "boundaries, touch counts, disjoint doesn't") {
+    // u7: sessions [0,2] and [90,90]; u8: [0,5]; u9: [58,95] (22/15-min
+    // gaps keep it one session, and it straddles the 60-min bin edge).
+    val ev = (Seq((1L, ts(0), 7L, "c", 1.0), (2L, ts(2), 7L, "c", 1.0),
+      (3L, ts(90), 7L, "c", 1.0), (4L, ts(0), 8L, "c", 1.0),
+      (5L, ts(5), 8L, "c", 1.0), (6L, ts(58), 9L, "c", 1.0),
+      (7L, ts(80), 9L, "c", 1.0), (8L, ts(95), 9L, "c", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.sessionOverlapPairs(ev)
+      .orderBy("user_a", "session_a", "user_b", "session_b")
+      .collect().map(r => (r.getAs[Long]("user_a"),
+        r.getAs[Long]("session_a"), r.getAs[Long]("user_b"),
+        r.getAs[Long]("session_b"), r.getAs[Long]("overlap_ms")))
+    // u7s1×u8s1 overlap 2 min; u7s2 [90,90] touches u9 [58,95] → 0-ms
+    // overlap INCLUDED (inclusive endpoints, despite different hour
+    // bins for the session starts); u7s1/u7s2 same user → excluded;
+    // u8 [0,5] vs u9 [58,95] disjoint → excluded.
+    assert(out.toSeq === Seq(
+      (7L, 1L, 8L, 1L, 2L * 60000),
+      (7L, 2L, 9L, 1L, 0L)))
+  }
+
   test("sessionWindows: same gap grouping as sessionize on clear gaps") {
     val out = EventOps.sessionWindows(events)
       .orderBy("user_id", "session_start_ms")

@@ -31,6 +31,58 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, "aa", "ab", "aaab", 3L)))
   }
 
+  test("invertedIndex: hand-computed df/total_tf and tf-desc, id-asc " +
+       "bounded postings") {
+    val d = Seq((0L, "a b a"), (1L, "b b b c"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(d, maxPostings = 2).orderBy("term")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Long]("total_tf"), r.getAs[String]("postings")))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 3L, "0:2;2:1"),     // tf desc
+      ("b", 2L, 4L, "1:3;0:1"),
+      ("c", 1L, 1L, "1:1")))
+    // maxPostings caps the list but never df/total_tf
+    val capped = TextOps.invertedIndex(d, maxPostings = 1).orderBy("term")
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[String]("postings")))
+    assert(capped.toSeq === Seq(("a", "0:2"), ("b", "1:3"), ("c", "1:1")))
+  }
+
+  test("bm25TopK: fixed-point scores match the hand-computed formula; " +
+       "shorter doc outranks on equal idf") {
+    val d = Seq((0L, "a b a"), (1L, "b b b c"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(d, Seq("q" -> Seq("a")), k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_fp")))
+    // N=3, T=8, df(a)=2 → idf_fp = ((2·1+1)·10^6)//5 = 600000.
+    // doc0: dl=3, tf=2 → dlr=(3·1000·3)//8=1125;
+    //   tfc=(22000·2·10^5)//(20000+3000+9·1125)=4400000000//33125=132830
+    // doc2: dl=1, tf=1 → dlr=375;
+    //   tfc=2200000000//16375=134351 → the shorter doc wins
+    assert(out.toSeq === Seq(
+      ("q", 1L, 2L, 600000L * 134351L),
+      ("q", 2L, 0L, 600000L * 132830L)))
+  }
+
+  test("pmiCooccur: hand-computed windowed pair counts and fp ratios") {
+    val d = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val out = TextOps.pmiCooccur(d, window = 2, minCount = 1)
+      .orderBy("x", "y").collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
+        r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+        r.getAs[Long]("pmi_fp")))
+    // pairs within +1/+2: (a,b)@0→1 (a,a)@0→2 (b,a)@1→2 (b,b)@1→3
+    // (a,b)@2→3 → np=5; c_x: a=3 b=2; c_y: a=2 b=3
+    assert(out.toSeq === Seq(
+      ("a", "a", 1L, 3L, 2L, 5000000L / 6),
+      ("a", "b", 2L, 3L, 3L, 10000000L / 9),
+      ("b", "a", 1L, 2L, 2L, 1250000L),
+      ("b", "b", 1L, 2L, 3L, 5000000L / 6)))
+  }
+
   test("bpeEncodeTokens: trained merges tokenize the corpus, chars " +
        "conserved") {
     val d = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
