@@ -725,6 +725,50 @@ private[graft] object EntryOraclesB {
         |SELECT s.tok AS term, s.df, s.total_tf, p.postings
         |FROM s JOIN p ON s.tok = p.tok ORDER BY term""".stripMargin,
 
+    // Exact discrete percentiles at binary fractions + the same
+    // comparison-chain bucket assignment.
+    "range_bounds" -> {
+      val bs = (1 to 7).map(i =>
+        s"percentile_disc(0.${i * 125}) " +
+          s"WITHIN GROUP (ORDER BY l_extendedprice) AS _b$i")
+        .mkString(",\n  ")
+      val cases = (1 to 7).map(i =>
+        s"(CASE WHEN l_extendedprice > _b$i THEN 1 ELSE 0 END)")
+        .mkString(" +\n    ")
+      s"""WITH b AS (SELECT $bs FROM lineitem),
+         |a AS (SELECT l_extendedprice AS v,
+         |  CAST($cases AS BIGINT) AS bucket
+         |  FROM lineitem CROSS JOIN b)
+         |SELECT bucket, COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    // Quadratic NOT-EXISTS domination check — fine at oracle scale; the
+    // Spark side is the two-phase prefix-max skyline.
+    "pareto_front" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  len(list_filter(toks, x -> x IN $enList)) AS hits FROM t),
+         |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  (CASE WHEN n_tokens >= 20 THEN 1.0
+         |        ELSE n_tokens / 20.0 END) * 0.4 +
+         |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
+         |  (CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.02
+         |        THEN 1.0 ELSE 0.0 END) * 0.2 AS quality_score
+         |  FROM s),
+         |pts AS (SELECT quality_score, n_tokens, COUNT(*) AS n_docs,
+         |    MIN(doc_id) AS min_doc_id
+         |  FROM q GROUP BY 1, 2)
+         |SELECT quality_score, n_tokens, n_docs, min_doc_id FROM pts p
+         |WHERE NOT EXISTS (SELECT 1 FROM pts e
+         |  WHERE e.quality_score >= p.quality_score
+         |    AND e.n_tokens >= p.n_tokens
+         |    AND (e.quality_score > p.quality_score
+         |         OR e.n_tokens > p.n_tokens))
+         |ORDER BY quality_score DESC, n_tokens""".stripMargin,
+
     // Direct range-predicate join (DuckDB's IEJoin handles it natively);
     // the Spark side's bin-bucketing + distinct lands on the same pairs.
     "session_overlap" ->

@@ -891,6 +891,23 @@ private[graft] object EntryQueries {
           col("score"))
         .orderBy(col("doc_id"), desc("score"), col("term"))),
 
+    // Equi-depth range-partition bounds over the lineitem price column —
+    // 8 buckets, exact discrete percentiles, per-bucket verification agg.
+    "range_bounds" -> ((s, dir) =>
+      Scale.rangeBounds(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("bucket")),
+
+    // 2-D Pareto front of (quality_score, n_tokens) document points —
+    // two-phase prefix-max skyline, no unpartitioned window.
+    "pareto_front" -> ((s, dir) =>
+      Scale.paretoFront2D(
+        TextOps.qualityScore(TextOps.tokenStats(docs(s, dir)))
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("quality_score")),
+        "doc_id", "n_tokens", "quality_score")
+        .orderBy(desc("quality_score"), asc("n_tokens"))),
+
     // BM25 top-k retrieval (log-free fixed-point scoring) for the three
     // contract queries — query_id/rank is a total order.
     "bm25_topk" -> ((s, dir) =>

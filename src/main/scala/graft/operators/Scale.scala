@@ -137,6 +137,80 @@ object Scale {
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
 
+  /** Equi-depth range-partition bounds — the sampling-free exact form of
+    * the boundary computation every range partitioner (terasort, Spark's
+    * own `repartitionByRange`) runs on a sample: split `valueCol` into
+    * `buckets` buckets of ~equal row count and report each bucket's
+    * actual population and value range. Discrete percentiles on purpose
+    * (`percentile_disc` returns real data values, no interpolation
+    * arithmetic — bit-identical in any engine; same reasoning as
+    * [[TextOps.lengthBandFilter]]). The bounds attach as a broadcast
+    * 1-row frame; bucket assignment is a codegen'd chain of
+    * comparisons, and the verification aggregate is partial-agg'd.
+    * `buckets` should be a power of two so the percentile fractions are
+    * exact binary doubles.
+    */
+  def rangeBounds(df: DataFrame, valueCol: String,
+                  buckets: Int = 8): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (exact binary percentile fractions)")
+    val qs = (1 until buckets).map(i =>
+      expr(s"percentile_disc(${i.toDouble / buckets}) WITHIN GROUP " +
+        s"(ORDER BY $valueCol)").as(s"_b$i"))
+    val bounds = df.agg(qs.head, qs.tail: _*)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (1 until buckets).map(i =>
+          when(col(valueCol) > col(s"_b$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
+  /** 2-D Pareto front (skyline): the distinct (y, x) points not dominated
+    * by any other point (dominated = some point ≥ in both coordinates,
+    * > in at least one), each with its population and canonical id — the
+    * "best trade-off" extractor (e.g. documents maximal in quality AND
+    * length; no other doc beats them on both axes).
+    *
+    * The classic single-pass algorithm sorts by (y desc, x desc) and
+    * keeps rows whose x exceeds the running max of everything before —
+    * but a global sort + unpartitioned window is exactly the plan shape
+    * this repo bans. Instead the prefix-max runs two-phase, like
+    * [[TextOps.packSequences]]' prefix sum: range-repartition on the
+    * sort key, per-partition running max under a PARTITIONED window,
+    * per-partition maxima prefix-combined through a ≤ partitions²
+    * broadcast triangular join. Dedup-to-distinct-points first makes the
+    * tie semantics exact (coincident points tie, neither dominates) and
+    * shrinks the sorted set to the distinct-value count.
+    */
+  def paretoFront2D(points: DataFrame, idCol: String, xCol: String,
+                    yCol: String, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = points.groupBy(col(yCol).as("_y"), col(xCol).as("_x"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("_mid"))
+    val parts = pts.repartitionByRange(partitions, desc("_y"), desc("_x"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("_pid").orderBy(desc("_y"), desc("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("_lmax", max("_x").over(w))
+    val pmax = parts.groupBy("_pid").agg(max("_x").as("_pmax"))
+    val pref = pmax.as("a")
+      .join(broadcast(pmax.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(max(col("b._pmax")).as("_prefmax"))
+    local.join(broadcast(pref), Seq("_pid"))
+      // greatest() skips nulls (first partition / first row have no
+      // predecessors); a point is dominated iff some strictly-earlier
+      // point in (y desc, x desc) order has x ≥ its own
+      .withColumn("_dommax", greatest(col("_lmax"), col("_prefmax")))
+      .where(col("_dommax").isNull || col("_dommax") < col("_x"))
+      .select(col("_y").as(yCol), col("_x").as(xCol), col("n_docs"),
+        col("_mid").as("min_" + idCol))
+  }
+
   /** Number of files the scan of `df` will actually read after partition
     * pruning — the observable data-skipping effect of [[writeLayout]].
     * Descends into AQE-wrapped plans (AdaptiveSparkPlanExec is a leaf of

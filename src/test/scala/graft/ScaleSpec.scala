@@ -59,6 +59,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(misses === 0L)
   }
 
+  test("rangeBounds: equi-depth buckets on a uniform column, depths " +
+       "within one row, ranges non-overlapping and ordered") {
+    val d = (1 to 64).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Scale.rangeBounds(d, "v", buckets = 4).orderBy("bucket")
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    // 64 uniform rows into 4 buckets: exactly 16 each; contiguous ranges.
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).toSeq === Seq(16L, 16L, 16L, 16L))
+    assert(out.sliding(2).forall { case Array(a, b) => a._4 < b._3 })
+  }
+
+  test("paretoFront2D: non-dominated points only, coincident points " +
+       "tie and both survive via the count") {
+    // Points: (y=3,x=1) front; (3,1) duplicate (same point — counts 2);
+    // (2,5) front; (2,4) dominated by (2,5); (1,5) dominated by (2,5);
+    // (1,9) front.
+    val pts = Seq((10L, 1L, 3.0), (11L, 1L, 3.0), (12L, 5L, 2.0),
+      (13L, 4L, 2.0), (14L, 5L, 1.0), (15L, 9L, 1.0))
+      .toDF("doc_id", "x", "y")
+    val out = Scale.paretoFront2D(pts, "doc_id", "x", "y", partitions = 3)
+      .orderBy(desc("y"), asc("x")).collect()
+      .map(r => (r.getAs[Double]("y"), r.getAs[Long]("x"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_doc_id")))
+    assert(out.toSeq === Seq((3.0, 1L, 2L, 10L), (2.0, 5L, 1L, 12L),
+      (1.0, 9L, 1L, 15L)))
+  }
+
   test("writeLayout: partition pruning reads only the predicate's files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout")
       .resolve("docs").toString
