@@ -725,6 +725,78 @@ private[graft] object EntryOraclesB {
         |SELECT s.tok AS term, s.df, s.total_tf, p.postings
         |FROM s JOIN p ON s.tok = p.tok ORDER BY term""".stripMargin,
 
+    "source_drift" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS c_st FROM tk GROUP BY 1, 2),
+        |t AS (SELECT tok, COUNT(*) AS c_t FROM tk GROUP BY 1),
+        |ns AS (SELECT source, COUNT(*) AS n_s FROM tk GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM tk),
+        |dense AS (SELECT ns.source, ns.n_s, t.c_t,
+        |    COALESCE(st.c_st, 0) AS c_st
+        |  FROM ns CROSS JOIN t
+        |  LEFT JOIN st ON st.source = ns.source AND st.tok = t.tok),
+        |agg AS (SELECT d.source, CAST(MAX(d.n_s) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_terms,
+        |    CAST(SUM(abs((c_st * 1000000) // n_s
+        |                 - (c_t * 1000000) // nn)) AS BIGINT) AS tv_fp
+        |  FROM dense d CROSS JOIN n GROUP BY 1)
+        |SELECT source, n_tokens, n_terms, tv_fp,
+        |  CAST(tv_fp AS DOUBLE) / 2000000.0 AS tv
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // aHash + banding replay over the same recursive-CTE LCG byte
+    // generator as multimodal_features (byte i = top byte of iterate
+    // i+2); corrupted copies xor bit 7 of byte 7, exactly as
+    // Multimodal.corruptCopies does.
+    "phash_pairs" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+        |ids AS (SELECT unnest(range((SELECT c FROM n))) AS id),
+        |g(asset_id, i, x) AS (
+        |  SELECT CAST(id AS BIGINT), 0,
+        |    CAST((((CAST(id AS HUGEINT) * 6364136223846793005
+        |             + 1442695040888963407) % 18446744073709551616)
+        |          * 6364136223846793005 + 1442695040888963407)
+        |         % 18446744073709551616 AS HUGEINT)
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT asset_id, i + 1,
+        |    CAST(((x * 6364136223846793005) % 18446744073709551616
+        |          + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+        |  FROM g WHERE i < 63),
+        |b AS (SELECT asset_id, i,
+        |    CAST(x // 72057594037927936 AS BIGINT) AS v FROM g),
+        |b2 AS (SELECT asset_id + (SELECT c FROM n) AS asset_id, i,
+        |    CASE WHEN i = 7 THEN xor(v, 128) ELSE v END AS v
+        |  FROM b WHERE asset_id % 5 = 0),
+        |allb AS (SELECT * FROM b UNION ALL SELECT * FROM b2),
+        |m AS (SELECT asset_id, SUM(v) // 64 AS mean FROM allb GROUP BY 1),
+        |h AS (SELECT a.asset_id,
+        |    CAST(SUM(CASE WHEN v > mean AND i < 32
+        |      THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END) AS BIGINT)
+        |      AS hash_hi,
+        |    CAST(SUM(CASE WHEN v > mean AND i >= 32
+        |      THEN (CAST(1 AS BIGINT) << (63 - i)) ELSE 0 END) AS BIGINT)
+        |      AS hash_lo
+        |  FROM allb a JOIN m ON a.asset_id = m.asset_id GROUP BY 1),
+        |bands AS (
+        |  SELECT asset_id, 0 AS band, hash_hi // 65536 AS bkey FROM h
+        |  UNION ALL SELECT asset_id, 1, hash_hi % 65536 FROM h
+        |  UNION ALL SELECT asset_id, 2, hash_lo // 65536 FROM h
+        |  UNION ALL SELECT asset_id, 3, hash_lo % 65536 FROM h),
+        |cand AS (SELECT DISTINCT x.asset_id AS asset_a,
+        |    y.asset_id AS asset_b
+        |  FROM bands x JOIN bands y ON x.band = y.band
+        |    AND x.bkey = y.bkey AND x.asset_id < y.asset_id),
+        |sc AS (SELECT c.asset_a, c.asset_b,
+        |    CAST(bit_count(xor(ha.hash_hi, hb.hash_hi))
+        |       + bit_count(xor(ha.hash_lo, hb.hash_lo)) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c JOIN h ha ON c.asset_a = ha.asset_id
+        |  JOIN h hb ON c.asset_b = hb.asset_id)
+        |SELECT asset_a, asset_b, hamming FROM sc WHERE hamming <= 8
+        |ORDER BY asset_a, asset_b""".stripMargin,
+
     // Exact discrete percentiles at binary fractions + the same
     // comparison-chain bucket assignment.
     "range_bounds" -> {

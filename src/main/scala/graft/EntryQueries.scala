@@ -924,6 +924,11 @@ private[graft] object EntryQueries {
       TextOps.pmiCooccur(docs(s, dir))
         .orderBy("x", "y")),
 
+    // Per-source total-variation drift vs the corpus distribution —
+    // ppm fixed-point, vocabulary-bounded densification.
+    "source_drift" -> ((s, dir) =>
+      TextOps.sourceDrift(docs(s, dir)).orderBy("source")),
+
     // Corpus-relative length band: keep docs inside the [P5, P95]
     // discrete-quantile token-count band.
     "length_filter" -> ((s, dir) =>
@@ -1045,6 +1050,19 @@ private[graft] object EntryQueries {
           // serialized: array columns crash the driver's comparator
           to_json(col("histogram")).as("histogram"))
         .orderBy("asset_id")
+    }),
+
+    // Perceptual-hash near-dup detection: every 5th asset re-appears as a
+    // one-byte-flipped "corrupted re-upload"; banded 64-bit aHash LSH
+    // join + exact Hamming filter finds the copies. The decode-to-
+    // thumbnail is the stubbed codec step; hashing/banding replay in SQL.
+    "phash_pairs" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      val base = Multimodal.synthesize(s, n, payloadBytes = 512)
+      val all = base.select(col("asset_id"), col("bytes"))
+        .unionAll(Multimodal.corruptCopies(base, idOffset = n))
+      Multimodal.phashPairs(Multimodal.perceptualHash(all))
+        .orderBy("asset_a", "asset_b")
     }),
 
     // Integer core of the feature path, oracle-checked end-to-end: the

@@ -161,6 +161,95 @@ object Multimodal {
         expr(s"substring(bytes, frame_no * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))
 
+  /** Deterministic "corrupted re-upload" copies: every `every`-th asset
+    * re-appears under `asset_id + idOffset` with ONE payload byte flipped
+    * (bit 7 of byte `flipPos`) — the near-duplicate-image population a
+    * perceptual-hash dedup pass exists to catch (same picture, different
+    * file bytes). Codec-slot `mapPartitions` like [[resizeStub]]; the
+    * LCG + single-xor derivation stays exactly replayable in SQL.
+    */
+  def corruptCopies(assets: DataFrame, idOffset: Long, every: Int = 5,
+                    flipPos: Int = 7): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType))))
+    assets.where(col("asset_id") % every === 0)
+      .select("asset_id", "bytes").mapPartitions { it =>
+        it.map { r =>
+          val b = r.getAs[Array[Byte]](1).clone()
+          b(flipPos) = (b(flipPos) ^ 0x80).toByte
+          Row(r.getLong(0) + idOffset, b)
+        }
+      }(enc)
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint: the first 64 payload
+    * bytes stand in for an 8×8 grayscale thumbnail (the decode+resize
+    * that produces such a thumbnail is this container's stubbed codec
+    * step); bit i is set iff pixel i exceeds the integer mean. Packed as
+    * TWO non-negative 32-bit halves (`hash_hi` = pixels 0–31,
+    * `hash_lo` = 32–63, MSB-first) rather than one 64-bit word: bit 63
+    * would land in a BIGINT's sign bit, and signed-shift semantics are
+    * the kind of cross-engine edge the oracle rules ban. Per-partition
+    * batch shape, like [[extractFeatures]].
+    */
+  def perceptualHash(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("hash_hi", LongType, nullable = false),
+      StructField("hash_lo", LongType, nullable = false))))
+    assets.select("asset_id", "bytes").mapPartitions { it =>
+      it.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += (b(i) & 0xFF); i += 1 }
+        val mean = sum / 64
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < 64) {
+          if ((b(i) & 0xFF) > mean) {
+            if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
+          }
+          i += 1
+        }
+        Row(r.getLong(0), hi, lo)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate asset pairs by banded perceptual hash: the 64 aHash
+    * bits split into four 16-bit band keys; only assets agreeing on ≥ 1
+    * full band meet in an EQUI-join (the SimHash-LSH shape — candidate
+    * count is bucket-bounded, never all-pairs), then the exact Hamming
+    * distance filters. Standard LSH recall semantics: a pair with > 3
+    * bits spread over all four bands can be missed; the oracle replays
+    * the same banding, so the contract is exact.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val banded = hashes.select(col("asset_id"), col("hash_hi"),
+        col("hash_lo"),
+        posexplode(array(
+          expr("hash_hi DIV 65536"), expr("hash_hi % 65536"),
+          expr("hash_lo DIV 65536"), expr("hash_lo % 65536")))
+          .as(Seq("band", "bkey")))
+    val a = banded.select(col("band").as("_band_a"),
+      col("bkey").as("_bkey_a"), col("asset_id").as("asset_a"),
+      col("hash_hi").as("_hi_a"), col("hash_lo").as("_lo_a"))
+    val b = banded.select(col("band").as("_band_b"),
+      col("bkey").as("_bkey_b"), col("asset_id").as("asset_b"),
+      col("hash_hi").as("_hi_b"), col("hash_lo").as("_lo_b"))
+    a.join(b, col("_band_a") === col("_band_b") &&
+        col("_bkey_a") === col("_bkey_b") &&
+        col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        (expr("bit_count(_hi_a ^ _hi_b)") +
+         expr("bit_count(_lo_a ^ _lo_b)")).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** "Resize" stub: deterministic downsample of the payload (every k-th
     * byte) — stands in for a real resample/resize kernel; keeps the
     * binary-in/binary-out plumbing honest.

@@ -1273,6 +1273,37 @@ object TextOps {
           (col("c_x").cast("double") * col("c_y"))).as("pmi_ratio"))
   }
 
+  /** Per-source distribution drift: total-variation distance between each
+    * source's token distribution and the whole corpus's — the mixture
+    * monitor a multi-source training pipeline watches to catch one feed
+    * going off-distribution (scraper broke, new domain dominating).
+    * TV = ½·Σ_t |p_s(t) − p(t)|, computed in parts-per-million
+    * fixed-point with integer floor-division only, summed exactly
+    * (order-free), finished by one IEEE division — the same portability
+    * discipline as [[lmScore]]. The densification cross join is
+    * |sources| × |vocabulary| — vocabulary-bounded, not corpus-bounded —
+    * so absent terms correctly contribute |0 − p(t)|.
+    */
+  def sourceDrift(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val t = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val n = toks.agg(count(lit(1)).as("_n"))
+    broadcast(ns).crossJoin(t)
+      .join(st, Seq("source", "tok"), "left")
+      .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("_a", expr("(c_st * 1000000L) DIV n_s"))
+      .withColumn("_b", expr("(c_t * 1000000L) DIV _n"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(abs(col("_a") - col("_b"))).as("tv_fp"))
+      .withColumn("tv", col("tv_fp").cast("double") / 2000000.0)
+  }
+
   // Small per-language stopword lists for the heuristic. Deliberately tiny:
   // the point is the (portable, codegen'd) mechanism, not lexicon coverage.
   val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")

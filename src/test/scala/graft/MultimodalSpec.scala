@@ -21,6 +21,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.getInt(0) >= 64)  // width
   }
 
+  test("perceptualHash: mean-threshold bits packed MSB-first into two " +
+       "non-negative halves") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Pixels 0–31 bright (200), 32–63 dark (10): mean = 105, so exactly
+    // the first half is set → hash_hi all-ones 32 bits, hash_lo zero.
+    val bytes = (Array.fill(32)(200.toByte) ++ Array.fill(32)(10.toByte))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, bytes)),
+      StructType(Seq(StructField("asset_id", LongType, false),
+        StructField("bytes", BinaryType))))
+    val h = Multimodal.perceptualHash(df).collect().head
+    assert(h.getAs[Long]("hash_hi") === 0xFFFFFFFFL)
+    assert(h.getAs[Long]("hash_lo") === 0L)
+  }
+
+  test("corruptCopies: every 5th asset re-appears offset with exactly " +
+       "byte 7's top bit flipped") {
+    val base = Multimodal.synthesize(spark, 10, payloadBytes = 512)
+    val copies = Multimodal.corruptCopies(base, idOffset = 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(copies.keySet === Set(10L, 15L))
+    val orig = base.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    for ((id, b) <- copies; o = orig(id - 10)) {
+      assert(b(7) === (o(7) ^ 0x80).toByte)
+      assert(b.indices.filter(i => b(i) != o(i)) === Seq(7))
+    }
+  }
+
+  test("phashPairs: identical hashes at hamming 0, one-bit neighbors " +
+       "found via the surviving bands, unrelated hashes absent") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, false),
+      StructField("hash_hi", LongType, false),
+      StructField("hash_lo", LongType, false)))
+    val h1 = 0x00010002L; val l1 = 0x00030004L
+    val rows = java.util.List.of(
+      Row(1L, h1, l1), Row(2L, h1, l1),           // identical
+      Row(3L, h1 ^ (1L << 30), l1),               // 1 bit off in band 0
+      Row(4L, 0x7A5A0F0FL, 0x13371337L))          // unrelated, no band hit
+    val pairs = Multimodal.phashPairs(
+        spark.createDataFrame(rows, schema), maxHamming = 8)
+      .orderBy("asset_a", "asset_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("extractFeatures: per-partition histogram + entropy, full coverage") {
     val feats = Multimodal.extractFeatures(Multimodal.synthesize(spark, 20))
       .collect()

@@ -67,6 +67,19 @@ class TextOpsSpec extends AnyFunSuite {
       ("q", 2L, 0L, 600000L * 132830L)))
   }
 
+  test("sourceDrift: hand-computed ppm total-variation, absent terms " +
+       "counted against the source") {
+    val d = Seq((0L, "a a b", "s1"), (1L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceDrift(d).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("tv_fp")))
+    // corpus ppm: a=600000 b=400000. s1: a=666666 b=333333 →
+    // 66666+66667; s2: a=b=500000 → 100000+100000.
+    assert(out.toSeq === Seq(("s1", 3L, 2L, 133333L),
+      ("s2", 2L, 2L, 200000L)))
+  }
+
   test("pmiCooccur: hand-computed windowed pair counts and fp ratios") {
     val d = Seq((0L, "a b a b")).toDF("doc_id", "text")
     val out = TextOps.pmiCooccur(d, window = 2, minCount = 1)
