@@ -66,6 +66,49 @@ class PlanContractSpec extends AnyFunSuite {
         "row_number window over the segment hash")
   }
 
+  test("session_overlap's range join executes as a bin-keyed equi-join, " +
+       "never a nested loop") {
+    val p = fmt("session_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the interval join must equi-join on the hour-bin key; a " +
+        "nested-loop plan means the bin key failed to reach the join")
+  }
+
+  test("pareto_front plans no unpartitioned window (two-phase prefix max)") {
+    val p = fmt("pareto_front")
+    assert(!p.contains("CartesianProduct"))
+    // every Window node must carry a partition spec — the single-pass
+    // skyline's global running max is exactly what the operator avoids
+    val winSpecs = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("_pid")),
+      s"window must be partitioned by _pid, got: $winSpecs")
+  }
+
+  test("inverted_index cuts postings with the typed aggregator — no " +
+       "per-term sort of the postings") {
+    val p = fmt("inverted_index")
+    assert(p.contains("TopKAggregator") || p.contains("ObjectHashAggregate"),
+      "posting-list cut must be the bounded-buffer aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("phash_pairs candidates come from the band equi-join, not " +
+       "all-pairs") {
+    val p = fmt("phash_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("bm25_topk: the corpus-stats attach is the only nested-loop " +
+       "(1-row broadcast); term joins are hash joins") {
+    val p = fmt("bm25_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2,
+      "query-term and df joins must be broadcast hash joins")
+  }
+
   test("gopher_rules is a single narrow projection — no shuffle, no join") {
     val p = fmt("gopher_rules")
     val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).size
