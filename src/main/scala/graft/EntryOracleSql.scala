@@ -303,6 +303,46 @@ r$i AS MATERIALIZED (SELECT e.src, e.dst FROM r${i - 1} e
     sb.toString
   }
 
+  /** Unrolled synchronous label-propagation replay over the SimHash pair
+    * graph — per round: neighbor-label counts, argmax via the identical
+    * (count desc, label asc) row_number, left-join-back. `iters` must
+    * equal the operator's fixed round count (the contract is
+    * round-exact, not fixpoint).
+    */
+  private[graft] def labelPropSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH sp AS MATERIALIZED (SELECT doc_a, doc_b FROM (\n")
+    sb.append(simhashMd5Sql)
+    sb.append("\n)),\nsym AS MATERIALIZED (")
+    sb.append("SELECT doc_a AS src, doc_b AS dst FROM sp\n")
+    sb.append("  UNION SELECT doc_b, doc_a FROM sp),\n")
+    sb.append("l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label" +
+      " FROM sym)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+c$i AS (SELECT e.dst AS v, l.label, COUNT(*) AS c FROM sym e
+  JOIN l${i - 1} l ON e.src = l.v GROUP BY 1, 2),
+p$i AS (SELECT v, label FROM (SELECT v, label,
+    ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+  FROM c$i) WHERE rn = 1),
+l$i AS MATERIALIZED (SELECT b.v, COALESCE(p.label, b.label) AS label
+  FROM l${i - 1} b LEFT JOIN p$i p ON b.v = p.v)""")
+    }
+    sb.append(s"\nSELECT v AS doc_id, label AS community FROM l$iters " +
+      "ORDER BY doc_id")
+    sb.toString
+  }
+
+  /** First 12 md5 hex nibbles parsed positionally to a BIGINT (DuckDB has
+    * no conv(); 16^k weights are exact literals — same trick as the
+    * table_checksum fold). `m` must name a lowercase-hex md5 column.
+    */
+  private[graft] val md5Nibbles12: String =
+    (1 to 12).map(p =>
+      s"(strpos('0123456789abcdef', substr(m, $p, 1)) - 1) * " +
+        BigInt(16).pow(12 - p).toString)
+      .mkString(" + ")
+
   // ---- Generated LSH / IVF oracles ------------------------------------
   // The sign-random-projection hyperplanes are deterministic integer-mixed
   // doubles (Similarity.planeVec); they are inlined as SQL literals so

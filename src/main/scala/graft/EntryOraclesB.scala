@@ -463,6 +463,34 @@ private[graft] object EntryOraclesB {
     // fixpoint is stable under extra rounds — see kCoreSql's scaladoc).
     "kcore_graph" -> kCoreSql(2, 12),
 
+    // Round-exact 4-iteration LPA replay (NOT a fixpoint — LPA can
+    // oscillate; the fixed round count IS the contract).
+    "label_communities" -> labelPropSql(4),
+
+    "weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' '))
+         |    AS n_tokens FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS m FROM d WHERE n_tokens > 0),
+         |pr AS (SELECT doc_id, n_tokens,
+         |    CAST($md5Nibbles12 AS BIGINT) AS hv FROM h)
+         |SELECT doc_id, n_tokens, CAST(hv AS DOUBLE) / n_tokens AS priority
+         |FROM pr ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+
+    "decayed_counts" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |t AS (SELECT MAX(ms) AS tm FROM e),
+        |w AS (SELECT user_id, (tm - ms) // 3600000 AS h
+        |  FROM e CROSS JOIN t),
+        |a AS (SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN h <= 40 THEN
+        |      1099511627776 // (CAST(1 AS BIGINT) << CAST(h AS INT))
+        |      ELSE 0 END) AS BIGINT) AS decayed_fp
+        |  FROM w GROUP BY 1)
+        |SELECT user_id, n_events, decayed_fp,
+        |  CAST(decayed_fp AS DOUBLE) / 1099511627776.0 AS decayed
+        |FROM a ORDER BY user_id""".stripMargin,
+
     // Ordered wedge join over the a<b SimHash pair list: (a<b)⋈(b<c)
     // closed against (a<c) — each 3-clique exactly once. The pair CTE is
     // MATERIALIZED (three self-join arms would otherwise re-inline the

@@ -97,6 +97,11 @@ private[graft] object EntryQueries {
     "sessionize" -> ((s, dir) =>
       EventOps.sessionize(events(s, dir)).orderBy("user_id", "session_id")),
 
+    // Exponentially time-decayed per-user activity (quantized half-life
+    // periods → exact 2^-h rational weights, Q40 fixed-point).
+    "decayed_counts" -> ((s, dir) =>
+      EventOps.decayedCounts(events(s, dir)).orderBy("user_id")),
+
     // Interval-overlap range join over session intervals, executed as a
     // bin-bucketed EQUI-join (no nested-loop/cartesian node — pinned by
     // the plan audit); cross-user overlapping session pairs.
@@ -422,6 +427,13 @@ private[graft] object EntryQueries {
     "triangle_count" -> ((s, dir) =>
       Dedup.triangles(
         Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+
+    // Synchronous 4-round label propagation — communities over the same
+    // pair graph (finer than connected components across bridge edges).
+    "label_communities" -> ((s, dir) =>
+      Dedup.labelPropagation(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
 
     // 2-core of the SimHash pair graph: peel degree-<2 vertices to a
     // fixpoint — the dense-duplication-community detector. BSP peel loop
@@ -928,6 +940,11 @@ private[graft] object EntryQueries {
     // ppm fixed-point, vocabulary-bounded densification.
     "source_drift" -> ((s, dir) =>
       TextOps.sourceDrift(docs(s, dir)).orderBy("source")),
+
+    // Seeded sequential-Poisson weighted sample (k smallest h/weight
+    // priorities; TakeOrdered — no global sort).
+    "weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(docs(s, dir)).orderBy("priority", "doc_id")),
 
     // Corpus-relative length band: keep docs inside the [P5, P95]
     // discrete-quantile token-count band.

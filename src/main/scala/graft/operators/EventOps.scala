@@ -164,6 +164,33 @@ object EventOps {
            count(lit(1)).as("n_events"))
   }
 
+  /** Exponentially time-decayed activity counts per user: each event
+    * contributes `2^-(age/halfLife)` with the age QUANTIZED to whole
+    * half-life periods — which turns the decay weight into the exact
+    * rational `1/2^h`, computable with integer shift-and-divide and
+    * therefore bit-portable (a continuous `pow(2, -age/hl)` is libm —
+    * the class of op the oracle rules ban). Q40 fixed-point: weight_fp
+    * = 2^40 >> h, zero beyond 40 periods (guarded — a raw 64-bit shift
+    * would wrap at h ≥ 64). The recency-weighted engagement score every
+    * freshness-aware sampler runs; one partial-agg'd groupBy, reference
+    * time = corpus max event time attached as a broadcast 1-row frame.
+    */
+  def decayedCounts(events: DataFrame,
+                    halfLifeMs: Long = 3600000L): DataFrame = {
+    val e = events.select(col("user_id"), eventMs(events).as("_ms"))
+    val tmax = e.agg(max("_ms").as("_T"))
+    e.crossJoin(broadcast(tmax))
+      .withColumn("_h", expr(s"(_T - _ms) DIV ${halfLifeMs}L"))
+      .withColumn("_wfp",
+        when(col("_h") <= 40,
+          expr("1099511627776L DIV shiftleft(1L, cast(_h as int))"))
+          .otherwise(lit(0L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("_wfp").as("decayed_fp"))
+      .withColumn("decayed",
+        col("decayed_fp").cast("double") / 1099511627776.0)
+  }
+
   /** Interval-overlap self-join over [[sessionize]]'s session intervals:
     * every cross-user pair of sessions whose [start, end] ranges overlap
     * (inclusive endpoints), with the overlap length — concurrent-activity

@@ -1273,6 +1273,32 @@ object TextOps {
           (col("c_x").cast("double") * col("c_y"))).as("pmi_ratio"))
   }
 
+  /** Deterministic weighted sample without replacement — sequential
+    * Poisson sampling (Ohlsson): each document draws a uniform hash
+    * `h`, its priority is `h / weight`, and the k SMALLEST priorities
+    * win, so heavier documents (more tokens) are proportionally more
+    * likely to be kept. The "uniform" is the first 12 md5 nibbles of
+    * the doc id — reproducible across engines and runs (a seeded
+    * sample, not `rand()`), and the single `h/w` IEEE division is
+    * portable. The k-cut is `TakeOrdered` under the (priority, doc_id)
+    * total order: k rows cross the wire per partition, never a global
+    * sort. Null-text / token-less documents are excluded (no weight).
+    */
+  def weightedSample(docs: DataFrame, k: Int = 50,
+                     textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("_h",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10)")
+          .cast("long"))
+      .withColumn("priority",
+        col("_h").cast("double") / col("n_tokens"))
+      .orderBy("priority", "doc_id")
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("priority"))
+
   /** Per-source distribution drift: total-variation distance between each
     * source's token distribution and the whole corpus's — the mixture
     * monitor a multi-source training pipeline watches to catch one feed

@@ -344,6 +344,23 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.kCore(path, k = 2).count() === 0L)
   }
 
+  test("labelPropagation: bridged triangles form TWO communities where " +
+       "connected components would merge them") {
+    // Triangles {1,2,3} and {4,5,6} joined by bridge 3-4: one component,
+    // but LPA (4 rounds, hand-traced) settles on communities 1 and 3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.labelPropagation(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // sanity: CC merges everything into one cluster on the same graph
+    val cc = Dedup.connectedComponents(edges,
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cc === Set(1L))
+  }
+
   test("connectedComponents propagates labels across a chain") {
     // Diameter-3 chain: the label must take 3 propagation rounds to reach
     // the far end — exercises the iteration, not just one hop.

@@ -38,6 +38,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((7L, 1L, 3L), (7L, 2L, 1L), (8L, 1L, 2L)))
   }
 
+  test("decayedCounts: exact 2^-h half-life weights from the corpus " +
+       "max time, >40-period events contribute zero") {
+    val Q = 1099511627776L // 2^40
+    val ev = Seq(
+      (1L, ts(0), 7L, "c", 1.0),      // 2h before max → Q/4
+      (2L, ts(60), 7L, "c", 1.0),     // 1h before   → Q/2
+      (3L, ts(120), 7L, "c", 1.0),    // at max      → Q
+      (4L, ts(-60 * 41), 8L, "c", 1.0), // 42h+ ago  → h>40 → 0
+      (5L, ts(90), 8L, "c", 1.0))     // 30min ago → h=0 → Q
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.decayedCounts(ev).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("decayed_fp")))
+    assert(out.toSeq === Seq((7L, 3L, Q / 4 + Q / 2 + Q),
+      (8L, 2L, 0L + Q)))
+  }
+
   test("sessionOverlapPairs: overlap detected across hour-bin " +
        "boundaries, touch counts, disjoint doesn't") {
     // u7: sessions [0,2] and [90,90]; u8: [0,5]; u9: [58,95] (22/15-min

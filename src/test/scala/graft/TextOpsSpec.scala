@@ -67,6 +67,21 @@ class TextOpsSpec extends AnyFunSuite {
       ("q", 2L, 0L, 600000L * 132830L)))
   }
 
+  test("weightedSample: k smallest hash/weight priorities win, heavier " +
+       "docs more likely kept, deterministic across runs") {
+    val d = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "t " * 99 + "t" else "t")).toDF("doc_id", "text")
+    val s1 = TextOps.weightedSample(d, k = 40).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens")))
+    val s2 = TextOps.weightedSample(d, k = 40).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens")))
+    assert(s1.toSeq === s2.toSeq)          // seeded, not rand()
+    assert(s1.length === 40)
+    // 100-token docs are 100× likelier than 1-token docs: expect the
+    // sample to be overwhelmingly heavy docs (bound is loose on purpose)
+    assert(s1.count(_._2 == 100L) >= 30)
+  }
+
   test("sourceDrift: hand-computed ppm total-variation, absent terms " +
        "counted against the source") {
     val d = Seq((0L, "a a b", "s1"), (1L, "a b", "s2"))
