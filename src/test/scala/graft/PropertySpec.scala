@@ -369,6 +369,150 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: kCore equals brute-force peel on random graphs " +
+       "(unique-fixpoint check)") {
+    import graft.operators.Dedup
+    val vs = 40
+    val edges = (0 until 90).map { _ =>
+      val a = rnd.nextInt(vs).toLong; val b = rnd.nextInt(vs).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    def brute(k: Int): Map[Long, Int] = {
+      val adj = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.Set[Long]]
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      var changed = true
+      while (changed) {
+        val rm = adj.collect { case (v, s) if s.size < k => v }.toSeq
+        changed = rm.nonEmpty
+        rm.foreach { v =>
+          adj(v).foreach(u => adj.get(u).foreach(_ -= v)); adj -= v
+        }
+      }
+      adj.map { case (v, s) => v -> s.size }.toMap
+    }
+    for (k <- Seq(2, 3)) {
+      val got = Dedup.kCore(edges.toDF("doc_a", "doc_b"), k, maxRounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === brute(k), s"k=$k")
+    }
+  }
+
+  test("property: paretoFront2D equals the brute-force skyline on " +
+       "random points with planted duplicates") {
+    import graft.operators.Scale
+    val pts = (0 until 150).map(i =>
+      (i.toLong, rnd.nextInt(30).toLong, rnd.nextInt(30).toDouble))
+    val distinct = pts.groupBy(p => (p._3, p._2)).map { case ((y, x), g) =>
+      (y, x, g.size.toLong, g.map(_._1).min)
+    }.toSeq
+    val sky = distinct.filter { p =>
+      !distinct.exists(e => e._1 >= p._1 && e._2 >= p._2 &&
+        (e._1 > p._1 || e._2 > p._2))
+    }.sortBy(p => (-p._1, p._2))
+    val got = Scale.paretoFront2D(pts.toDF("doc_id", "x", "y"),
+        "doc_id", "x", "y", partitions = 5)
+      .orderBy(desc("y"), asc("x")).collect()
+      .map(r => (r.getAs[Double]("y"), r.getAs[Long]("x"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_doc_id")))
+    assert(got.toSeq === sky)
+  }
+
+  test("property: sessionOverlapPairs equals the naive all-pairs " +
+       "overlap on random event streams") {
+    import graft.operators.EventOps
+    val base = 1700000000000L
+    val ev = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+        (1 + rnd.nextInt(15)).toLong, "c", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sess = EventOps.sessionize(ev).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("session_start_ms"), r.getAs[Long]("session_end_ms")))
+    val naive = (for {
+      x <- sess; y <- sess
+      if x._1 < y._1 && x._3 <= y._4 && y._3 <= x._4
+    } yield (x._1, x._2, y._1, y._2,
+      math.min(x._4, y._4) - math.max(x._3, y._3))).sortBy(t =>
+      (t._1, t._2, t._3, t._4))
+    val got = EventOps.sessionOverlapPairs(ev)
+      .orderBy("user_a", "session_a", "user_b", "session_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Long]("overlap_ms")))
+    assert(got.toSeq === naive.toSeq)
+  }
+
+  test("property: phashPairs honors the LSH guarantee — every pair " +
+       "within 3 bits is found, and reported hammings are exact") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, false),
+      StructField("hash_hi", LongType, false),
+      StructField("hash_lo", LongType, false)))
+    def hash64(hi: Long, lo: Long): (Long, Long) = (hi, lo)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val planted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    (0 until 25).foreach { _ =>
+      val hi = rnd.nextLong() & 0xFFFFFFFFL
+      val lo = rnd.nextLong() & 0xFFFFFFFFL
+      val a = id; rows += Row(a, hi, lo); id += 1
+      // neighbor with 1..3 random distinct bit flips
+      val nf = 1 + rnd.nextInt(3)
+      val bits = rnd.shuffle((0 until 64).toList).take(nf)
+      var (h2, l2) = (hi, lo)
+      bits.foreach { b =>
+        if (b < 32) h2 ^= (1L << (31 - b)) else l2 ^= (1L << (63 - b))
+      }
+      val b = id; rows += Row(b, h2, l2); id += 1
+      planted += ((a, b))
+    }
+    val got = Multimodal.phashPairs(
+        spark.createDataFrame(java.util.List.copyOf(
+          scala.jdk.CollectionConverters.BufferHasAsJava(rows).asJava),
+          schema), maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Long]("hamming"))).toMap
+    // guarantee: ≤3 flips over 4 bands leave ≥1 band intact (pigeonhole)
+    planted.foreach { p =>
+      assert(got.contains(p), s"planted near-pair $p missed")
+    }
+    // exactness: recompute hamming brute-force
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    got.foreach { case ((a, b), h) =>
+      val ha = byId(a); val hb = byId(b)
+      val exact = java.lang.Long.bitCount(ha._1 ^ hb._1) +
+        java.lang.Long.bitCount(ha._2 ^ hb._2)
+      assert(h === exact.toLong, s"pair ($a,$b)")
+    }
+  }
+
+  test("property: weightedSample equals brute-force k-smallest " +
+       "priorities") {
+    import graft.operators.TextOps
+    val docs = (0 until 120).map(i =>
+      (i.toLong, "t " * rnd.nextInt(60) + "t"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prio(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16).toDouble / w
+    }
+    val brute = docs.map { case (id, t) =>
+      val w = t.split(" ", -1).length.toLong
+      (prio(id, w), id)
+    }.sorted.take(30).map(_._2)
+    val got = TextOps.weightedSample(docs.toDF("doc_id", "text"), k = 30)
+      .orderBy("priority", "doc_id").collect().map(_.getLong(0))
+    assert(got.toSeq === brute)
+  }
+
   test("property: sql surface exposes array_dot after registration") {
     org.apache.spark.sql.graftext.GraftFunctionRegistry.register(spark)
     val r = spark.sql(
