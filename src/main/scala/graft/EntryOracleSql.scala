@@ -240,7 +240,13 @@ private[graft] object EntryOracleSql {
     * bit_count(xor). Mirrors [[graft.operators.Dedup.simhashPairsPortable]]
     * integer-for-integer.
     */
-  private[graft] val simhashMd5Sql: String = {
+  private[graft] val simhashMd5Sql: String = simhashMd5SqlThresh(3)
+
+  /** Threshold-parameterized variant (the default-3 form is the oracle
+    * for the pair queries; 64 disables the filter for the candidate
+    * Hamming histogram).
+    */
+  private[graft] def simhashMd5SqlThresh(maxHamming: Int): String = {
     val nibDefs = (0 until 16).map(k =>
       s"strpos('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1 AS nib$k")
       .mkString(", ")
@@ -268,7 +274,7 @@ private[graft] object EntryOracleSql {
        |  CAST($ham AS BIGINT) AS hamming
        |  FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

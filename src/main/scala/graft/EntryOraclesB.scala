@@ -11,6 +11,22 @@ import graft.EntryOracleSql._
   */
 private[graft] object EntryOraclesB {
 
+  // Shared by inverted_index and inverted_index_merged (the merge of two
+  // disjoint halves must equal the full index).
+  private val invertedIndexSql: String =
+    """WITH tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |    FROM documents) GROUP BY tok, doc_id),
+      |rk AS (SELECT tok, doc_id, tf, ROW_NUMBER() OVER (PARTITION BY tok
+      |    ORDER BY tf DESC, doc_id) AS rn FROM tf),
+      |p AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+      |    CAST(tf AS VARCHAR), ';' ORDER BY rn) AS postings
+      |  FROM rk WHERE rn <= 5 GROUP BY tok),
+      |s AS (SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT)
+      |    AS total_tf FROM tf GROUP BY tok)
+      |SELECT s.tok AS term, s.df, s.total_tf, p.postings
+      |FROM s JOIN p ON s.tok = p.tok ORDER BY term""".stripMargin
+
   val all: Map[String, String] = Map(
     "events_cube" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
@@ -737,21 +753,22 @@ private[graft] object EntryOraclesB {
         |  CAST(score_fp AS DOUBLE) / 100000000000.0 AS score
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Candidate histogram over the unfiltered (threshold 64) banded
+    // SimHash pair set.
+    "simhash_hamming_hist" ->
+      s"""WITH sp AS MATERIALIZED (SELECT hamming FROM (
+         |${simhashMd5SqlThresh(64)}
+         |))
+         |SELECT hamming, COUNT(*) AS n_pairs FROM sp
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The window-rank formulation reproduces the TopKAggregator's
     // (tf desc, doc_id asc) posting order exactly.
-    "inverted_index" ->
-      """WITH tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |    FROM documents) GROUP BY tok, doc_id),
-        |rk AS (SELECT tok, doc_id, tf, ROW_NUMBER() OVER (PARTITION BY tok
-        |    ORDER BY tf DESC, doc_id) AS rn FROM tf),
-        |p AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR) || ':' ||
-        |    CAST(tf AS VARCHAR), ';' ORDER BY rn) AS postings
-        |  FROM rk WHERE rn <= 5 GROUP BY tok),
-        |s AS (SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT)
-        |    AS total_tf FROM tf GROUP BY tok)
-        |SELECT s.tok AS term, s.df, s.total_tf, p.postings
-        |FROM s JOIN p ON s.tok = p.tok ORDER BY term""".stripMargin,
+    "inverted_index" -> invertedIndexSql,
+
+    // The merged-halves query must equal the full index — the mergeable-
+    // summary law as a driver-gate row, not just a spec.
+    "inverted_index_merged" -> invertedIndexSql,
 
     "source_drift" ->
       """WITH tk AS (SELECT source,

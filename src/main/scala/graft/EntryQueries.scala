@@ -936,6 +936,24 @@ private[graft] object EntryQueries {
       TextOps.pmiCooccur(docs(s, dir))
         .orderBy("x", "y")),
 
+    // Incremental index maintenance: the index of the union, built by
+    // MERGING the two halves' indexes — shares the full index's oracle,
+    // so the driver gate itself checks the mergeable-summary law.
+    "inverted_index_merged" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.invertedIndexMerge(
+          TextOps.invertedIndex(d.where(col("doc_id") % 2 === 0)),
+          TextOps.invertedIndex(d.where(col("doc_id") % 2 === 1)))
+        .orderBy("term")
+    }),
+
+    // Candidate-pair Hamming histogram from the banded SimHash join —
+    // the threshold-tuning curve (how many pairs each cutoff admits).
+    "simhash_hamming_hist" -> ((s, dir) =>
+      Dedup.simhashPairsPortable(docs(s, dir), maxHamming = 64)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")),
+
     // Per-source total-variation drift vs the corpus distribution —
     // ppm fixed-point, vocabulary-bounded densification.
     "source_drift" -> ((s, dir) =>

@@ -1228,6 +1228,41 @@ object TextOps {
         col("postings"))
   }
 
+  /** Merge two [[invertedIndex]] results built over DISJOINT document
+    * sets into the index of the union — the incremental-maintenance law
+    * that lets a corpus index absorb a new batch without a full rebuild.
+    * Term stats add (disjointness makes df additive); the capped posting
+    * lists re-cut exactly because bounded top-k under a total order is a
+    * mergeable summary (each side kept its local top-k, and the union's
+    * top-k is a subset of the two top-k's — same argument as
+    * [[graft.functions.TopKAggregator]]'s partial buffers). Proven
+    * merge(index(A), index(B)) == index(A ∪ B) in TextOpsSpec AND via
+    * the `inverted_index_merged` driver query, which shares the full
+    * index's oracle.
+    */
+  def invertedIndexMerge(a: DataFrame, b: DataFrame,
+                         maxPostings: Int = 5): DataFrame = {
+    val u = a.unionAll(b)
+    val stats = u.groupBy("term").agg(sum("df").as("df"),
+      sum("total_tf").as("total_tf"))
+    val entries = u.select(col("term"),
+        explode(split(col("postings"), ";")).as("_e"))
+      .select(col("term"),
+        split(col("_e"), ":").getItem(1).cast("double").as("score"),
+        lpad(split(col("_e"), ":").getItem(0), 12, "0").as("payload"))
+    val top = graft.functions.TopKAggregator.topKPerGroup(
+      entries, "term", "score", "payload", maxPostings)
+    val postings = top
+      .select(col("term"), struct(col("rk").as("rk"),
+        concat_ws(":", col("payload").cast("long").cast("string"),
+          col("score").cast("long").cast("string")).as("entry")).as("_e"))
+      .groupBy("term")
+      .agg(array_join(transform(array_sort(collect_list(col("_e"))),
+        e => e.getField("entry")), ";").as("postings"))
+    stats.join(postings, Seq("term"))
+      .select(col("term"), col("df"), col("total_tf"), col("postings"))
+  }
+
   /** Windowed co-occurrence + PMI-surrogate association scores: for every
     * ordered token pair (x, y) with y within `window` positions after x,
     * count co-occurrences and score association as the pointwise mutual

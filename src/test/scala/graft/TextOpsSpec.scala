@@ -49,6 +49,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(capped.toSeq === Seq(("a", "0:2"), ("b", "1:3"), ("c", "1:1")))
   }
 
+  test("invertedIndexMerge: merging disjoint halves equals the full " +
+       "index (mergeable-summary law), including tie cuts") {
+    val d = Seq((0L, "a b a"), (1L, "b b b c"), (2L, "a"), (3L, "a c c"),
+      (4L, "b a a a"), (5L, "c"))
+      .toDF("doc_id", "text")
+    val full = TextOps.invertedIndex(d, maxPostings = 2)
+      .orderBy("term").collect().map(_.toSeq)
+    val merged = TextOps.invertedIndexMerge(
+        TextOps.invertedIndex(d.where($"doc_id" % 2 === 0), maxPostings = 2),
+        TextOps.invertedIndex(d.where($"doc_id" % 2 === 1), maxPostings = 2),
+        maxPostings = 2)
+      .orderBy("term").collect().map(_.toSeq)
+    assert(merged.toSeq === full.toSeq)
+  }
+
   test("bm25TopK: fixed-point scores match the hand-computed formula; " +
        "shorter doc outranks on equal idf") {
     val d = Seq((0L, "a b a"), (1L, "b b b c"), (2L, "a"))
