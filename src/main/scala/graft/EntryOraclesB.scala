@@ -770,6 +770,32 @@ private[graft] object EntryOraclesB {
     // summary law as a driver-gate row, not just a spec.
     "inverted_index_merged" -> invertedIndexSql,
 
+    "shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+        |  o.o_orderpriority,
+        |  CAST(roundbankers(SUM(CAST(l.l_extendedprice *
+        |    (1.0 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+
+    "returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  COUNT(*) AS n_items,
+        |  CAST(roundbankers(SUM(CAST(l.l_extendedprice *
+        |    (1.0 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
     "source_drift" ->
       """WITH tk AS (SELECT source,
         |    unnest(string_split(lower(text), ' ')) AS tok FROM documents),

@@ -250,6 +250,53 @@ private[graft] object EntryQueries {
           count(lit(1)).as("n_lineitems"))
         .orderBy("category")),
 
+    // TPC-H Q3 shape (shipping priority): revenue of late-shipping
+    // lineitems on pre-cutoff orders, top 10 — date filters reach both
+    // scans, per-order DECIMAL revenue, TakeOrdered k-cut.
+    "shipping_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate").cast("date") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate").cast("date") > lit("1998-01-01"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").as("rev"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum("rev").as("_r"))
+        .select(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp"))
+            .as("o_orderdate_ms"),
+          col("o_orderpriority"),
+          bround(col("_r"), 2).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned-item losses): customers ranked by
+    // revenue of their returned lineitems, top 20.
+    "returned_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").as("rev"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_items"), sum("rev").as("_r"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("n_items"), bround(col("_r"), 2).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // Anti join: customers with no order since 2000-01-01, per market
     // segment. Date-scoped deliberately — the unscoped anti-join is empty
     // at every SF (testdata gives every customer an order), which made the

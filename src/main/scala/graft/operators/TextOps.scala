@@ -1282,18 +1282,20 @@ object TextOps {
     */
   def pmiCooccur(docs: DataFrame, window: Int = 2, minCount: Long = 50,
                  textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(lower(col(textCol)), " ")))
-      .select(col("doc_id"), col("pos"), col("col").as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = (1 to window).map(lit(_))
-    val right = toks.select(col("doc_id"), col("pos").as("_rpos"),
-      col("tok").as("y"))
-    val pairs = toks
-      .withColumn("_off", explode(array(offsets: _*)))
-      .withColumn("_rpos", col("pos") + col("_off"))
-      .join(right, Seq("doc_id", "_rpos"))
-      .select(col("tok").as("x"), col("y"))
+    // Pair generation is WITHIN-ROW array work (each pair's members live
+    // in the same document), so it needs no join at all: a higher-order
+    // transform pairs every token with its next `window` neighbors via
+    // slice — the same delete-the-shuffle move as TokenNgrams' shingle
+    // build. The first version exploded positions and self-joined on a
+    // position-offset key: one extra shuffle of 2·corpus-tokens rows
+    // that this form simply doesn't have.
+    val pairs = docs
+      .select(split(lower(col(textCol)), " ").as("_toks"))
+      .select(explode(expr(
+        s"flatten(transform(_toks, (x, i) -> " +
+          s"transform(slice(_toks, i + 2, $window), " +
+          "y -> struct(x, y))))")).as("_p"))
+      .select(col("_p.x").as("x"), col("_p.y").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
     val cx = pairs.groupBy("x").agg(count(lit(1)).as("c_x"))
