@@ -493,6 +493,47 @@ private[graft] object EntryOraclesB {
          |SELECT doc_id, n_tokens, CAST(hv AS DOUBLE) / n_tokens AS priority
          |FROM pr ORDER BY priority, doc_id LIMIT 50""".stripMargin,
 
+    "event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    event_type FROM events),
+        |l AS (SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS step3
+        |  FROM e)
+        |SELECT step1, step2, step3, COUNT(*) AS n_paths FROM l
+        |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+
+    // All-integer 3-sigma cross-multiplied predicate — replayed verbatim.
+    "hourly_spikes" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |h AS (SELECT user_id, ms // 3600000 AS hr, COUNT(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |st AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM h GROUP BY 1)
+        |SELECT h.user_id, h.hr * 3600000 AS bucket_ms, h.c AS n_events,
+        |  st.n AS n_hours, st.s AS total_events
+        |FROM h JOIN st ON h.user_id = st.user_id
+        |WHERE (h.c * st.n - st.s) * (h.c * st.n - st.s)
+        |    > 9 * (st.n * st.s2 - st.s * st.s)
+        |  AND h.c * st.n > st.s
+        |ORDER BY h.user_id, bucket_ms""".stripMargin,
+
+    // Per-source roll-up over the transitive-closure clustering.
+    "neardup_rate_by_source" ->
+      s"""WITH cl AS (SELECT doc_id, cluster FROM (
+         |$nearDupClustersSql
+         |))
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT cl.cluster) AS n_clusters,
+         |  1.0 - CAST(COUNT(DISTINCT cl.cluster) AS DOUBLE) / COUNT(*)
+         |    AS dup_rate
+         |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "decayed_counts" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
         |t AS (SELECT MAX(ms) AS tm FROM e),

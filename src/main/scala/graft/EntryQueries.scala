@@ -102,6 +102,13 @@ private[graft] object EntryQueries {
     "decayed_counts" -> ((s, dir) =>
       EventOps.decayedCounts(events(s, dir)).orderBy("user_id")),
 
+    // Top event-type trigram paths (funnel discovery).
+    "event_paths" -> ((s, dir) => EventOps.eventPaths(events(s, dir))),
+
+    // Integer 3-sigma hourly spike detection (no sqrt, no division).
+    "hourly_spikes" -> ((s, dir) =>
+      EventOps.hourlySpikes(events(s, dir)).orderBy("user_id", "bucket_ms")),
+
     // Interval-overlap range join over session intervals, executed as a
     // bin-bucketed EQUI-join (no nested-loop/cartesian node — pinned by
     // the plan audit); cross-user overlapping session pairs.
@@ -509,6 +516,22 @@ private[graft] object EntryQueries {
           Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
           d.select("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // Per-source duplicate-rate roll-up over the near-dup clustering —
+    // the curation diagnostic that says WHICH feed is self-copying.
+    "neardup_rate_by_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cc = Dedup.connectedComponents(
+        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+      d.select("doc_id", "source").join(cc, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster").as("n_clusters"))
+        .select(col("source"), col("n_docs"), col("n_clusters"),
+          (lit(1.0) - col("n_clusters").cast("double") / col("n_docs"))
+            .as("dup_rate"))
+        .orderBy("source")
     }),
 
     // Same clustering through the O(log n)-round large-star/small-star

@@ -164,6 +164,52 @@ object EventOps {
            count(lit(1)).as("n_events"))
   }
 
+  /** Most common 3-step event-type sequences across users (per-user
+    * time-ordered trigrams of the event stream) — the path-mining query
+    * behind funnel DISCOVERY (the funnel operator checks a given path;
+    * this one finds which paths exist). Per-user lead window (partitioned
+    * — no global sort), then a types³-bounded aggregate and a TakeOrdered
+    * k-cut.
+    */
+  def eventPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), eventMs(events).as("ms"),
+        col("event_type"))
+      .withColumn("_n1", lead("event_type", 1).over(w))
+      .withColumn("_n2", lead("event_type", 2).over(w))
+      .where(col("_n2").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("_n1").as("step2"),
+        col("_n2").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(desc("n_paths"), col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
+  /** Per-user hourly activity spikes by the 3-sigma rule with NO
+    * square root and NO division: over a user's observed hourly counts,
+    * `(c − mean)² > σ²·var` cross-multiplies to the all-integer
+    * `(c·n − s)² > σ²·(n·s2 − s²)` (n hours, s = Σc, s2 = Σc²) — the
+    * anomaly predicate is exact 64-bit arithmetic, bit-portable where a
+    * stddev-based form would hash-flake on the sqrt. Upward spikes only
+    * (`c·n > s`). Two partial-agg'd aggregations and a vertex-sized
+    * join; the usage-abuse / scraper-burst detector.
+    */
+  def hourlySpikes(events: DataFrame, sigma: Int = 3): DataFrame = {
+    val hours = events.select(col("user_id"), eventMs(events).as("ms"))
+      .withColumn("_hr", expr("ms DIV 3600000"))
+      .groupBy("user_id", "_hr").agg(count(lit(1)).as("c"))
+    val stats = hours.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(expr("c * c")).as("s2"))
+    hours.join(stats, Seq("user_id"))
+      .where(expr("(c * n - s) * (c * n - s) > " +
+          s"${sigma.toLong * sigma}L * (n * s2 - s * s)") &&
+        col("c") * col("n") > col("s"))
+      .select(col("user_id"), (col("_hr") * 3600000L).as("bucket_ms"),
+        col("c").as("n_events"), col("n").as("n_hours"),
+        col("s").as("total_events"))
+  }
+
   /** Exponentially time-decayed activity counts per user: each event
     * contributes `2^-(age/halfLife)` with the age QUANTIZED to whole
     * half-life periods — which turns the decay weight into the exact

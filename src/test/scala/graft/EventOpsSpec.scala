@@ -38,6 +38,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((7L, 1L, 3L), (7L, 2L, 1L), (8L, 1L, 2L)))
   }
 
+  test("eventPaths: per-user time-ordered trigrams, no cross-user " +
+       "leakage, count-desc order") {
+    // user 7: click,click,view,view → 2 trigrams; user 8: click,click →
+    // none (and no trigram spans users).
+    val out = EventOps.eventPaths(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n_paths")))
+    assert(out.toSeq === Seq(("click", "click", "view", 1L),
+      ("click", "view", "view", 1L)))
+  }
+
+  test("hourlySpikes: integer 3-sigma predicate flags the burst hour " +
+       "only, low hours never flag") {
+    // 12 buckets of one event + one bucket of three: (x−1)²(m−9) > 9
+    // with m=12, x=3 → 12 > 9 flags the burst; every c=1 bucket fails
+    // the upward test (c·n < s).
+    val singles = (0 until 12).map(h =>
+      ((h + 1).toLong, ts(60 * h), 7L, "c", 1.0))
+    val burst = Seq((100L, ts(720), 7L, "c", 1.0),
+      (101L, ts(721), 7L, "c", 1.0), (102L, ts(722), 7L, "c", 1.0))
+    val ev = (singles ++ burst)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.hourlySpikes(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bucket_ms"),
+        r.getAs[Long]("n_events")))
+    val expectedBucket =
+      (1700000000000L + 720L * 60000L) / 3600000L * 3600000L
+    assert(out.toSeq === Seq((7L, expectedBucket, 3L)))
+  }
+
   test("decayedCounts: exact 2^-h half-life weights from the corpus " +
        "max time, >40-period events contribute zero") {
     val Q = 1099511627776L // 2^40
