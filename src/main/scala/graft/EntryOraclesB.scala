@@ -522,6 +522,34 @@ private[graft] object EntryOraclesB {
         |  AND h.c * st.n > st.s
         |ORDER BY h.user_id, bucket_ms""".stripMargin,
 
+    // Transitive closure over the semantic pair graph, per-cluster
+    // membership counts (pvecs is the planted vertex set).
+    "semantic_dedup_apply" ->
+      s"""WITH RECURSIVE $pvecsSql,
+         |sp AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+         |$semanticDedupSql
+         |)),
+         |esym AS (SELECT vec_a AS src, vec_b AS dst FROM sp
+         |  UNION ALL SELECT vec_b, vec_a FROM sp),
+         |reach(s, d) AS (
+         |  SELECT src, dst FROM esym
+         |  UNION
+         |  SELECT r.s, e.dst FROM reach r JOIN esym e ON r.d = e.src),
+         |cl AS (SELECT v.vec_id,
+         |    LEAST(v.vec_id, COALESCE(MIN(r.d), v.vec_id)) AS cluster
+         |  FROM (SELECT vec_id FROM pvecs) v
+         |  LEFT JOIN reach r ON v.vec_id = r.s
+         |  GROUP BY v.vec_id)
+         |SELECT cluster, COUNT(*) AS n_members FROM cl
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Size histogram over the same transitive-closure clustering.
+    "neardup_cluster_sizes" ->
+      s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
+         |s AS (SELECT cluster, COUNT(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz, COUNT(*) AS n_clusters FROM s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Per-source roll-up over the transitive-closure clustering.
     "neardup_rate_by_source" ->
       s"""WITH cl AS (SELECT doc_id, cluster FROM (

@@ -518,6 +518,19 @@ private[graft] object EntryQueries {
         .orderBy("doc_id")
     }),
 
+    // Cluster-size histogram over the near-dup clustering — the
+    // duplicate-group shape diagnostic (is duplication pairwise or
+    // template-driven mass copying?).
+    "neardup_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(
+          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
+          d.select("doc_id"))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
+
     // Per-source duplicate-rate roll-up over the near-dup clustering —
     // the curation diagnostic that says WHICH feed is self-copying.
     "neardup_rate_by_source" -> ((s, dir) => {
@@ -767,6 +780,20 @@ private[graft] object EntryQueries {
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedupPairs(plantedVecs(s, dir), kmeansBook(s, dir))
         .orderBy("vec_a", "vec_b")),
+
+    // SemDeDup APPLY: connected components over the semantic pair graph,
+    // one row per surviving cluster (cluster = kept representative id) —
+    // the embedding-space twin of dedup_apply.
+    "semantic_dedup_apply" -> ((s, dir) => {
+      val pairs = Similarity
+        .semanticDedupPairs(plantedVecs(s, dir), kmeansBook(s, dir))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.connectedComponents(pairs,
+          plantedVecs(s, dir).select(col("vec_id").as("doc_id")))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")
+    }),
 
     // ---- Text analysis --------------------------------------------------
 

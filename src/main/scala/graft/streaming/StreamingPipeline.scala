@@ -179,6 +179,46 @@ object StreamingPipeline {
         .unionByName(candidates.select("doc_id", "fingerprint")))
   }
 
+  /** Incrementally maintained inverted index over a document stream: each
+    * micro-batch's local index merges into a parquet-backed state index
+    * via [[graft.operators.TextOps.invertedIndexMerge]] — the index of
+    * everything streamed so far WITHOUT a rebuild (the mergeable-summary
+    * law; batches of a file stream are disjoint document sets, which is
+    * exactly the merge's precondition). The state swap is
+    * write-stage-then-move so a crash mid-batch leaves the previous
+    * index intact (the checkpoint then replays the batch). The spec
+    * asserts the maintained index equals the one-shot batch index over
+    * the full corpus after multiple batches.
+    */
+  def corpusIndexStream(spark: SparkSession, srcDir: String,
+                        stateDir: String, maxPostings: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$stateDir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bidx = graft.operators.TextOps.invertedIndex(batch, maxPostings)
+        val idxPath = Paths.get(s"$stateDir/index")
+        val merged =
+          if (Files.exists(idxPath))
+            graft.operators.TextOps.invertedIndexMerge(
+              spark.read.parquet(idxPath.toString), bidx, maxPostings)
+          else bidx
+        val stage = Paths.get(s"$stateDir/index_stage")
+        merged.write.mode("overwrite").parquet(stage.toString)
+        if (Files.exists(idxPath)) {
+          Files.walk(idxPath).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
+        Files.move(stage, idxPath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming NEAR-duplicate votes: the online form of
     * [[graft.operators.Dedup.simhashPairs]]' banded search. Each incoming
     * document gets a per-row 64-bit SimHash ([[graft.operators

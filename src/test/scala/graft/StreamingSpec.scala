@@ -179,6 +179,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpusIndexStream: the incrementally merged index equals the " +
+       "one-shot batch index after multiple micro-batches") {
+    import graft.operators.TextOps
+    val dir = Files.createTempDirectory("graft_sidx").toString
+    val src = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val b1 = Seq((0L, "a b a"), (1L, "b b b c"), (2L, "a"))
+    val b2 = Seq((3L, "a c c"), (4L, "b a a a"), (5L, "c"))
+    b1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q = graft.streaming.StreamingPipeline.corpusIndexStream(
+      spark, src, s"$dir/state", maxPostings = 2)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = spark.read.parquet(s"$dir/state/index")
+      .orderBy("term").collect().map(_.toSeq)
+    val oneShot = TextOps.invertedIndex(
+        (b1 ++ b2).toDF("doc_id", "text"), maxPostings = 2)
+      .orderBy("term").collect().map(_.toSeq)
+    assert(maintained.toSeq === oneShot.toSeq)
+  }
+
   test("streamingSimhashVotes flags cross-batch near-dups, passes fresh docs") {
     val dir = Files.createTempDirectory("graft_snear").toString
     val src = s"$dir/src"
