@@ -522,6 +522,73 @@ private[graft] object EntryOraclesB {
         |  AND h.c * st.n > st.s
         |ORDER BY h.user_id, bucket_ms""".stripMargin,
 
+    // Exact-vs-estimate replay over the identical shingle space; the
+    // estimate's four components are the md5-slice minima of the
+    // minhash_signatures oracle.
+    "minhash_est_eval" ->
+      s"""$shinglesSql,
+         |gd AS (SELECT DISTINCT doc_id, unnest(list_transform(shingles,
+         |    s -> md5(s))) AS g FROM sh),
+         |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM gd
+         |    GROUP BY 1) WHERE df BETWEEN 2 AND 10),
+         |bl AS (SELECT gd.doc_id, gd.g FROM gd JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |ns AS (SELECT doc_id, COUNT(*) AS n FROM gd GROUP BY 1),
+         |iv AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i FROM cand c
+         |  JOIN gd ga ON ga.doc_id = c.doc_a
+         |  JOIN gd gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
+         |  GROUP BY 1, 2),
+         |sg AS (SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+         |    AS s0,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))
+         |    AS s1,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+         |    AS s2,
+         |  list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))
+         |    AS s3
+         |  FROM sh),
+         |sc AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(iv.i AS DOUBLE) / (na.n + nb.n - iv.i) AS jaccard,
+         |    CAST((CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM cand c
+         |  JOIN iv ON c.doc_a = iv.doc_a AND c.doc_b = iv.doc_b
+         |  JOIN ns na ON na.doc_id = c.doc_a
+         |  JOIN ns nb ON nb.doc_id = c.doc_b
+         |  JOIN sg a ON a.doc_id = c.doc_a
+         |  JOIN sg b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard, n_match,
+         |  CAST(n_match AS DOUBLE) / 4 AS est,
+         |  abs(jaccard - CAST(n_match AS DOUBLE) / 4) AS abs_err
+         |FROM sc WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "column_stats" -> {
+      val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val strings = Seq("l_returnflag", "l_linestatus")
+      val arms =
+        numeric.map(c =>
+          s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, " +
+            s"COUNT(DISTINCT $c) AS ndv, CAST(MIN($c) AS DOUBLE) AS " +
+            s"min_num, CAST(MAX($c) AS DOUBLE) AS max_num FROM lineitem") ++
+        strings.map(c =>
+          s"SELECT '$c', COUNT(*) - COUNT($c), COUNT(DISTINCT $c), " +
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem") ++
+        Seq("SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), " +
+          "COUNT(DISTINCT l_shipdate), " +
+          "CAST(epoch_ms(MIN(l_shipdate)) AS DOUBLE), " +
+          "CAST(epoch_ms(MAX(l_shipdate)) AS DOUBLE) FROM lineitem")
+      arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
+    },
+
     // Transitive closure over the semantic pair graph, per-cluster
     // membership counts (pvecs is the planted vertex set).
     "semantic_dedup_apply" ->

@@ -618,6 +618,17 @@ private[graft] object EntryQueries {
     // deterministic (exact-recall-within-blocking) counterpart of the
     // probabilistic MinHash-LSH path above; same threshold, different
     // candidate generation, so the two families cross-check each other.
+    // Sketch-quality eval: exact 3-gram Jaccard vs the k=4 MinHash
+    // estimate per blocked candidate pair, with the absolute error.
+    "minhash_est_eval" -> ((s, dir) =>
+      Dedup.minhashEstimateEval(docs(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
+    // ANALYZE-style one-pass per-column stats over the fact table.
+    "column_stats" -> ((s, dir) =>
+      Scale.columnStats(t(s, dir, "lineitem"))
+        .orderBy("column_name")),
+
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardNgramPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 

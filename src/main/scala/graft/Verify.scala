@@ -27,6 +27,17 @@ object Verify {
           case v => throw new IllegalArgumentException(
             s"SPARK_GRAFT_AQE must be 'true' or 'false', got '$v'")
         })
+      // SPARK_GRAFT_ANSI=false sweeps the gate under legacy (non-ANSI)
+      // evaluation — proves no result depends on ANSI-vs-legacy cast/
+      // arithmetic edges (all inputs are well-formed, so the two modes
+      // must agree; a disagreement would mean a query silently leans on
+      // an error-vs-null edge case).
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true") match {
+          case v @ ("true" | "false") => v
+          case v => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_ANSI must be 'true' or 'false', got '$v'")
+        })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

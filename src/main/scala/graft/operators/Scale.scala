@@ -236,6 +236,44 @@ object Scale {
         col("_mid").as("min_" + idCol))
   }
 
+  /** ANALYZE-style per-column statistics in ONE pass: null count, exact
+    * distinct count, and numeric min/max for every column — the stats a
+    * cost-based planner (or a data-quality monitor) collects per table.
+    * Emitted long-format, one row per column. Numeric and timestamp
+    * columns surface min/max as DOUBLE (timestamps as epoch millis);
+    * other types carry nulls there — string min/max rendering is not
+    * engine-portable, exact counts are. All 4·N aggregates ride ONE
+    * aggregation (distincts via Spark's expand), so the table is
+    * scanned once however many columns it has.
+    */
+  def columnStats(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    def numeric(f: StructField): Option[Column] = f.dataType match {
+      case _: NumericType => Some(col(f.name).cast("double"))
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(unix_millis(col(f.name).cast("timestamp")).cast("double"))
+      case _ => None
+    }
+    val aggs = fields.flatMap { f =>
+      val num = numeric(f)
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L))
+          .as(s"${f.name}__nulls"),
+        countDistinct(col(f.name)).as(s"${f.name}__ndv"),
+        num.map(c => min(c)).getOrElse(lit(null).cast("double"))
+          .as(s"${f.name}__min"),
+        num.map(c => max(c)).getOrElse(lit(null).cast("double"))
+          .as(s"${f.name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.map(f =>
+      s"'${f.name}', `${f.name}__nulls`, `${f.name}__ndv`, " +
+        s"`${f.name}__min`, `${f.name}__max`").mkString(", ")
+    one.select(expr(s"stack(${fields.size}, $stackArgs) AS " +
+      "(column_name, n_nulls, ndv, min_num, max_num)"))
+  }
+
   /** Number of files the scan of `df` will actually read after partition
     * pruning — the observable data-skipping effect of [[writeLayout]].
     * Descends into AQE-wrapped plans (AdaptiveSparkPlanExec is a leaf of

@@ -328,6 +328,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Map(0L -> 0L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("minhashEstimateEval: identical docs agree on every component " +
+       "with zero error; near-dups carry a bounded estimate") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),     // exact copy
+      (2L, "alpha beta gamma delta epsilon eta"))      // near copy
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashEstimateEval(d, threshold = 0.1)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"),
+        r.getAs[Long]("n_match"), r.getAs[Double]("abs_err")))
+    val exact = out.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(exact._3 === 1.0 && exact._4 === 4L && exact._5 === 0.0)
+    // the near pair is present (blocked via shared rare shingles), its
+    // estimate is a multiple of 1/4 and the error is |jaccard − est|
+    out.filter(p => p._2 == 2L).foreach { p =>
+      assert(p._3 > 0 && p._3 < 1 && p._4 >= 0 && p._4 <= 4)
+    }
+    assert(out.exists(p => p._2 == 2L))
+  }
+
   test("kCore: cascading peel strips the pendant chain, keeps the " +
        "triangle") {
     // Triangle 1-2-3 with a pendant chain 3-4-5: round 1 peels 5

@@ -71,6 +71,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.sliding(2).forall { case Array(a, b) => a._4 < b._3 })
   }
 
+  test("columnStats: one-pass nulls/ndv/min-max, numeric-only ranges, " +
+       "timestamps as epoch millis") {
+    val d = Seq(
+      (1L, Some(2.5), "x", new java.sql.Timestamp(1000L)),
+      (2L, None, "y", new java.sql.Timestamp(5000L)),
+      (3L, Some(7.5), "x", new java.sql.Timestamp(3000L)))
+      .toDF("id", "v", "s", "ts")
+    val out = Scale.columnStats(d).orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_nulls"),
+        r.getAs[Long]("ndv"), Option(r.getAs[java.lang.Double]("min_num")),
+        Option(r.getAs[java.lang.Double]("max_num"))))
+    assert(out.toSeq === Seq(
+      ("id", 0L, 3L, Some(1.0), Some(3.0)),
+      ("s", 0L, 2L, None, None),
+      ("ts", 0L, 3L, Some(1000.0), Some(5000.0)),
+      ("v", 1L, 2L, Some(2.5), Some(7.5))))
+  }
+
   test("paretoFront2D: non-dominated points only, coincident points " +
        "tie and both survive via the count") {
     // Points: (y=3,x=1) front; (3,1) duplicate (same point — counts 2);
