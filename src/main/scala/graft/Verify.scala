@@ -38,6 +38,23 @@ object Verify {
           case v => throw new IllegalArgumentException(
             s"SPARK_GRAFT_ANSI must be 'true' or 'false', got '$v'")
         })
+      // SPARK_GRAFT_CODEGEN=false sweeps the gate with whole-stage
+      // codegen disabled — every custom Expression then runs its
+      // interpreted eval() instead of doGenCode(), so a green run proves
+      // the two implementations agree on the full query surface (the
+      // bug class where the generated code drifts from the interpreter).
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "true") match {
+          case v @ ("true" | "false") => v
+          case v => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CODEGEN must be 'true' or 'false', got '$v'")
+        })
+      // NO_CODEGEN forces interpreted projections too — without it,
+      // expression-level codegen still compiles doGenCode even when
+      // whole-stage fusion is off.
+      .config("spark.sql.codegen.factoryMode",
+        if (sys.env.get("SPARK_GRAFT_CODEGEN").contains("false"))
+          "NO_CODEGEN" else "FALLBACK")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
