@@ -493,6 +493,24 @@ private[graft] object EntryOraclesB {
          |SELECT doc_id, n_tokens, CAST(hv AS DOUBLE) / n_tokens AS priority
          |FROM pr ORDER BY priority, doc_id LIMIT 50""".stripMargin,
 
+    "scd2_enrich" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, value, ms,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |      AS prev FROM e),
+        |v AS (SELECT user_id, value, ms AS efrom,
+        |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |      AS eto,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS BIGINT) AS version
+        |  FROM chg WHERE prev IS NULL OR prev <> value)
+        |SELECT e.user_id, e.event_id, e.ms, v.version,
+        |  v.value AS dim_value
+        |FROM e JOIN v ON e.user_id = v.user_id AND e.ms >= v.efrom
+        |  AND (v.eto IS NULL OR e.ms < v.eto)
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
     "event_paths" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |    event_type FROM events),

@@ -102,6 +102,12 @@ private[graft] object EntryQueries {
     "decayed_counts" -> ((s, dir) =>
       EventOps.decayedCounts(events(s, dir)).orderBy("user_id")),
 
+    // SCD2 temporal enrichment: each event attached to the dimension
+    // version valid at its timestamp (half-open interval containment).
+    "scd2_enrich" -> ((s, dir) =>
+      EventOps.scd2Enrich(events(s, dir))
+        .orderBy("user_id", "event_id")),
+
     // Top event-type trigram paths (funnel discovery).
     "event_paths" -> ((s, dir) => EventOps.eventPaths(events(s, dir))),
 

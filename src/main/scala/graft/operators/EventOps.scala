@@ -447,6 +447,28 @@ object EventOps {
       .orderBy(keyCol, "version")
   }
 
+  /** Temporal-dimension enrichment: every event joined to the [[scd2]]
+    * version VALID AT its timestamp — the `FOR SYSTEM_TIME AS OF`
+    * pattern a warehouse runs to attach slowly-changing attributes to a
+    * fact stream. Interval containment (`from ≤ ms < to`, open current
+    * version) is an equi-join on the user key with a residual range
+    * predicate — Spark plans the hash/merge join on the key and filters
+    * in place, never a nested loop, because versions within a key
+    * partition time (each event matches exactly one version; boundary
+    * events belong to the newer version — the half-open contract).
+    */
+  def scd2Enrich(events: DataFrame): DataFrame = {
+    val dim = scd2(events)
+    val e = events.select(col("user_id").as("uid"),
+      col("event_id").as("eid"), eventMs(events).as("ms"))
+    e.join(dim, col("uid") === col("user_id") &&
+        col("ms") >= col("effective_from_ms") &&
+        (col("effective_to_ms").isNull ||
+          col("ms") < col("effective_to_ms")))
+      .select(col("uid").as("user_id"), col("eid").as("event_id"),
+        col("ms"), col("version"), col("value").as("dim_value"))
+  }
+
   /** Time-weighted average value per user (the TWAP of a price-like
     * signal over an event timeline): each observation is held from its
     * timestamp until the next one, so it contributes value × Δms.

@@ -38,6 +38,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((7L, 1L, 3L), (7L, 2L, 1L), (8L, 1L, 2L)))
   }
 
+  test("scd2Enrich: every event lands on its valid version; boundary " +
+       "events take the newer version") {
+    // user 7 versions: v1(1.0)@ts0, v2(2.0)@ts1, v3(3.0)@ts90; the
+    // change events themselves (ts1, ts90) must attach to the version
+    // they OPEN, not the one they close.
+    val out = EventOps.scd2Enrich(events).orderBy("user_id", "event_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("version"),
+        r.getAs[Double]("dim_value")))
+    assert(out.toSeq === Seq(
+      (7L, 1L, 1L, 1.0), (7L, 2L, 2L, 2.0), (7L, 3L, 2L, 2.0),
+      (7L, 4L, 3L, 3.0), (8L, 5L, 1L, 5.0), (8L, 6L, 1L, 5.0)))
+  }
+
   test("eventPaths: per-user time-ordered trigrams, no cross-user " +
        "leakage, count-desc order") {
     // user 7: click,click,view,view → 2 trigrams; user 8: click,click →

@@ -513,6 +513,49 @@ class PropertySpec extends AnyFunSuite {
     assert(got.toSeq === brute)
   }
 
+  test("property: bm25TopK equals the brute-force fixed-point " +
+       "recompute on a random corpus") {
+    import graft.operators.TextOps
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 3 + rnd.nextInt(20))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val queries = Seq("q1" -> Seq("a", "b"), "q2" -> Seq("c"))
+    // brute force, mirroring the documented formula exactly
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, o) =>
+        ((id, w), o.length.toLong) } }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val dl = docs.map { case (id, t) => id -> t.split(" ").length.toLong }
+      .toMap
+    val n = docs.size.toLong
+    val tt = dl.values.sum
+    def scoreFp(q: Seq[String], id: Long): (Long, Long) = {
+      val terms = q.filter(w => tf.contains((id, w)))
+      val s = terms.map { w =>
+        val f = tf((id, w)); val d = df(w)
+        val dlr = dl(id) * 1000L * n / tt
+        val idf = (2L * (n - d) + 1L) * 1000000L / (2L * d + 1L)
+        val tfc = 22000L * f * 100000L / (10000L * f + 3000L + 9L * dlr)
+        idf * tfc
+      }.sum
+      (terms.size.toLong, s)
+    }
+    val expected = queries.flatMap { case (qid, terms) =>
+      docs.map(_._1).map(id => (qid, id, scoreFp(terms, id)))
+        .filter(_._3._1 > 0)
+        .sortBy { case (_, id, (_, s)) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((q, id, (nt, s)), i) => (q, (i + 1).toLong, id, nt, s) }
+    }
+    val got = TextOps.bm25TopK(docs.toDF("doc_id", "text"), queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("score_fp")))
+    assert(got.toSeq === expected)
+  }
+
   test("property: sql surface exposes array_dot after registration") {
     org.apache.spark.sql.graftext.GraftFunctionRegistry.register(spark)
     val r = spark.sql(
