@@ -333,7 +333,8 @@ private[graft] object EntryOraclesB {
         |ORDER BY d.doc_id""".stripMargin,
 
     // First-occurrence paragraph dedup: same planting + line explode as
-    // strip_boilerplate, winner per md5(trim(line)) is MIN(doc_id·10⁶+idx),
+    // strip_boilerplate, winner per md5(trim(line)) is the two-stage
+    // (MIN doc_id, then MIN idx within it) first occurrence,
     // ordered string_agg reassembly of the surviving lines.
     "paragraph_dedup" ->
       """WITH aug AS (SELECT doc_id,
@@ -350,10 +351,12 @@ private[graft] object EntryOraclesB {
         |    md5(trim(l[i])) AS lf
         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
         |        FROM ls)),
-        |firsts AS (SELECT lf, MIN(doc_id * 1000000 + idx) AS fk
-        |  FROM f GROUP BY 1),
-        |k AS (SELECT f.doc_id, f.idx, f.line FROM f JOIN firsts
-        |  ON f.lf = firsts.lf AND f.doc_id * 1000000 + f.idx = firsts.fk),
+        |fd AS (SELECT lf, MIN(doc_id) AS d FROM f GROUP BY 1),
+        |fw AS (SELECT f.lf, f.doc_id AS d, MIN(f.idx) AS i
+        |  FROM f JOIN fd ON f.lf = fd.lf AND f.doc_id = fd.d
+        |  GROUP BY 1, 2),
+        |k AS (SELECT f.doc_id, f.idx, f.line FROM f JOIN fw
+        |  ON f.lf = fw.lf AND f.doc_id = fw.d AND f.idx = fw.i),
         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
         |    md5(string_agg(line, chr(10) ORDER BY idx)) AS cleaned_md5
         |  FROM k GROUP BY 1),

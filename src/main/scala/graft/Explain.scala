@@ -36,6 +36,7 @@ object Explain {
       // NEXT query's audited plan — each plan should be the one a fresh
       // session would run.
       spark.catalog.clearCache()
+      System.gc()   // reclaim localCheckpoint blocks (see Verify)
     }
     val sb = new StringBuilder
     sb.append("# Physical plans (audit) — `explain(\"formatted\")`\n\n")

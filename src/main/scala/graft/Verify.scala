@@ -78,7 +78,14 @@ object Verify {
       }
       // Drop frames some operators persist internally (near-dup shingle
       // sets) so a long verify run doesn't accumulate cached blocks.
+      // clearCache does NOT release localCheckpoint blocks (the BSP
+      // graph loops create them); those are reclaimed by the
+      // ContextCleaner when the frames become unreachable — the gc()
+      // nudge makes that deterministic per query instead of
+      // whenever-the-JVM-feels-like-it (Verify is untimed, so the pause
+      // is free; Bench already does this in timeCold).
       spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

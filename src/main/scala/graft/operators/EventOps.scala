@@ -193,6 +193,13 @@ object EventOps {
     * stddev-based form would hash-flake on the sqrt. Upward spikes only
     * (`c·n > s`). Two partial-agg'd aggregations and a vertex-sized
     * join; the usage-abuse / scraper-burst detector.
+    *
+    * Headroom (review): the largest intermediate is `(c·n − s)²` /
+    * `n·s2`; both stay inside a signed 64-bit long while
+    * `s·√n ≲ 3·10^9` — e.g. a year of hourly buckets (n ≤ 8760)
+    * supports ~3·10^7 events per user. Past that, lift `s`/`s2` to
+    * DECIMAL(38,0) (exact, still portable) — the same documented-bound
+    * discipline as bm25TopK's idf scale.
     */
   def hourlySpikes(events: DataFrame, sigma: Int = 3): DataFrame = {
     val hours = events.select(col("user_id"), eventMs(events).as("ms"))

@@ -1019,15 +1019,25 @@ object TextOps {
     * per-doc line structs — never the corpus text twice.
     */
   def dedupParagraphs(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val packed = col("doc_id") * 1000000L + col("idx")
     val lines = docs
       .select(col("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .withColumn("_lf", md5(trim(col("line"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firsts = lines.groupBy("_lf").agg(min(packed).as("_fk"))
-    val agg = lines.join(firsts, Seq("_lf"))
-      .where(packed === col("_fk"))
+    // Two-stage winner per fingerprint — min doc_id, then min idx within
+    // that doc. The first version packed the key as doc_id·10^6 + idx,
+    // which silently collides into the next doc's range for documents
+    // with ≥ 10^6 lines (review finding); two exact aggregates have no
+    // such bound and cost the same two shuffles.
+    val firstDoc = lines.groupBy(col("_lf").as("_lf2"))
+      .agg(min("doc_id").as("_fd"))
+    val firsts = lines
+      .join(firstDoc, col("_lf") === col("_lf2") &&
+        col("doc_id") === col("_fd"))
+      .groupBy(col("_lf2").as("_lfw"))
+      .agg(min("doc_id").as("_fd2"), min("idx").as("_fi"))
+    val agg = lines.join(firsts, col("_lf") === col("_lfw") &&
+        col("doc_id") === col("_fd2") && col("idx") === col("_fi"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("_n_kept"),
         md5(concat_ws("\n",
@@ -1071,8 +1081,16 @@ object TextOps {
   def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), "\\s+")
     val lines = split(col(textCol), "\n")
-    val nWords = size(words)
-    val nLines = size(lines)
+    // Null-text guard on EVERY size(): under the repo's legacy
+    // sizeOfNull conf a bare size(null) is -1, which would emit
+    // n_words = -1 and sign-flipped ratios where the oracle emits NULL
+    // (same guard class as corpus_card / duplicateSpanCoverage; review
+    // caught this one missing). With the guard all signals and verdicts
+    // null-propagate identically in both engines.
+    def sz(c: Column): Column =
+      when(col(textCol).isNotNull, size(c))
+    val nWords = sz(words)
+    val nLines = sz(lines)
     docs.select(
         col("doc_id"),
         nWords.cast("long").as("n_words"),
@@ -1081,13 +1099,13 @@ object TextOps {
         ((regexp_count(col(textCol), lit("#")) +
           regexp_count(col(textCol), lit("\\.\\.\\.")))
           .cast("double") / nWords).as("symbol_ratio"),
-        (size(filter(lines, l => l.startsWith("- ")))
+        (sz(filter(lines, l => l.startsWith("- ")))
           .cast("double") / nLines).as("bullet_ratio"),
-        (size(filter(lines, l => l.endsWith("...")))
+        (sz(filter(lines, l => l.endsWith("...")))
           .cast("double") / nLines).as("ellipsis_ratio"),
-        (size(filter(words, w => w.rlike("[A-Za-z]")))
+        (sz(filter(words, w => w.rlike("[A-Za-z]")))
           .cast("double") / nWords).as("alpha_ratio"),
-        size(array_intersect(array_distinct(words),
+        sz(array_intersect(array_distinct(words),
           typedLit(GopherStopwords))).cast("long").as("n_stop_distinct"))
       .withColumn("rule_word_count",
         col("n_words") >= 50 && col("n_words") <= 100000)
@@ -1213,20 +1231,28 @@ object TextOps {
       tf.select(col("tok"), col("tf").cast("double").as("score"),
         lpad(col("doc_id").cast("string"), 12, "0").as("payload")),
       "tok", "score", "payload", maxPostings)
-    val postings = top
-      // collect_list order is partition-arbitrary; rk (1..k, unique per
-      // group) rides in struct position 0 so array_sort rebuilds the
-      // total order before the join to a string
-      .select(col("tok"), struct(col("rk").as("rk"),
-        concat_ws(":", col("payload").cast("long").cast("string"),
-          col("score").cast("long").cast("string")).as("entry")).as("_e"))
-      .groupBy("tok")
-      .agg(array_join(transform(array_sort(collect_list(col("_e"))),
-        e => e.getField("entry")), ";").as("postings"))
-    stats.join(postings, Seq("tok"))
+    stats.join(postingsFromTopK(top, "tok"), Seq("tok"))
       .select(col("tok").as("term"), col("df"), col("total_tf"),
         col("postings"))
   }
+
+  /** The posting-list serialization shared by [[invertedIndex]],
+    * [[invertedIndexMerge]] and the streaming index — ONE definition on
+    * purpose: the 'doc:tf;…' rk-ordered string IS the merge law's
+    * contract, so a format tweak must hit every producer at once
+    * (review: this block was previously duplicated verbatim).
+    * collect_list order is partition-arbitrary; rk (1..k, unique per
+    * group) rides in struct position 0 so array_sort rebuilds the total
+    * order before the join to a string.
+    */
+  private def postingsFromTopK(top: DataFrame,
+                               groupCol: String): DataFrame =
+    top.select(col(groupCol), struct(col("rk").as("rk"),
+        concat_ws(":", col("payload").cast("long").cast("string"),
+          col("score").cast("long").cast("string")).as("entry")).as("_e"))
+      .groupBy(groupCol)
+      .agg(array_join(transform(array_sort(collect_list(col("_e"))),
+        e => e.getField("entry")), ";").as("postings"))
 
   /** Merge two [[invertedIndex]] results built over DISJOINT document
     * sets into the index of the union — the incremental-maintenance law
@@ -1252,14 +1278,7 @@ object TextOps {
         lpad(split(col("_e"), ":").getItem(0), 12, "0").as("payload"))
     val top = graft.functions.TopKAggregator.topKPerGroup(
       entries, "term", "score", "payload", maxPostings)
-    val postings = top
-      .select(col("term"), struct(col("rk").as("rk"),
-        concat_ws(":", col("payload").cast("long").cast("string"),
-          col("score").cast("long").cast("string")).as("entry")).as("_e"))
-      .groupBy("term")
-      .agg(array_join(transform(array_sort(collect_list(col("_e"))),
-        e => e.getField("entry")), ";").as("postings"))
-    stats.join(postings, Seq("term"))
+    stats.join(postingsFromTopK(top, "term"), Seq("term"))
       .select(col("term"), col("df"), col("total_tf"), col("postings"))
   }
 

@@ -193,30 +193,84 @@ object StreamingPipeline {
   def corpusIndexStream(spark: SparkSession, srcDir: String,
                         stateDir: String, maxPostings: Int = 5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, Path}
+    def rmTree(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING").parquet(srcDir)
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$stateDir/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val bidx = graft.operators.TextOps.invertedIndex(batch, maxPostings)
+          org.apache.spark.sql.Row], batchId: Long) =>
         val idxPath = Paths.get(s"$stateDir/index")
-        val merged =
-          if (Files.exists(idxPath))
-            graft.operators.TextOps.invertedIndexMerge(
-              spark.read.parquet(idxPath.toString), bidx, maxPostings)
-          else bidx
-        val stage = Paths.get(s"$stateDir/index_stage")
-        merged.write.mode("overwrite").parquet(stage.toString)
-        if (Files.exists(idxPath)) {
-          Files.walk(idxPath).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
+        val oldPath = Paths.get(s"$stateDir/index_old")
+        // Crash recovery: a crash between the two moves below leaves
+        // index absent but index_old present — restore it first, so no
+        // window loses the accumulated state (flagged in review: the
+        // original delete-then-move had exactly that loss window).
+        if (!Files.exists(idxPath) && Files.exists(oldPath))
+          Files.move(oldPath, idxPath)
+        rmTree(oldPath)
+        // Replay idempotence: foreachBatch is at-least-once, and the
+        // merge's disjointness precondition makes a double-apply
+        // double-count — a committed-batch marker INSIDE the index
+        // directory travels atomically with the data it describes, so a
+        // replayed batch that already merged is skipped (also review).
+        val marker = idxPath.resolve("_COMMITTED_BATCH")
+        val committed: Long =
+          if (Files.exists(marker)) Files.readString(marker).trim.toLong
+          else -1L
+        if (batchId > committed) {
+          val bidx =
+            graft.operators.TextOps.invertedIndex(batch, maxPostings)
+          val merged =
+            if (Files.exists(idxPath))
+              graft.operators.TextOps.invertedIndexMerge(
+                spark.read.parquet(idxPath.toString), bidx, maxPostings)
+            else bidx
+          val stage = Paths.get(s"$stateDir/index_stage")
+          rmTree(stage)
+          merged.write.mode("overwrite").parquet(stage.toString)
+          Files.writeString(stage.resolve("_COMMITTED_BATCH"),
+            batchId.toString)
+          // Swap: old aside, stage in, old gone — every intermediate
+          // state is recoverable (index present, or index_old present).
+          if (Files.exists(idxPath)) Files.move(idxPath, oldPath)
+          Files.move(stage, idxPath)
+          rmTree(oldPath)
         }
-        Files.move(stage, idxPath)
         ()
       }
       .start()
+  }
+
+  /** Distributed width probe for a micro-batch of workbooks: max row
+    * length per wanted sheet across ALL files (ADVICE r7 — a later,
+    * wider workbook must widen the scan, never lose columns). One
+    * (path × sheet) task grid on executors, each parsing ONLY its one
+    * sheet (`Xlsx.read(p, wanted)`); the first implementation fully
+    * parsed every workbook serially on the driver — N complete parses
+    * before the distributed scan even started (flagged in review).
+    * Sheets absent from every workbook probe to 0 (caller guards).
+    */
+  private[streaming] def probeWidths(spark: SparkSession,
+                                     paths: Seq[String],
+                                     sheets: Seq[String])
+      : Map[String, Int] = {
+    import spark.implicits._
+    val pairs = for (p <- paths; s <- sheets) yield (p, s)
+    val probed = spark.createDataset(pairs)
+      .repartition(math.max(1, math.min(pairs.size, 64)))
+      .map { case (p, s) =>
+        (s, graft.sources.Xlsx.read(p, wanted = Some(s)).headOption
+          .map(_._2).getOrElse(Vector.empty)
+          .foldLeft(0)((m, r) => math.max(m, r.length)))
+      }
+      .groupByKey(_._1).mapValues(_._2).reduceGroups(math.max(_, _))
+      .collect().toMap
+    sheets.map(s => s -> probed.getOrElse(s, 0)).toMap
   }
 
   /** Streaming NEAR-duplicate votes: the online form of
@@ -361,11 +415,11 @@ object StreamingPipeline {
     * state semantics (dense ids, toggle behavior, per-file ledger) are
     * identical to [[workbookStream]].
     *
-    * Sheet widths are probed from EVERY workbook in the batch (max row
-    * length per sheet), not just the first — a heterogeneous landing
-    * zone with a wider later workbook widens the scan instead of
-    * silently dropping its extra columns (ADVICE r7: validate the
-    * assumption instead of documenting it). Sheet presence (S2) is
+    * Sheet widths are probed from EVERY workbook in the batch (the
+    * distributed sheet-scoped [[probeWidths]] pass), not just the
+    * first — a heterogeneous landing zone with a wider later workbook
+    * widens the scan instead of silently dropping its extra columns
+    * (ADVICE r7: validate the assumption instead of documenting it). Sheet presence (S2) is
     * validated per workbook by requiring at least the header row in
     * each required sheet — [[graft.sources.Xlsx.readSheetAcrossWorkbooks]]
     * is lenient and yields zero rows for a missing sheet.
@@ -399,16 +453,9 @@ object StreamingPipeline {
           .map(_.getString(0)).filterNot(done.contains)
         if (raws.nonEmpty) {
           val paths = raws.map(_.stripPrefix("file:")).toSeq
-          // Width probe across ALL workbooks — max observed row length
-          // per sheet, so no file's columns are dropped (ADVICE r7).
-          val widths = paths
-            .map(p => graft.sources.Xlsx.read(p).toMap)
-            .foldLeft(sheetsWanted.map(_ -> 0).toMap) { (acc, wb) =>
-              acc.map { case (s, w) =>
-                s -> wb.getOrElse(s, Vector.empty)
-                  .foldLeft(w)((m, r) => math.max(m, r.length))
-              }
-            }
+          // Distributed sheet-scoped width probe (ADVICE r7 — widths
+          // from EVERY workbook, never just the first).
+          val widths = probeWidths(spark, paths, sheetsWanted)
           // ONE distributed scan per sheet for the whole micro-batch.
           val parsed = sheetsWanted.map { s =>
             s -> graft.sources.Xlsx
@@ -461,10 +508,9 @@ object StreamingPipeline {
     *    At-least-once replay then retries the whole batch.
     *
     * Width safety (ADVICE r7): sheet widths are probed from EVERY
-    * workbook in the batch (a driver-side zip scan of just the sheet
-    * dimensions via max row length per sheet), not only the first — a
-    * later, wider workbook widens the scan instead of silently losing
-    * columns.
+    * workbook in the batch via the distributed sheet-scoped
+    * [[probeWidths]] pass, not only the first — a later, wider workbook
+    * widens the scan instead of silently losing columns.
     */
   def workbookStreamSetBased(spark: SparkSession, landingDir: String,
                              stateDir: String, processedDir: String,
@@ -495,16 +541,8 @@ object StreamingPipeline {
           .map(_.getString(0)).filterNot(done.contains)
         if (raws.nonEmpty) {
           val paths = raws.map(_.stripPrefix("file:")).toSeq
-          // Width probe across ALL workbooks — max observed row length
-          // per sheet, so no file's columns are dropped.
-          val widths = paths
-            .map(p => graft.sources.Xlsx.read(p).toMap)
-            .foldLeft(sheetsWanted.map(_ -> 0).toMap) { (acc, wb) =>
-              acc.map { case (s, w) =>
-                s -> wb.getOrElse(s, Vector.empty)
-                  .foldLeft(w)((m, r) => math.max(m, r.length))
-              }
-            }
+          // Distributed sheet-scoped width probe (ADVICE r7).
+          val widths = probeWidths(spark, paths, sheetsWanted)
           val parsed = sheetsWanted.map { s =>
             s -> graft.sources.Xlsx
               .readSheetAcrossWorkbooks(spark, paths, s,
