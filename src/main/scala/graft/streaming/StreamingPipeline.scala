@@ -193,57 +193,70 @@ object StreamingPipeline {
   def corpusIndexStream(spark: SparkSession, srcDir: String,
                         stateDir: String, maxPostings: Int = 5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import java.nio.file.{Files, Paths, Path}
-    def rmTree(p: Path): Unit =
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING").parquet(srcDir)
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$stateDir/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        val idxPath = Paths.get(s"$stateDir/index")
-        val oldPath = Paths.get(s"$stateDir/index_old")
-        // Crash recovery: a crash between the two moves below leaves
-        // index absent but index_old present — restore it first, so no
-        // window loses the accumulated state (flagged in review: the
-        // original delete-then-move had exactly that loss window).
-        if (!Files.exists(idxPath) && Files.exists(oldPath))
-          Files.move(oldPath, idxPath)
-        rmTree(oldPath)
-        // Replay idempotence: foreachBatch is at-least-once, and the
-        // merge's disjointness precondition makes a double-apply
-        // double-count — a committed-batch marker INSIDE the index
-        // directory travels atomically with the data it describes, so a
-        // replayed batch that already merged is skipped (also review).
-        val marker = idxPath.resolve("_COMMITTED_BATCH")
-        val committed: Long =
-          if (Files.exists(marker)) Files.readString(marker).trim.toLong
-          else -1L
-        if (batchId > committed) {
-          val bidx =
-            graft.operators.TextOps.invertedIndex(batch, maxPostings)
-          val merged =
-            if (Files.exists(idxPath))
-              graft.operators.TextOps.invertedIndexMerge(
-                spark.read.parquet(idxPath.toString), bidx, maxPostings)
-            else bidx
-          val stage = Paths.get(s"$stateDir/index_stage")
-          rmTree(stage)
-          merged.write.mode("overwrite").parquet(stage.toString)
-          Files.writeString(stage.resolve("_COMMITTED_BATCH"),
-            batchId.toString)
-          // Swap: old aside, stage in, old gone — every intermediate
-          // state is recoverable (index present, or index_old present).
-          if (Files.exists(idxPath)) Files.move(idxPath, oldPath)
-          Files.move(stage, idxPath)
-          rmTree(oldPath)
-        }
-        ()
+        mergeIndexBatch(spark, stateDir, batch.toDF(), batchId,
+          maxPostings)
       }
       .start()
+  }
+
+  /** One micro-batch's index maintenance — exposed for direct testing of
+    * the recovery/idempotence contract (the stream above is just this
+    * per batch). Protocol:
+    *  1. recover: a crash between the swap's two moves leaves `index`
+    *     absent but `index_old` present — restore it (review: the
+    *     original delete-then-move had a window that lost the whole
+    *     accumulated index);
+    *  2. skip replays: foreachBatch is at-least-once and the merge's
+    *     disjointness precondition makes a double-apply double-count —
+    *     a committed-batch marker INSIDE the index directory travels
+    *     atomically with the data it describes, so an already-merged
+    *     batch id is a no-op;
+    *  3. swap: write staged index (+ marker), move `index` aside to
+    *     `index_old`, move stage in, drop `index_old` — every
+    *     intermediate state leaves a complete index recoverable.
+    */
+  private[graft] def mergeIndexBatch(spark: SparkSession,
+                                         stateDir: String,
+                                         batch: DataFrame,
+                                         batchId: Long,
+                                         maxPostings: Int): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    def rmTree(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    val idxPath = Paths.get(s"$stateDir/index")
+    val oldPath = Paths.get(s"$stateDir/index_old")
+    if (!Files.exists(idxPath) && Files.exists(oldPath))
+      Files.move(oldPath, idxPath)
+    rmTree(oldPath)
+    val marker = idxPath.resolve("_COMMITTED_BATCH")
+    val committed: Long =
+      if (Files.exists(marker)) Files.readString(marker).trim.toLong
+      else -1L
+    if (batchId > committed) {
+      val bidx =
+        graft.operators.TextOps.invertedIndex(batch, maxPostings)
+      val merged =
+        if (Files.exists(idxPath))
+          graft.operators.TextOps.invertedIndexMerge(
+            spark.read.parquet(idxPath.toString), bidx, maxPostings)
+        else bidx
+      val stage = Paths.get(s"$stateDir/index_stage")
+      rmTree(stage)
+      merged.write.mode("overwrite").parquet(stage.toString)
+      Files.writeString(stage.resolve("_COMMITTED_BATCH"),
+        batchId.toString)
+      if (Files.exists(idxPath)) Files.move(idxPath, oldPath)
+      Files.move(stage, idxPath)
+      rmTree(oldPath)
+    }
   }
 
   /** Distributed width probe for a micro-batch of workbooks: max row

@@ -203,6 +203,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(maintained.toSeq === oneShot.toSeq)
   }
 
+  test("mergeIndexBatch: replayed batch ids are no-ops, and the " +
+       "mid-swap crash state recovers without loss") {
+    import graft.operators.TextOps
+    import graft.streaming.StreamingPipeline.mergeIndexBatch
+    val dir = Files.createTempDirectory("graft_sidx2").toString
+    val b1 = Seq((0L, "a b a"), (1L, "b c")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "a c c")).toDF("doc_id", "text")
+    def snapshot(): Seq[Seq[Any]] = spark.read.parquet(s"$dir/index")
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    mergeIndexBatch(spark, dir, b1, 0L, 2)
+    val after1 = snapshot()
+    // at-least-once replay of the SAME batch id must not double-count
+    mergeIndexBatch(spark, dir, b1, 0L, 2)
+    assert(snapshot() === after1)
+    // simulate a crash between the swap's moves: index gone, old present
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/index"),
+      java.nio.file.Paths.get(s"$dir/index_old"))
+    mergeIndexBatch(spark, dir, b2, 1L, 2)
+    val expected = TextOps.invertedIndex(b1.unionAll(b2), maxPostings = 2)
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    assert(snapshot() === expected)
+  }
+
   test("streamingSimhashVotes flags cross-batch near-dups, passes fresh docs") {
     val dir = Files.createTempDirectory("graft_snear").toString
     val src = s"$dir/src"
