@@ -1107,7 +1107,86 @@ private[graft] object EntryOraclesB {
         |  (CAST(c_xy AS DOUBLE) * np) / (CAST(c_x AS DOUBLE) * c_y)
         |    AS pmi_ratio
         |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
-        |WHERE c_xy >= 50 ORDER BY x, y""".stripMargin
+        |WHERE c_xy >= 50 ORDER BY x, y""".stripMargin,
+
+    // ---- Data-mixing / curation additions (round 8, second wave) --------
+
+    "source_temperature" ->
+      """WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS weight_fp FROM ps),
+        |t AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n FROM w)
+        |SELECT source, n_docs, weight_fp,
+        |  CAST(weight_fp * 1000000 // tot AS BIGINT) AS p_ppm,
+        |  CAST((weight_fp * 1000000 // tot) * n // 1000000 AS BIGINT)
+        |    AS expected_docs
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "zscore_by_source" ->
+      """WITH st AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS s1,
+        |    SUM(n_chars * n_chars) AS s2 FROM documents GROUP BY 1),
+        |sd AS (SELECT source, n, s1,
+        |  CAST(FLOOR(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+        |    AS sd_fp FROM st)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN sd_fp = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(SIGN(d.n_chars * n - s1) AS BIGINT) *
+        |      CAST(ABS(d.n_chars * n - s1) * 1000000 // sd_fp AS BIGINT)
+        |  END AS z_ppm
+        |FROM documents d JOIN sd USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "ccnet_buckets" ->
+      s"""WITH lm AS (SELECT doc_id, n_bigrams, prob_fp_sum FROM
+         |($lmScoreSql)),
+         |s AS (SELECT doc_id, CASE WHEN n_bigrams = 0
+         |    THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(prob_fp_sum // n_bigrams AS BIGINT) END
+         |    AS score_fp FROM lm),
+         |j AS (SELECT d.doc_id, d.lang, s.score_fp
+         |  FROM documents d JOIN s USING (doc_id)),
+         |t AS (SELECT doc_id, lang, score_fp,
+         |  NTILE(3) OVER (PARTITION BY lang
+         |    ORDER BY score_fp DESC, doc_id) AS terc FROM j)
+         |SELECT doc_id, lang, score_fp,
+         |  CASE terc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "length_histogram" ->
+      """WITH mm AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi
+        |  FROM documents)
+        |SELECT CAST(LEAST(15, (n_chars - lo) * 16 // (hi - lo + 1))
+        |    AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents CROSS JOIN mm
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
+         |q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+         |k AS (SELECT cl.cluster, cl.doc_id, q.quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
+         |      ORDER BY q.quality_score DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster, doc_id, quality_score FROM k WHERE rn = 1
+         |ORDER BY cluster""".stripMargin,
+
+    "moving_avg_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |w AS (SELECT event_id, user_id, ms,
+        |    COUNT(*) OVER win AS win_n, SUM(v) OVER win AS s
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ms, win_n,
+        |  CAST(s AS DOUBLE) AS win_sum,
+        |  CAST(s AS DOUBLE) / CAST(win_n AS DOUBLE) AS moving_avg
+        |FROM w ORDER BY event_id""".stripMargin
   )
 }
 

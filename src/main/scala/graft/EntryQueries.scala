@@ -1282,6 +1282,44 @@ private[graft] object EntryQueries {
       auditState(s, dir).uploadsOrdered),
 
     "audit_address_changes" -> ((s, dir) =>
-      auditState(s, dir).addressChangesOrdered)
+      auditState(s, dir).addressChangesOrdered),
+
+    // ---- Data-mixing / curation additions (round 8, second wave) --------
+
+    // Temperature-scaled (T=2) multinomial source-mixing weights —
+    // fixed-point sqrt scheme, |sources|-row aggregate + broadcast total.
+    "source_temperature" -> ((s, dir) =>
+      TextOps.sourceTemperature(docs(s, dir))),
+
+    // Per-source z-score of document length (ppm fixed point; broadcast
+    // moments, no window).
+    "zscore_by_source" -> ((s, dir) =>
+      TextOps.zscoreBySource(docs(s, dir))),
+
+    // CCNet head/middle/tail LM-score terciles per language.
+    "ccnet_buckets" -> ((s, dir) =>
+      TextOps.ccnetBuckets(docs(s, dir))),
+
+    // Global equi-width length histogram (equi-depth twin: token_deciles).
+    "length_histogram" -> ((s, dir) =>
+      TextOps.lengthHistogram(docs(s, dir))),
+
+    // Quality-argmax dedup apply: same cluster frame as dedup_apply, but
+    // the kept representative maximizes quality_score (doc_id tiebreak).
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+      Dedup.keepByScore(
+          TextOps.qualityScore(TextOps.tokenStats(d))
+            .select("doc_id", "quality_score"),
+          clusters)
+        .orderBy("cluster")
+    }),
+
+    // Trailing-hour RANGE-frame moving average per user (the repo's one
+    // RANGE window; DECIMAL-exact frame sums).
+    "moving_avg_range" -> ((s, dir) =>
+      EventOps.movingAvgRange(events(s, dir)))
   )
 }

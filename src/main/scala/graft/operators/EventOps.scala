@@ -577,6 +577,40 @@ object EventOps {
       .orderBy("user_id", "bucket")
   }
 
+  /** Time-RANGE sliding aggregate: per-user moving average of `value`
+    * over the trailing `windowMs` milliseconds — the rolling-baseline
+    * feature (anomaly scores, rate smoothing) that ROWS frames get
+    * wrong whenever event density varies. This is the repo's one RANGE
+    * frame: the window is `rangeBetween(−windowMs, 0)` over the integer
+    * event-time millis, so all peers of a timestamp join the frame
+    * regardless of row order — no tiebreak needed for determinism.
+    *
+    * Portability: the frame aggregates DECIMAL(18,4)-cast values —
+    * exact under any accumulation order (engines differ in how they
+    * evaluate sliding-window sums: Spark re-scans the frame,
+    * DuckDB uses segment trees; only exact arithmetic is immune to
+    * the re-association). One final IEEE division produces the avg.
+    *
+    * Scale: one shuffle on user_id; the sort is per-user. The frame
+    * scan is O(events-in-window) per row — bounded by the window span
+    * and per-user event rate, independent of corpus size.
+    */
+  def movingAvgRange(events: DataFrame,
+                     windowMs: Long = 3600000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-windowMs, 0)
+    events
+      .select(col("event_id"), col("user_id"), eventMs(events).as("ms"),
+        col("value").cast("decimal(18,4)").as("_v"))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("_win_sum", sum(col("_v")).over(w))
+      .select(col("event_id"), col("user_id"), col("ms"), col("win_n"),
+        col("_win_sum").cast("double").as("win_sum"),
+        (col("_win_sum").cast("double") / col("win_n").cast("double"))
+          .as("moving_avg"))
+      .orderBy("event_id")
+  }
+
   private def cast2dp(c: org.apache.spark.sql.Column) =
     round(c, 2).cast("double")
 }

@@ -1386,6 +1386,119 @@ object TextOps {
       .withColumn("tv", col("tv_fp").cast("double") / 2000000.0)
   }
 
+  /** Temperature-scaled source mixing weights — the multinomial
+    * up-sampling scheme multilingual/multi-source training runs use to
+    * keep large sources from drowning small ones: p_s ∝ n_s^(1/T).
+    * This is the T = 2 (square-root) instance, the common default, kept
+    * EXACT across engines by fixed-point arithmetic: `sqrt` of an
+    * integer-valued double is correctly rounded in IEEE-754 (identical
+    * in the JVM and C), one multiply + floor lands it in BIGINT, and
+    * every division after that is integer floor-division. No
+    * order-dependent float sum anywhere.
+    *
+    * Output per source: document count, fixed-point weight, sampling
+    * probability in ppm, and the expected per-epoch document draw.
+    *
+    * Scale: a |sources|-row aggregate (map-side combined) plus one
+    * broadcast one-row total — nothing here grows with the corpus.
+    */
+  def sourceTemperature(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_fp",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000L))
+          .cast("long"))
+    val totals = perSource.agg(sum("weight_fp").as("_tot"),
+      sum("n_docs").as("_n"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("weight_fp"),
+        expr("weight_fp * 1000000L DIV _tot").as("p_ppm"),
+        expr("(weight_fp * 1000000L DIV _tot) * _n DIV 1000000L")
+          .as("expected_docs"))
+      .orderBy("source")
+  }
+
+  /** Per-source z-score normalization of document length — the
+    * "standardize a feature within its stratum" transform (outlier
+    * trimming, per-source length curricula). Fixed-point throughout:
+    * per-source integer moment sums (n, Σx, Σx²) are exact in BIGINT,
+    * the population-σ scale factor floor(√(n·Σx² − (Σx)²)) is one
+    * correctly-rounded IEEE sqrt of an integer, and the z-score ships
+    * as ppm with sign and magnitude divided separately (truncation
+    * direction of negative integer division differs across engines;
+    * |·| DIV then re-sign does not). z_ppm/1e6 = (x − μ)/σ exactly to
+    * the fixed-point floor.
+    *
+    * Scale: one |sources|-row aggregate broadcast back against the
+    * corpus — no window, no per-doc shuffle; the join is a codegen'd
+    * broadcast hash join and the whole operator is one corpus pass.
+    * Integer headroom: n·Σx² stays < 2^53 through ~10⁸ docs/source at
+    * these lengths; past that, widen the moments to DECIMAL(38,0).
+    */
+  def zscoreBySource(docs: DataFrame): DataFrame = {
+    val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("_n"), sum("n_chars").as("_s1"),
+        sum(col("n_chars") * col("n_chars")).as("_s2"))
+      .withColumn("_sd_fp",
+        floor(sqrt((col("_n") * col("_s2") - col("_s1") * col("_s1"))
+          .cast("double"))).cast("long"))
+      .select("source", "_n", "_s1", "_sd_fp")
+    docs.join(broadcast(stats), Seq("source"))
+      .withColumn("_num", col("n_chars") * col("_n") - col("_s1"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("_sd_fp") === 0, lit(0L))
+          .otherwise(signum(col("_num")).cast("long") *
+            expr("abs(_num) * 1000000L DIV _sd_fp")).as("z_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document within its language by a language-model score and cut the
+    * ranking into head/middle/tail terciles — the standard "keep the
+    * head, maybe the middle, drop the tail" curation gate. The score is
+    * [[lmScore]]'s fixed-point bigram probability (truncated integer
+    * average, so ordering is exact and portable); documents with no
+    * bigrams score −1 and sink to the tail deterministically; `ntile`
+    * runs under a total order (score desc, doc_id).
+    *
+    * Scale: the LM model tables are vocabulary-sized; the tercile
+    * window is PARTITIONED by language — per-language range sort, never
+    * a global one.
+    */
+  def ccnetBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = lmScore(docs, textCol = textCol)
+      .select(col("doc_id"),
+        when(col("n_bigrams") === 0, lit(-1L))
+          .otherwise(expr("prob_fp_sum DIV n_bigrams")).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("score_fp"), col("doc_id"))
+    docs.select("doc_id", "lang").join(scored, Seq("doc_id"))
+      .withColumn("_t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("score_fp"),
+        when(col("_t") === 1, lit("head"))
+          .when(col("_t") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Global equi-width length histogram: `bins` fixed-width buckets
+    * between the corpus min and max character counts — the quick-look
+    * distribution profile (contrast [[tokenDeciles]], the equi-depth
+    * twin). Bin assignment is pure integer arithmetic against the
+    * broadcast one-row (min, max) frame, so the histogram needs no sort
+    * at all: one corpus pass, one ≤`bins`-row hash aggregate.
+    */
+  def lengthHistogram(docs: DataFrame, bins: Int = 16): DataFrame = {
+    val mm = docs.agg(min("n_chars").as("_lo"), max("n_chars").as("_hi"))
+    docs.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr(s"least(${bins - 1}L, (n_chars - _lo) * ${bins}L " +
+          "DIV (_hi - _lo + 1))"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bin")
+  }
+
   // Small per-language stopword lists for the heuristic. Deliberately tiny:
   // the point is the (portable, codegen'd) mechanism, not lexicon coverage.
   val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
