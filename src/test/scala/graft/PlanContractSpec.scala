@@ -117,4 +117,62 @@ class PlanContractSpec extends AnyFunSuite {
         "range partition is the only allowed exchange)")
     assert(!"Join".r.findFirstIn(p).isDefined, "no join in the rule pass")
   }
+
+  test("zscore_by_source attaches moments via broadcast — no window, " +
+       "no per-doc shuffle before the terminal sort") {
+    val p = fmt("zscore_by_source")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row moments frame must broadcast")
+    assert(!p.contains("windowspecdefinition"),
+      "z-score needs no window at all — broadcast moments, one pass")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("length_histogram aggregates without any window or sort of the " +
+       "corpus (≤bins-row terminal sort only)") {
+    val p = fmt("length_histogram")
+    assert(!p.contains("windowspecdefinition"))
+    assert(!p.contains("CartesianProduct"))
+    // the only Sort allowed is the terminal ≤bins-row orderBy
+    val sorts = """\(\d+\) Sort""".r.findAllMatchIn(p).size
+    assert(sorts <= 1, s"corpus must not be sorted, got $sorts Sort nodes")
+  }
+
+  test("ccnet_buckets terciles run under a lang-PARTITIONED window, " +
+       "never a global ntile") {
+    val p = fmt("ccnet_buckets")
+    val winSpecs = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    // two windows exist: lmScore's per-doc lead (doc_id) and the tercile
+    // (lang). Neither may be unpartitioned — an unpartitioned spec opens
+    // directly with an ordered column ("col ASC ..."), a partitioned one
+    // with a bare partition column.
+    assert(winSpecs.nonEmpty &&
+        winSpecs.forall(!_.split(",")(0).contains(" ASC")),
+      s"every window must carry a partition spec, got: $winSpecs")
+    assert(winSpecs.exists(_.contains("lang")),
+      s"the tercile window must partition by lang, got: $winSpecs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("moving_avg_range frames per user_id — RANGE window is " +
+       "partitioned, no global sort") {
+    val p = fmt("moving_avg_range")
+    val winSpecs = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("user_id")),
+      s"RANGE frame must partition by user_id, got: $winSpecs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_keep_best picks representatives with a cluster-partitioned " +
+       "argmax and banded candidates — no cartesian, no nested loop in " +
+       "the pair join") {
+    val p = fmt("dedup_keep_best")
+    assert(!p.contains("CartesianProduct"))
+    val winSpecs = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winSpecs.exists(_.contains("cluster")),
+      "representative selection must be the cluster-partitioned window")
+  }
 }
