@@ -1186,7 +1186,24 @@ private[graft] object EntryOraclesB {
         |SELECT event_id, user_id, ms, win_n,
         |  CAST(s AS DOUBLE) AS win_sum,
         |  CAST(s AS DOUBLE) / CAST(win_n AS DOUBLE) AS moving_avg
-        |FROM w ORDER BY event_id""".stripMargin
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "json_props_rollup" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_props,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k,
+        |  MAX(k) AS max_k,
+        |  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE)
+        |    AS avg_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
 

@@ -1320,6 +1320,14 @@ private[graft] object EntryQueries {
     // Trailing-hour RANGE-frame moving average per user (the repo's one
     // RANGE window; DECIMAL-exact frame sums).
     "moving_avg_range" -> ((s, dir) =>
-      EventOps.movingAvgRange(events(s, dir)))
+      EventOps.movingAvgRange(events(s, dir))),
+
+    // Schema-on-read: typed from_json extraction of the props payload.
+    "json_props" -> ((s, dir) =>
+      EventOps.jsonProps(events(s, dir))),
+
+    // Parse-once-aggregate-typed rollup over the JSON payload.
+    "json_props_rollup" -> ((s, dir) =>
+      EventOps.jsonPropsRollup(events(s, dir)))
   )
 }

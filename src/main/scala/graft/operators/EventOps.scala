@@ -611,6 +611,51 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Typed extraction from the semi-structured `props` JSON column:
+    * `from_json` against an explicit schema (`{"k": BIGINT}` — the
+    * payload the testdata events carry), malformed or missing keys
+    * degrading to null rather than failing the batch. This is the
+    * schema-on-read edge every event pipeline has: the storage layer
+    * keeps the raw string; queries impose structure per use.
+    *
+    * Scale: per-row parse, no shuffle — the parse is Jackson-backed
+    * (interpreted, not codegen'd; the standard Spark JSON path) and
+    * linear in payload bytes. At 100 TB the win is *pushing the typed
+    * projection here*, once, instead of re-parsing per downstream
+    * consumer.
+    */
+  def jsonProps(events: DataFrame): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+    events.select(col("event_id"), col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** Per-type rollup over the extracted JSON payload: the "parse once,
+    * aggregate typed" composition — counts, integer-exact sum/min/max
+    * of `k`, null-payload tally, and one final IEEE division for the
+    * mean. One hash aggregate (map-side combined) after the linear
+    * parse; output is |event_type|-row.
+    */
+  def jsonPropsRollup(events: DataFrame): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+    events
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_props"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+        count(col("k")).as("_nk"))
+      .select(col("event_type"), col("n_events"), col("n_null_props"),
+        col("sum_k"), col("min_k"), col("max_k"),
+        (col("sum_k").cast("double") / col("_nk").cast("double"))
+          .as("avg_k"))
+      .orderBy("event_type")
+  }
+
   private def cast2dp(c: org.apache.spark.sql.Column) =
     round(c, 2).cast("double")
 }

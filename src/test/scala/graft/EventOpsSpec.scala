@@ -301,4 +301,31 @@ class EventOpsSpec extends AnyFunSuite {
       case _ => true
     })
   }
+
+  test("jsonProps: typed extraction, malformed/missing degrade to null") {
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 1.0, """{"k": 42}"""),
+      (2L, ts(1), 7L, "click", 1.0, """{"other": 1}"""),  // key missing
+      (3L, ts(2), 7L, "view", 1.0, "not json at all"),     // malformed
+      (4L, ts(3), 8L, "view", 1.0, null))                  // null payload
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.jsonProps(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("k"))).toMap
+    assert(out(1L) === Some(42L))
+    assert(out(2L) === None && out(3L) === None && out(4L) === None)
+  }
+
+  test("jsonPropsRollup: null payloads counted, mean over non-null only") {
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 1.0, """{"k": 10}"""),
+      (2L, ts(1), 7L, "click", 1.0, """{"k": 20}"""),
+      (3L, ts(2), 7L, "click", 1.0, "broken"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.jsonPropsRollup(ev).collect().head
+    assert(r.getAs[Long]("n_events") === 3L)
+    assert(r.getAs[Long]("n_null_props") === 1L)
+    assert(r.getAs[Long]("sum_k") === 30L)
+    assert(r.getAs[Double]("avg_k") === 15.0)
+  }
 }
