@@ -1193,6 +1193,27 @@ private[graft] object EntryOraclesB {
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "mix_manifest" ->
+      s"""WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents
+         |  GROUP BY 1),
+         |w AS (SELECT source, n_docs,
+         |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+         |    AS weight_fp FROM ps),
+         |t AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n FROM w),
+         |exp AS (SELECT source,
+         |  CAST((weight_fp * 1000000 // tot) * n // 1000000 AS BIGINT)
+         |    AS expected_docs FROM w CROSS JOIN t),
+         |q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+         |r AS (SELECT d.source, d.doc_id, q.quality_score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY q.quality_score DESC, d.doc_id) AS BIGINT) AS rk
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT r.doc_id, r.source, r.quality_score, r.rk
+         |FROM r JOIN exp USING (source)
+         |WHERE r.rk <= exp.expected_docs
+         |ORDER BY r.doc_id""".stripMargin,
+
     "json_props_rollup" ->
       """WITH p AS (SELECT event_type,
         |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

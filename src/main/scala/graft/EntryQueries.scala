@@ -1328,6 +1328,11 @@ private[graft] object EntryQueries {
 
     // Parse-once-aggregate-typed rollup over the JSON payload.
     "json_props_rollup" -> ((s, dir) =>
-      EventOps.jsonPropsRollup(events(s, dir)))
+      EventOps.jsonPropsRollup(events(s, dir))),
+
+    // The mixing endpoint: temperature weights decide how many docs per
+    // source, quality ranking decides which — the epoch manifest.
+    "mix_manifest" -> ((s, dir) =>
+      TextOps.mixManifest(docs(s, dir)))
   )
 }

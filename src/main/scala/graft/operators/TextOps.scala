@@ -1480,6 +1480,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Training-epoch manifest: the end-to-end mixing endpoint that turns
+    * [[sourceTemperature]]'s per-source expected document draws into an
+    * actual document list — per source, the `expected_docs` BEST
+    * documents by quality score (doc_id tiebreak). This is the frame a
+    * training run reads: temperature flattening decides HOW MANY from
+    * each source, the quality ranking decides WHICH.
+    *
+    * Scale: the quota frame is |sources| rows and broadcasts; the
+    * ranking window is source-partitioned (never global); the quota cut
+    * is a pushed filter on the ranked rows. One corpus-sized shuffle
+    * total (the window's partition-by-source).
+    */
+  def mixManifest(docs: DataFrame): DataFrame = {
+    val quotas = sourceTemperature(docs).select("source", "expected_docs")
+    val scored = qualityScore(tokenStats(docs))
+      .select("doc_id", "quality_score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("quality_score"), asc("doc_id"))
+    docs.select("doc_id", "source").join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("rk") <= col("expected_docs"))
+      .select(col("doc_id"), col("source"), col("quality_score"), col("rk"))
+      .orderBy("doc_id")
+  }
+
   /** Global equi-width length histogram: `bins` fixed-width buckets
     * between the corpus min and max character counts — the quick-look
     * distribution profile (contrast [[tokenDeciles]], the equi-depth

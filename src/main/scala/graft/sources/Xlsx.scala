@@ -9,6 +9,7 @@ import scala.collection.mutable
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, get, lit, max, size}
 import org.apache.spark.sql.types._
 
 /** Dependency-free xlsx reader/writer (S1/S12 — the reference's only I/O
@@ -122,6 +123,46 @@ object Xlsx {
             }
         }
       }(enc)
+  }
+
+  /** One-pass auto-width twin of [[readSheetAcrossWorkbooks]]: parses
+    * each workbook's sheet ONCE into a persisted variable-width cells
+    * frame, derives the batch-wide sheet width from those SAME parsed
+    * rows (max cell count — so the ADVICE-r7 "a later, wider workbook
+    * must widen the scan" guarantee holds by construction, no separate
+    * probe parse), then projects the array into `_c0.._cN` columns.
+    * The previous two-pass shape (a distributed [[graft.streaming
+    * .StreamingPipeline.probeWidths]] probe followed by a second full
+    * `readSheetAcrossWorkbooks` parse) read every workbook twice per
+    * micro-batch and halved landing-stream throughput.
+    *
+    * Returns the projected frame and a cleanup thunk that releases the
+    * cached parse — call it when the batch is done with the sheet.
+    */
+  def readSheetAcrossWorkbooksAuto(spark: SparkSession, paths: Seq[String],
+                                   sheet: String)
+      : (DataFrame, () => Unit) = {
+    import spark.implicits._
+    val raw = spark.createDataset(paths)
+      .repartition(math.max(1, math.min(paths.size, 64)))
+      .flatMap { p =>
+        read(p, wanted = Some(sheet)).headOption.map(_._2)
+          .getOrElse(Vector.empty)
+          .zipWithIndex.map { case (r, i) => (p, i.toLong, r) }
+      }
+      .toDF("_source", "_row_idx", "_cells")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materializes the parse into the cache; every later projection —
+    // including the per-file filters the caller runs — reads the cache.
+    val width = math.max(1, raw
+      .agg(coalesce(max(size(col("_cells"))), lit(0))).head().getInt(0))
+    val out = raw.select(
+      col("_source") +: col("_row_idx") +:
+        // get() (not getItem): a narrower workbook's short row must pad
+        // with nulls, not throw under ANSI array-index semantics.
+        (0 until width).map(j =>
+          get(col("_cells"), lit(j)).as(s"_c$j")): _*)
+    (out, () => { raw.unpersist(blocking = false); () })
   }
 
   /** Write DataFrames as one xlsx, one sheet each, headers from column

@@ -259,32 +259,11 @@ object StreamingPipeline {
     }
   }
 
-  /** Distributed width probe for a micro-batch of workbooks: max row
-    * length per wanted sheet across ALL files (ADVICE r7 — a later,
-    * wider workbook must widen the scan, never lose columns). One
-    * (path × sheet) task grid on executors, each parsing ONLY its one
-    * sheet (`Xlsx.read(p, wanted)`); the first implementation fully
-    * parsed every workbook serially on the driver — N complete parses
-    * before the distributed scan even started (flagged in review).
-    * Sheets absent from every workbook probe to 0 (caller guards).
-    */
-  private[streaming] def probeWidths(spark: SparkSession,
-                                     paths: Seq[String],
-                                     sheets: Seq[String])
-      : Map[String, Int] = {
-    import spark.implicits._
-    val pairs = for (p <- paths; s <- sheets) yield (p, s)
-    val probed = spark.createDataset(pairs)
-      .repartition(math.max(1, math.min(pairs.size, 64)))
-      .map { case (p, s) =>
-        (s, graft.sources.Xlsx.read(p, wanted = Some(s)).headOption
-          .map(_._2).getOrElse(Vector.empty)
-          .foldLeft(0)((m, r) => math.max(m, r.length)))
-      }
-      .groupByKey(_._1).mapValues(_._2).reduceGroups(math.max(_, _))
-      .collect().toMap
-    sheets.map(s => s -> probed.getOrElse(s, 0)).toMap
-  }
+  // The former two-pass width probe (a separate distributed parse per
+  // (path × sheet) before the real scan) is gone: widths now derive
+  // inside [[graft.sources.Xlsx.readSheetAcrossWorkbooksAuto]] from the
+  // same cached parse the scan projects, keeping the ADVICE-r7
+  // every-workbook-widens guarantee at half the parse cost.
 
   /** Streaming NEAR-duplicate votes: the online form of
     * [[graft.operators.Dedup.simhashPairs]]' banded search. Each incoming
@@ -428,11 +407,13 @@ object StreamingPipeline {
     * state semantics (dense ids, toggle behavior, per-file ledger) are
     * identical to [[workbookStream]].
     *
-    * Sheet widths are probed from EVERY workbook in the batch (the
-    * distributed sheet-scoped [[probeWidths]] pass), not just the
-    * first — a heterogeneous landing zone with a wider later workbook
-    * widens the scan instead of silently dropping its extra columns
-    * (ADVICE r7: validate the assumption instead of documenting it). Sheet presence (S2) is
+    * Sheet widths derive from EVERY workbook in the batch: the one-pass
+    * [[graft.sources.Xlsx.readSheetAcrossWorkbooksAuto]] scan takes the
+    * max cell count over the same cached parse it projects from, so a
+    * heterogeneous landing zone with a wider later workbook widens the
+    * scan instead of silently dropping its extra columns (ADVICE r7 —
+    * by construction, and without the separate probe parse that halved
+    * ingest throughput). Sheet presence (S2) is
     * validated per workbook by requiring at least the header row in
     * each required sheet — [[graft.sources.Xlsx.readSheetAcrossWorkbooks]]
     * is lenient and yields zero rows for a missing sheet.
@@ -466,20 +447,18 @@ object StreamingPipeline {
           .map(_.getString(0)).filterNot(done.contains)
         if (raws.nonEmpty) {
           val paths = raws.map(_.stripPrefix("file:")).toSeq
-          // Distributed sheet-scoped width probe (ADVICE r7 — widths
-          // from EVERY workbook, never just the first).
-          val widths = probeWidths(spark, paths, sheetsWanted)
-          // ONE distributed scan per sheet for the whole micro-batch.
+          // ONE distributed scan per sheet for the whole micro-batch;
+          // widths derive from the SAME parsed rows (max cell count), so
+          // the ADVICE-r7 every-workbook-widens guarantee holds without
+          // the former second probe parse per workbook.
           val parsed = sheetsWanted.map { s =>
             s -> graft.sources.Xlsx
-              .readSheetAcrossWorkbooks(spark, paths, s,
-                math.max(widths(s), 1))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .readSheetAcrossWorkbooksAuto(spark, paths, s)
           }.toMap
           try {
             raws.zip(paths).foreach { case (raw, p) =>
               val sheets = sheetsWanted.map { s =>
-                val df = parsed(s).where(col("_source") === p)
+                val df = parsed(s)._1.where(col("_source") === p)
                   .drop("_source")
                 require(!df.isEmpty,                         // S2 proxy
                   s"File must contain Transactions, Customers, and " +
@@ -492,7 +471,7 @@ object StreamingPipeline {
                 java.nio.file.StandardOpenOption.CREATE,
                 java.nio.file.StandardOpenOption.APPEND)
             }
-          } finally parsed.values.foreach(_.unpersist(blocking = false))
+          } finally parsed.values.foreach(_._2())
         }
       }
       .start()
@@ -520,10 +499,11 @@ object StreamingPipeline {
     *    (the sequential form would commit the files sorted before it).
     *    At-least-once replay then retries the whole batch.
     *
-    * Width safety (ADVICE r7): sheet widths are probed from EVERY
-    * workbook in the batch via the distributed sheet-scoped
-    * [[probeWidths]] pass, not only the first — a later, wider workbook
-    * widens the scan instead of silently losing columns.
+    * Width safety (ADVICE r7): sheet widths derive from EVERY workbook
+    * in the batch — the one-pass
+    * [[graft.sources.Xlsx.readSheetAcrossWorkbooksAuto]] scan takes the
+    * max cell count over the same cached parse it projects, so a later,
+    * wider workbook widens the scan by construction.
     */
   def workbookStreamSetBased(spark: SparkSession, landingDir: String,
                              stateDir: String, processedDir: String,
@@ -554,14 +534,13 @@ object StreamingPipeline {
           .map(_.getString(0)).filterNot(done.contains)
         if (raws.nonEmpty) {
           val paths = raws.map(_.stripPrefix("file:")).toSeq
-          // Distributed sheet-scoped width probe (ADVICE r7).
-          val widths = probeWidths(spark, paths, sheetsWanted)
-          val parsed = sheetsWanted.map { s =>
+          // ONE distributed scan per sheet; widths derive from the same
+          // parsed rows (ADVICE r7 guarantee without a second parse).
+          val parsedAuto = sheetsWanted.map { s =>
             s -> graft.sources.Xlsx
-              .readSheetAcrossWorkbooks(spark, paths, s,
-                math.max(widths(s), 1))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .readSheetAcrossWorkbooksAuto(spark, paths, s)
           }.toMap
+          val parsed = parsedAuto.view.mapValues(_._1).toMap
           try {
             // Per-file data row counts (incl. header) from the shared
             // parse — one aggregate per sheet for the whole batch.
@@ -611,7 +590,7 @@ object StreamingPipeline {
                   java.nio.file.StandardOpenOption.APPEND)
               }
             } finally parsedCust.unpersist(blocking = false)
-          } finally parsed.values.foreach(_.unpersist(blocking = false))
+          } finally parsedAuto.values.foreach(_._2())
         }
       }
       .start()

@@ -101,6 +101,24 @@ class MixingSpec extends AnyFunSuite {
     assert(out.length === 1 && out.head.getAs[Long]("doc_id") === 3L)
   }
 
+  test("mixManifest: temperature quota caps each source, best-quality " +
+       "docs fill it") {
+    // 16 big docs, 4 small docs → expected draws 13 and 6 of total 20
+    // (666666 ppm × 20 // 1e6 = 13; 333333 × 20 // 1e6 = 6, capped by
+    // the 4 available) — the cap is the rank filter, so small keeps
+    // all 4 and big keeps its 13 best.
+    val texts = (0 until 16).map(i =>
+      (i.toLong, ("tok " * (i + 2)).trim, "en", "big")) ++
+      (16 until 20).map(i => (i.toLong, "a b c", "en", "small"))
+    val out = TextOps.mixManifest(mkDocs(texts)).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("big").length === 13)
+    assert(bySrc("small").length === 4)
+    // every kept rank is within the quota and ranks are dense from 1
+    assert(bySrc("big").map(_.getAs[Long]("rk")).sorted.toSeq ===
+      (1L to 13L))
+  }
+
   test("movingAvgRange: RANGE frame spans trailing hour incl. peers") {
     val h = 3600000L
     val ev = Seq(

@@ -63,6 +63,36 @@ class XlsxSpec extends AnyFunSuite {
     assert(Xlsx.readSheetAcrossWorkbooks(spark, paths, "Nope", 2).count() === 0L)
   }
 
+  test("readSheetAcrossWorkbooksAuto: a wider LATER workbook widens the " +
+       "scan for every file (ADVICE r7), single parse pass") {
+    val dir = Files.createTempDirectory("graft_autowb")
+    val narrow = dir.resolve("a_narrow.xlsx").toString
+    Xlsx.write(narrow,
+      Seq("Data" -> Seq(("a", "b")).toDF("h1", "h2")))
+    val wide = dir.resolve("b_wide.xlsx").toString
+    Xlsx.write(wide,
+      Seq("Data" -> Seq(("x", "y", "z", "w")).toDF("h1", "h2", "h3", "h4")))
+    val (got, done) =
+      Xlsx.readSheetAcrossWorkbooksAuto(spark, Seq(narrow, wide), "Data")
+    try {
+      // width = the WIDEST workbook's 4 columns, for both files
+      assert(got.columns.toSeq ===
+        Seq("_source", "_row_idx", "_c0", "_c1", "_c2", "_c3"))
+      val byFile = got.collect().groupBy(_.getString(0))
+      // the wide workbook's extra cells survive
+      val wrow = byFile(wide).sortBy(_.getLong(1)).last.toSeq.drop(2)
+      assert(wrow === Seq("x", "y", "z", "w"))
+      // the narrow workbook pads with nulls beyond its own width
+      val nrow = byFile(narrow).sortBy(_.getLong(1)).last
+      assert(nrow.getString(2) === "a" && nrow.getString(3) === "b")
+      assert(nrow.isNullAt(4) && nrow.isNullAt(5))
+    } finally done()
+    // absent sheet: zero rows at the guard width of 1, not a crash
+    val (none, done2) =
+      Xlsx.readSheetAcrossWorkbooksAuto(spark, Seq(narrow), "Nope")
+    try assert(none.count() === 0L) finally done2()
+  }
+
   test("writeSharded: one shard per partition, union equals the frame") {
     val dir = Files.createTempDirectory("graft_shardwb").resolve("out").toString
     val df = (1 to 100).map(i => (s"id$i", i.toLong))
