@@ -556,6 +556,74 @@ class PropertySpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("property: temperature weights are a sub-distribution that " +
+       "flattens toward uniform on random source histograms") {
+    import graft.operators.TextOps
+    val nSrc = 2 + rnd.nextInt(8)
+    val sizes = (0 until nSrc).map(_ => 1 + rnd.nextInt(200))
+    val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+      (0 until n).map(i => (s * 1000L + i, s"doc $i", "en", s"s$s",
+        5L + i))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sourceTemperature(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("p_ppm"))).toSeq
+    // floor-division ppm probabilities never exceed the true mass and
+    // sum to ≤ 1e6 with bounded shortfall (< nSrc from the floors)
+    val tot = out.map(_._3).sum
+    assert(tot <= 1000000L && tot > 1000000L - nSrc - 1)
+    // temperature flattening: min/max ppm ratio ≥ min/max sqrt ratio of
+    // the raw counts (sqrt compresses the spread)
+    val byN = out.sortBy(_._2)
+    val rawRatio = byN.head._2.toDouble / byN.last._2
+    val pRatio = byN.head._3.toDouble / byN.last._3
+    assert(pRatio >= rawRatio - 1e-9,
+      s"sqrt law must compress the spread: p $pRatio vs raw $rawRatio")
+  }
+
+  test("property: per-source z-scores center and scale — fixed-point " +
+       "mean of z is ~0 and max|z| bounded by (n-1)/sqrt(n)") {
+    import graft.operators.TextOps
+    val docs = (0 until 120).map { i =>
+      (i.toLong, "t", "en", s"s${i % 4}", (10 + rnd.nextInt(500)).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextOps.zscoreBySource(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("z_ppm")))
+    rows.groupBy(_._1).foreach { case (_, zs) =>
+      val n = zs.length
+      val mean = zs.map(_._2).sum.toDouble / n
+      // fixed-point truncation keeps each z within 1 ppm-unit of exact,
+      // so the mean sits within 1e6/n-scale error of zero
+      assert(math.abs(mean) <= 1000000.0 / math.sqrt(n),
+        s"z-scores must center: mean=$mean n=$n")
+      // population z-scores are bounded by (n-1)/√n; the 1.01 factor
+      // absorbs the ≤1/(n·σ) fixed-point inflation from flooring n·σ
+      val bound = (n - 1).toDouble / math.sqrt(n.toDouble) * 1010000 + n
+      assert(zs.map(z => math.abs(z._2)).max <= bound)
+    }
+  }
+
+  test("property: mixManifest sizes equal min(expected quota, available) " +
+       "per source on random histograms") {
+    import graft.operators.TextOps
+    val nSrc = 2 + rnd.nextInt(6)
+    val sizes = (0 until nSrc).map(_ => 1 + rnd.nextInt(60))
+    val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+      (0 until n).map(i => (s * 1000L + i,
+        ("w " * (1 + (i % 30))).trim, "en", s"s$s", 5L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val quotas = TextOps.sourceTemperature(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("expected_docs")).toMap
+    val manifest = TextOps.mixManifest(docs).collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    sizes.zipWithIndex.foreach { case (n, s) =>
+      val want = math.min(quotas(s"s$s"), n.toLong)
+      assert(manifest.getOrElse(s"s$s", 0).toLong === want,
+        s"source s$s: manifest ${manifest.get(s"s$s")} vs min($n, quota)")
+    }
+  }
+
   test("property: sql surface exposes array_dot after registration") {
     org.apache.spark.sql.graftext.GraftFunctionRegistry.register(spark)
     val r = spark.sql(
