@@ -707,6 +707,38 @@ private[graft] object EntryOraclesB {
          |  UNION ALL SELECT c FROM tri)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Clustering coefficient: same capped graph; degrees from the
+    // symmetrized edge list, triangles from the 3-arm union, one IEEE
+    // division 2·tri/(deg·(deg−1)).
+    "clustering_coeff" ->
+      s"""WITH sp0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |$simhashMd5Sql
+         |)),
+         |sp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
+         |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
+         |  FROM sp0)
+         |  WHERE ra <= 256 AND rb <= 256),
+         |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |  FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
+         |  JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         |tc AS (SELECT doc_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS doc_id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) GROUP BY 1),
+         |deg AS (SELECT doc_id, COUNT(*) AS degree FROM (
+         |  SELECT doc_a AS doc_id FROM sp
+         |  UNION ALL SELECT doc_b FROM sp) GROUP BY 1)
+         |SELECT d.doc_id, d.degree,
+         |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree < 2 THEN 0.0
+         |    ELSE CAST(COALESCE(tc.n_triangles, 0) * 2 AS DOUBLE) /
+         |      CAST(d.degree * (d.degree - 1) AS DOUBLE) END
+         |    AS clustering_coeff
+         |FROM deg d LEFT JOIN tc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
     // filter 2..10, blocking self-join, exact Jaccard over full gram sets.
     "jaccard_pairs" -> {

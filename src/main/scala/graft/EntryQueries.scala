@@ -1333,6 +1333,12 @@ private[graft] object EntryQueries {
     // The mixing endpoint: temperature weights decide how many docs per
     // source, quality ranking decides which — the epoch manifest.
     "mix_manifest" -> ((s, dir) =>
-      TextOps.mixManifest(docs(s, dir)))
+      TextOps.mixManifest(docs(s, dir))),
+
+    // Local clustering coefficient over the SimHash pair graph — the
+    // clique-vs-hub refinement on the k-core / triangle family.
+    "clustering_coeff" -> ((s, dir) =>
+      Dedup.clusteringCoefficient(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b")))
   )
 }

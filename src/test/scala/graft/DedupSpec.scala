@@ -208,6 +208,23 @@ class DedupSpec extends AnyFunSuite {
     check(plan, belowAgg = false)
   }
 
+  test("clusteringCoefficient: clique vertices score 1, pendant 0, hub " +
+       "between") {
+    // triangle {1,2,3} plus pendant 4 on vertex 1:
+    //  v1 deg 3, tri 1 → 2/(3·2) = 1/3; v2,v3 deg 2, tri 1 → 1.0;
+    //  v4 deg 1 → 0 (no wedge to close).
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusteringCoefficient(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering_coeff"))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L) === ((2L, 1L, 1.0)))
+    assert(out(4L) === ((1L, 0L, 0.0)))
+  }
+
   test("triangles: deterministic degree cap keeps smallest-id neighbors") {
     // K4 on {1,2,3,4} has 4 triangles. With maxDegree = 2, ranks are
     // computed on the raw graph: (1,4) drops on the out side (ra=3 at
