@@ -426,4 +426,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(store.addressChanges.count() === 12L)
     } finally q.stop()
   }
+
+  test("set-based workbook stream survives a full restart: the ledger " +
+       "makes at-least-once redelivery a no-op, new files still land") {
+    val sample = "/root/reference/uploads/Txn_Details.xlsx"
+    assume(Files.exists(java.nio.file.Paths.get(sample)))
+    val dir = Files.createTempDirectory("graft_wbstream_r").toString
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    Files.copy(java.nio.file.Paths.get(sample),
+      java.nio.file.Paths.get(s"$landing/a_Txn_Details.xlsx"))
+
+    val q1 = StreamingPipeline.workbookStreamSetBased(spark, landing,
+      s"$dir/state", s"$dir/processed", s"$dir/ckpt")
+    try { q1.processAllAvailable() } finally q1.stop()
+    val store = new graft.state.StateStore(spark, s"$dir/state")
+    assert(store.uploads.count() === 1L)
+    assert(store.addressChanges.count() === 4L)
+
+    // A NEW query instance over the same checkpoint + ledger: the file
+    // source may redeliver the already-committed file (at-least-once);
+    // the ledger must swallow it — no duplicate upload, no re-toggle.
+    val q2 = StreamingPipeline.workbookStreamSetBased(spark, landing,
+      s"$dir/state", s"$dir/processed", s"$dir/ckpt")
+    try {
+      q2.processAllAvailable()
+      assert(store.uploads.count() === 1L)
+      assert(store.addressChanges.count() === 4L)
+      // and a genuinely new file still lands, sequenced after the first
+      Files.copy(java.nio.file.Paths.get(sample),
+        java.nio.file.Paths.get(s"$landing/b_Txn_Details.xlsx"))
+      q2.processAllAvailable()
+      assert(store.uploads.count() === 2L)
+      assert(store.addressChanges.count() === 12L)   // 4 then 8 re-toggles
+      assert(store.addressChanges
+        .where(org.apache.spark.sql.functions.col("upload_id") === 2L)
+        .count() === 8L)
+    } finally q2.stop()
+  }
 }
