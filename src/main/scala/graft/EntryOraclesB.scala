@@ -1220,9 +1220,13 @@ private[graft] object EntryOraclesB {
         |  CAST(s AS DOUBLE) / CAST(win_n AS DOUBLE) AS moving_avg
         |FROM w ORDER BY event_id""".stripMargin,
 
+    // json_valid + TRY_CAST replay the operator's malformed-degrades-to-
+    // null contract (from_json PERMISSIVE): a bad payload must compare
+    // as NULL, never crash the oracle side of the gate.
     "json_props" ->
       """SELECT event_id, event_type,
-        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  CASE WHEN props IS NOT NULL AND json_valid(props)
+        |    THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "mix_manifest" ->
@@ -1248,7 +1252,9 @@ private[graft] object EntryOraclesB {
 
     "json_props_rollup" ->
       """WITH p AS (SELECT event_type,
-        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |    CASE WHEN props IS NOT NULL AND json_valid(props)
+        |      THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+        |    END AS k FROM events)
         |SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_null_props,

@@ -131,10 +131,10 @@ object Xlsx {
     * rows (max cell count — so the ADVICE-r7 "a later, wider workbook
     * must widen the scan" guarantee holds by construction, no separate
     * probe parse), then projects the array into `_c0.._cN` columns.
-    * The previous two-pass shape (a distributed [[graft.streaming
-    * .StreamingPipeline.probeWidths]] probe followed by a second full
-    * `readSheetAcrossWorkbooks` parse) read every workbook twice per
-    * micro-batch and halved landing-stream throughput.
+    * The previous two-pass shape (a distributed per-(path, sheet)
+    * width probe followed by a second full `readSheetAcrossWorkbooks`
+    * parse) read every workbook twice per micro-batch and halved
+    * landing-stream throughput.
     *
     * Returns the projected frame and a cleanup thunk that releases the
     * cached parse — call it when the batch is done with the sheet.

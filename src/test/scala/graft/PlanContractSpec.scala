@@ -145,11 +145,12 @@ class PlanContractSpec extends AnyFunSuite {
       .findAllMatchIn(p).map(_.group(1)).toSeq
     // two windows exist: lmScore's per-doc lead (doc_id) and the tercile
     // (lang). Neither may be unpartitioned — an unpartitioned spec opens
-    // directly with an ordered column ("col ASC ..."), a partitioned one
-    // with a bare partition column.
-    assert(winSpecs.nonEmpty &&
-        winSpecs.forall(!_.split(",")(0).contains(" ASC")),
-      s"every window must carry a partition spec, got: $winSpecs")
+    // directly with an ordered column ("col ASC/DESC ..."), a
+    // partitioned one with a bare partition column.
+    assert(winSpecs.nonEmpty && winSpecs.forall { s =>
+        val first = s.split(",")(0)
+        !first.contains(" ASC") && !first.contains(" DESC")
+      }, s"every window must carry a partition spec, got: $winSpecs")
     assert(winSpecs.exists(_.contains("lang")),
       s"the tercile window must partition by lang, got: $winSpecs")
     assert(!p.contains("CartesianProduct"))
