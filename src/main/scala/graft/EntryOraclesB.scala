@@ -739,6 +739,18 @@ private[graft] object EntryOraclesB {
          |FROM deg d LEFT JOIN tc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Degree histogram over the UNCAPPED pair graph (symmetrized edge
+    // list → degree per vertex → count per degree).
+    "degree_hist" ->
+      s"""WITH sp AS (SELECT doc_a, doc_b FROM (
+         |$simhashMd5Sql
+         |)),
+         |deg AS (SELECT doc_id, COUNT(*) AS degree FROM (
+         |  SELECT doc_a AS doc_id FROM sp
+         |  UNION ALL SELECT doc_b FROM sp) GROUP BY 1)
+         |SELECT degree, COUNT(*) AS n_vertices FROM deg
+         |GROUP BY 1 ORDER BY degree""".stripMargin,
+
     // Rare-gram-blocked Jaccard twin: distinct md5 6-gram hashes, DF
     // filter 2..10, blocking self-join, exact Jaccard over full gram sets.
     "jaccard_pairs" -> {

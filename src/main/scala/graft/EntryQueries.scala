@@ -1339,6 +1339,12 @@ private[graft] object EntryQueries {
     // clique-vs-hub refinement on the k-core / triangle family.
     "clustering_coeff" -> ((s, dir) =>
       Dedup.clusteringCoefficient(
+        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+
+    // Degree distribution of the (uncapped) pair graph — the skew
+    // diagnostic that justifies/tunes the wedge family's degree cap.
+    "degree_hist" -> ((s, dir) =>
+      Dedup.degreeHistogram(
         Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b")))
   )
 }

@@ -225,6 +225,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) === ((1L, 0L, 0.0)))
   }
 
+  test("degreeHistogram: counts vertices per degree on the raw graph") {
+    // star on 1 (deg 3) + its leaves (deg 1 each) + isolated edge (5,6)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.degreeHistogram(pairs).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_vertices"))
+    assert(out.toSeq === Seq(1L -> 5L, 3L -> 1L))
+  }
+
   test("triangles: deterministic degree cap keeps smallest-id neighbors") {
     // K4 on {1,2,3,4} has 4 triangles. With maxDegree = 2, ranks are
     // computed on the raw graph: (1,4) drops on the out side (ra=3 at
