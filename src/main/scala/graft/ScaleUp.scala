@@ -33,15 +33,24 @@ import org.apache.spark.sql.functions._
   *    replica, so `doc_id % 10` style holdout predicates keep their
   *    per-replica meaning (the offset is a multiple of 10 for the
   *    driver's contiguous 0-based ids).
-  *  - embeddings: a deterministic per-replica AFFINE map — scalar gain
-  *    (1 + .002·(r+1)) plus a per-(replica, dimension) sinusoidal
-  *    offset — keeps cross-replica cosine well under dedup thresholds
-  *    while leaving each replica's neighbor structure intact. The gain
-  *    term exists for the same stacking reason as the token salt: a
-  *    purely additive perturbation commutes across generations
-  *    (v + p_j + p_i == v + p_i + p_j), re-creating the alias pairs in
-  *    embedding space; affine compositions don't commute
-  *    (a_i·(a_j·v + p_j) + p_i ≠ a_j·(a_i·v + p_i) + p_j).
+  *  - embeddings: a deterministic per-replica SIGNED PERMUTATION of the
+  *    dimensions (new[i] = sign_r[i] · old[perm_r[i]]). A signed
+  *    permutation is exactly orthogonal, so every within-replica inner
+  *    product — and therefore the replica's entire neighbor structure,
+  *    including absolute cosine thresholds — is preserved bit-for-bit
+  *    (the only arithmetic is ·±1.0f). Cross-replica same-base cosine
+  *    becomes a random signed re-pairing of coordinates, concentrating
+  *    near 0 (|cos| ≲ 3/√dim). Two earlier designs measured wrong here:
+  *    an additive offset commutes across stacked generations
+  *    (v + p_j + p_i == v + p_i + p_j), re-creating alias pairs; and the
+  *    affine map that replaced it (gain 1+.002·(r+1), sinusoidal offset
+  *    of amplitude 0.05) left cross-replica cosine at 0.91–0.94 —
+  *    ABOVE the 0.9 near-dup threshold — so every base vector grew a
+  *    factor-sized family of spurious "near-duplicates" and pair-query
+  *    cost grew quadratically in the amplification factor (an artifact:
+  *    the sf100 LSH pair probe was enumerating ~10⁹ same-family pairs).
+  *    Permutation composition is non-commutative, so stacking
+  *    generations cannot alias either.
   *  - events: event/user ids offset, timestamps kept — the event stream
   *    gets `factor`× denser over the same window, as real growth does.
   *  - lineitem/orders/customer: consistent key offsets (orderkey,
@@ -79,6 +88,36 @@ object ScaleUp {
     spark.stop()
   }
 
+  /** Deterministic signed permutation for replica `r` over `dim`
+    * dimensions: Fisher–Yates driven by a splitmix64 stream seeded from
+    * the replica index, plus ±1 signs from the same stream. Guaranteed
+    * never the identity map (replica 0 included — a verbatim replica
+    * re-creates alias pairs under stacked amplification): if the drawn
+    * permutation is the identity with all-positive signs, the first
+    * sign is flipped.
+    */
+  private[graft] def signedPerm(r: Int, dim: Int): (Array[Int], Array[Float]) = {
+    var state = 0x9E3779B97F4A7C15L * (r + 1) + 0xBF58476D1CE4E5B9L
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val perm = Array.tabulate(dim)(identity)
+    var i = dim - 1
+    while (i > 0) {
+      val j = (math.floorMod(next(), i + 1L)).toInt
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val signs = Array.fill(dim)(if ((next() & 1L) == 0L) 1.0f else -1.0f)
+    if (perm.zipWithIndex.forall { case (p, k) => p == k } &&
+        signs.forall(_ > 0f)) signs(0) = -1.0f
+    (perm, signs)
+  }
+
   def amplify(spark: SparkSession, src: String, out: String,
               factor: Int, tables: Option[Set[String]] = None): Unit = {
     val reps = broadcast(spark.range(factor)
@@ -105,17 +144,25 @@ object ScaleUp {
         "documents", factor * 4)
     }
 
-    // -- embeddings: id offset + per-replica affine perturbation (ALL
-    //    replicas; gain term breaks cross-generation commutation) -------
+    // -- embeddings: id offset + per-replica signed permutation (ALL
+    //    replicas; orthogonal within-replica, ~0 cosine cross-replica,
+    //    non-commutative under stacking — see the scaladoc) -------------
     if (want("embeddings")) {
       val emb = read("embeddings")
       val vOff = offsetFor(emb, "vec_id")
-      write(emb.crossJoin(reps).select(
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      // The permutation tables ride the broadcast replica frame as
+      // literal arrays — the map stays one codegen'd projection.
+      val permReps = broadcast(spark.createDataFrame(
+        (0 until factor).map { r =>
+          val (p, s) = signedPerm(r, dim)
+          (r, p, s)
+        }).toDF("rep", "perm", "signs"))
+      write(emb.crossJoin(permReps).select(
           (col("vec_id") + col("rep").cast("long") * vOff).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x * (lit(1.0) + (col("rep") + 1) * lit(0.002)) +
-              sin((i + 1) * (col("rep") * 7 + 3)) * lit(0.05))
-              .cast("float")).as("embedding"),
+          transform(col("perm"), (p, i) =>
+            element_at(col("embedding"), p + 1) *
+              element_at(col("signs"), i + 1)).as("embedding"),
           col("label")),
         "embeddings", factor * 2)
     }

@@ -12,9 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * replica 0's copy of the gen-1 replica-j doc, planting factor²-growing
   * exact-duplicate pairs that read as superlinear near-dup growth. Every
   * replica now gets its own salt layer, so duplicate DENSITY must stay
-  * exactly linear across generations; embeddings use an affine (not
-  * purely additive) perturbation for the same reason — additive offsets
-  * commute across generations and alias in embedding space.
+  * exactly linear across generations.
+  *
+  * Embeddings pin the analogous contract caught one measurement later:
+  * the affine perturbation that replaced the (commuting, aliasing)
+  * additive one left cross-replica same-base cosine at 0.91–0.94 —
+  * above the 0.9 near-dup threshold — so amplified corpora grew
+  * factor-sized spurious near-dup families and pair-query cost grew
+  * quadratically in the factor. The map is now a per-replica SIGNED
+  * PERMUTATION: exactly orthogonal (within-replica neighbor structure
+  * preserved, absolute thresholds included), cross-replica cosine ~0,
+  * and non-commutative composition under stacking (no aliasing).
   */
 class ScaleUpSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -35,10 +43,20 @@ class ScaleUpSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$src/documents.parquet")
-    Seq((0L, Array(1.0f, 0.0f, 0.0f), 0),
-        (1L, Array(0.9f, 0.1f, 0.0f), 0),
-        (2L, Array(0.0f, 1.0f, 0.0f), 1),
-        (3L, Array(0.0f, 0.0f, 1.0f), 2))
+    // 16-dim unit-ish vectors: 0/1 a true near-dup pair (cos ≈ 0.995),
+    // 2/3 unrelated — enough width that the signed-permutation images
+    // separate (at dim 3 two of 48 possible maps colliding by chance
+    // would make the cross-replica assertion fixture-fragile).
+    def vec(seed: Int): Array[Float] = {
+      val v = Array.tabulate(16)(i =>
+        math.sin(seed * 97 + i * 13 + 1).toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val v0 = vec(1)
+    val v1 = v0.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.1f else x }  // near-dup of v0
+    Seq((0L, v0, 0), (1L, v1, 0), (2L, vec(2), 1), (3L, vec(3), 2))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
 
@@ -61,10 +79,57 @@ class ScaleUpSpec extends AnyFunSuite {
     // doc_id space stays dense and disjoint.
     assert(d2.agg(countDistinct("doc_id")).head.getLong(0) === 54)
 
-    // Embeddings: 4 × 9 vectors, all pairwise distinct — the affine
-    // perturbation must not commute across generations.
+    // Embeddings: 4 × 9 vectors, all pairwise distinct — stacked signed
+    // permutations must not alias.
     val e2 = spark.read.parquet(s"$g2/embeddings.parquet")
     assert(e2.count() === 36)
     assert(e2.select("embedding").distinct().count() === 36)
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / math.sqrt(ad.map(x => x * x).sum * bd.map(x => x * x).sum)
+    }
+    val byId = e2.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val srcCos01 = cos(v0, v1)
+    // 9 gen2 replicas of base ids 0 and 1 at (4k, 4k+1), k = 0..8.
+    val repIds = (0 until 9).map(k => (k * 4L, k * 4L + 1))
+    // Within-replica: the near-dup pair's cosine is preserved through
+    // BOTH generations' maps (orthogonality — same product multiset, so
+    // only float summation order can move it).
+    repIds.foreach { case (a, b) =>
+      assert(math.abs(cos(byId(a), byId(b)) - srcCos01) < 1e-6,
+        s"within-replica cosine drifted for pair ($a, $b)")
+    }
+    // Cross-replica: every same-base pair must sit WELL under the 0.9
+    // near-dup threshold — the affine map's failure mode (0.91–0.94).
+    val bases = repIds.map(_._1).map(byId)
+    for (i <- bases.indices; j <- bases.indices if i < j) {
+      val c = math.abs(cos(bases(i), bases(j)))
+      assert(c < 0.8, s"cross-replica same-base |cosine| $c for ($i, $j)")
+    }
+  }
+
+  test("signedPerm: non-identity, distinct, non-commuting") {
+    val dim = 64
+    val maps = (0 until 20).map(r => ScaleUp.signedPerm(r, dim))
+    maps.zipWithIndex.foreach { case ((p, s), r) =>
+      assert(!(p.zipWithIndex.forall { case (x, i) => x == i } &&
+               s.forall(_ > 0f)), s"replica $r drew the identity map")
+      assert(p.sorted.sameElements(Array.tabulate(dim)(identity)),
+        s"replica $r is not a permutation")
+      assert(s.forall(x => x == 1.0f || x == -1.0f))
+    }
+    assert(maps.map { case (p, s) =>
+      (p.toSeq, s.toSeq) }.distinct.size === 20)
+    // Composition order matters (the stacking-alias guard): applying
+    // map0 then map1 differs from map1 then map0 on a probe vector.
+    def apply(m: (Array[Int], Array[Float]), v: Array[Float]) =
+      Array.tabulate(dim)(i => m._2(i) * v(m._1(i)))
+    val probe = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val a = apply(maps(1), apply(maps(0), probe))
+    val b = apply(maps(0), apply(maps(1), probe))
+    assert(!a.sameElements(b))
   }
 }
