@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Similarity
+
+/** One-off scale measurement for PARAMETERIZED operator variants — the
+  * knob the registry queries deliberately pin (their oracles replay one
+  * literal parameterization, so `queries` entries cannot take deployment-
+  * sized parameters without changing what the oracle checks).
+  *
+  * The motivating cases are the two embedding pair searches, whose
+  * candidate bound is a parameter that must GROW with the corpus:
+  *
+  *  - `lsh`: `embedding_neardup_lsh` pins planes=12 (4,096 buckets/table)
+  *    for its oracle; at the sf100 ladder point (2 M vectors) that is
+  *    ~490 occupancy → ~1.5 B candidate pairs, a parameterization error,
+  *    not a plan defect. The probe runs the SAME
+  *    `Similarity.lshNearDupPairsFromVecs` plan at caller-chosen
+  *    `planes`/`tables`.
+  *  - `cells`: `semantic_dedup` pins a 16-cell codebook; off that point
+  *    both the Σ|cell|² pair work AND the within-cell join's parallelism
+  *    (≤ nCells tasks) degrade. The probe runs
+  *    `Similarity.semanticDedupPairsScaled` with an nCells-sized
+  *    codebook (deterministic lowest-vec_id init, Lloyd iters=0 — the
+  *    probe prices assignment + pair search, not training quality).
+  *
+  * Usage:
+  *   runMain graft.ScaleProbe <sfDir> lsh <planes> <tables> [runs]
+  *   runMain graft.ScaleProbe <sfDir> cells <nCells> [runs]
+  * Prints one JSON line {"probe":...,"sec":...,"pairs":...}. Protocol
+  * matches Bench: local[N] from SPARK_GRAFT_CPUS, noop sink, cold cache,
+  * min-of-`runs` (default 2).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val kind = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (pairsDf, runs, desc) = kind match {
+      case "lsh" =>
+        val planes = args(2).toInt
+        val tables = args(3).toInt
+        val runs = if (args.length > 4) args(4).toInt else 2
+        (() => Similarity.lshNearDupPairsFromVecs(
+            EntryHelpers.plantedVecs(spark, sfDir),
+            threshold = 0.9, planes = planes, tables = tables,
+            dim = EntryOracleSql.EmbDim),
+          runs,
+          s""""probe":"embedding_neardup_lsh","planes":$planes,""" +
+            s""""tables":$tables""")
+      case "cells" =>
+        val nCells = args(2).toInt
+        val runs = if (args.length > 3) args(3).toInt else 2
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        // Codebook trained once OUTSIDE the timed runs (the ingest-time
+        // step); the probe times assignment + within-cell pair search.
+        val cb = Similarity.kmeansCodebook(emb, nCells = nCells, iters = 0)
+        (() => Similarity.semanticDedupPairsScaled(
+            EntryHelpers.plantedVecs(spark, sfDir), cb, threshold = 0.9),
+          runs,
+          s""""probe":"semantic_dedup","cells":$nCells""")
+      case other => sys.error(s"unknown probe kind: $other")
+    }
+
+    def once(): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      pairsDf().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = (1 to runs).map(_ => once()).min
+    // Pair count once, outside the timed runs (it re-executes the plan).
+    spark.catalog.clearCache()
+    val pairs = pairsDf().count()
+    println(s"""{$desc,"sf":"$sfDir","sec":$best,"pairs":$pairs}""")
+    spark.stop()
+  }
+}

@@ -291,6 +291,42 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** [[semanticDedupPairs]] at deployment cell counts. The literal-argmax
+    * assignment above inlines one cosine expression PER centroid — right
+    * for the oracle-replayable 16-cell registry query, but two walls
+    * appear off that operating point: (1) expression size grows with the
+    * codebook, exhausting codegen at hundreds of cells; and (2) —
+    * measured at the sf10 ladder point — the within-cell join's
+    * parallelism is bounded by the CELL COUNT, so at 16 cells the
+    * largest cell's |cell|²/2 cosine verifications run in ONE task while
+    * the other 31 cores idle. Here the codebook rides as a single 2-D
+    * array literal and the argmax is one `transform` + `array_max` over
+    * it, so the expression is constant-size in nCells; occupancy-bound
+    * cell counts (nCells ≈ N / target occupancy) keep pair work linear
+    * in the corpus AND give the cell join ≥ nCells-way parallelism.
+    * Assignment itself is brute-force over the codebook (N × nCells
+    * cosines) — the standard IVF trade; past ~10⁴ cells a deployment
+    * would assign hierarchically (coarse-then-fine), which composes from
+    * this same operator. Identical assignment and tie semantics to the
+    * literal form ([[SimilaritySpec]] pins pair-for-pair parity).
+    */
+  def semanticDedupPairsScaled(vecs: DataFrame,
+                               codebook: Array[Array[Double]],
+                               threshold: Double = 0.9): DataFrame = {
+    val cb = typedLit(codebook.map(_.toSeq).toSeq)
+    val cell = array_max(transform(cb, (cv, i) =>
+        struct(cosine(col("v"), cv).as("cos"), i.as("cell"))))
+      .getField("cell").cast("long")
+    val assigned = vecs.select(col("vec_id"), col("v"), cell.as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        bround(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** Squared L2 distance from a subvector column to a centroid literal,
     * REDUCED for argmin: the `sv·sv` term is constant per row, so
     * `cvdot − 2·(sv·cv)` induces the identical ordering (and identical

@@ -163,6 +163,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length === 8)
   }
 
+  test("semanticDedupPairsScaled matches the literal form pair-for-pair") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val planted = base.where(col("vec_id") < 8)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.01)),
+          slice(col("v"), 2, 63)).as("v"))
+    val vecs = base.unionAll(planted)
+    val cb = Similarity.kmeansCodebook(emb, nCells = 16, iters = 2)
+    // Same codebook through both assignment paths (16 inlined cosine
+    // expressions vs one transform over a 2-D literal) must produce the
+    // identical pair set with identical sims — assignment argmax, tie
+    // rule, and verify arithmetic all agree.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("cell"), r.getAs[Long]("vec_a"),
+       r.getAs[Long]("vec_b"), r.getAs[Double]("sim"))
+    val lit16 = Similarity.semanticDedupPairs(vecs, cb, 0.9)
+      .collect().map(key).sortBy(k => (k._2, k._3))
+    val scaled = Similarity.semanticDedupPairsScaled(vecs, cb, 0.9)
+      .collect().map(key).sortBy(k => (k._2, k._3))
+    assert(scaled.length === 8)
+    assert(scaled.toSeq === lit16.toSeq)
+  }
+
   test("rpTopK: reduced-space candidates preserve planted neighbors, " +
        "exact re-rank orders them") {
     import org.apache.spark.sql.functions._
