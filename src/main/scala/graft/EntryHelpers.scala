@@ -259,11 +259,35 @@ private[graft] object EntryHelpers {
     new SessionMemo[(graft.state.StateStore, java.nio.file.Path)](
       { case (_, p) => deleteTree(p) })
 
-  // Temp state dirs die with the JVM even if their session never stops.
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+  // Temp state/landing dirs die with the JVM even if their session never
+  // stops.
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
     auditStates.values.forEach { case (_, p) =>
       try deleteTree(p) catch { case _: Throwable => () }
-    }))
+    }
+    jsonlDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+  }))
+
+  /** Memoized JSONL landing-zone build for `jsonl_landing`: the document
+    * corpus exported once per (session, sf dir) as JSON lines with the
+    * deterministic doc_id%53 truncation corruption
+    * ([[graft.sources.Jsonl.renderLines]]) — the export is the
+    * once-per-corpus setup step; the query re-pays the landing SCAN +
+    * quarantine + audit aggregate each run.
+    */
+  private[graft] val jsonlDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def jsonlLanding(s: SparkSession, dir: String): String =
+    jsonlDirs.get(s, dir) { (s2, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      graft.sources.Jsonl.writeLines(
+        graft.sources.Jsonl.renderLines(docs(s2, d), corruptMod = 53),
+        tmp.resolve("docs").toString)
+      tmp
+    }.resolve("docs").toString
 
   private[graft] def auditState(s: SparkSession, dir: String)
       : graft.state.StateStore =

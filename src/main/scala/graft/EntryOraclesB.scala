@@ -172,6 +172,21 @@ private[graft] object EntryOraclesB {
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY level, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
+    // Replays the JSONL landing contract from the parquet originals:
+    // doc_id%53 rows were written truncated (never valid JSON — a strict
+    // object prefix), so they land in quarantine with every field null;
+    // everything else must round-trip character-exactly.
+    "jsonl_landing" ->
+      """WITH landed AS (
+        |  SELECT CASE WHEN doc_id % 53 = 0 THEN NULL ELSE source END AS src,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE doc_id END AS did,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text END AS txt
+        |  FROM documents)
+        |SELECT src AS source, COUNT(*) AS n_rows, COUNT(txt) AS n_parsed,
+        |  CAST(SUM(LENGTH(txt)) AS BIGINT) AS sum_chars,
+        |  MIN(did) AS min_doc, MAX(did) AS max_doc
+        |FROM landed GROUP BY src ORDER BY source NULLS FIRST""".stripMargin,
+
     "stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0

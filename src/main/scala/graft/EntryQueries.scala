@@ -867,6 +867,17 @@ private[graft] object EntryQueries {
         .orderBy(col("level"), asc_nulls_first("lang"),
           asc_nulls_first("source"))),
 
+    // JSONL landing zone: corpus exported as JSON lines (with the
+    // deterministic doc_id%53 truncation corruption), scanned back with
+    // an explicit schema + PERMISSIVE quarantine, audited per source.
+    // Oracle-checks the whole write→read round trip: any escaping or
+    // quarantine drift breaks the per-source character sums the SQL twin
+    // recomputes from the parquet originals. Export is memoized setup
+    // ([[EntryHelpers.jsonlLanding]]); the timed op is the landing scan.
+    "jsonl_landing" -> ((s, dir) =>
+      graft.sources.Jsonl.landingStats(
+        graft.sources.Jsonl.read(s, jsonlLanding(s, dir)))),
+
     // Order-insensitive md5-fold XOR checksum per source — the
     // cross-system reconciliation digest (any engine, any row order,
     // same 60-bit checksum).

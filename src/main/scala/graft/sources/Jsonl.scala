@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL (one JSON object per line) landing source/sink for document
+  * corpora — the de-facto interchange format of LLM training-data
+  * pipelines, added alongside the reference's xlsx landing surface
+  * (reference: upload validation at /root/reference/app.py:55-71 —
+  * extension filter + required-sheet check + reject-with-message; here
+  * the same "validate on landing, never crash the job" contract applied
+  * to malformed JSON lines).
+  *
+  * Scale posture (100 TB):
+  *  - **Explicit schema, never inference.** `spark.read.json` without a
+  *    schema runs a full extra pass over the input to infer one; at
+  *    corpus scale that doubles the scan. [[read]] requires the schema.
+  *  - **Line-splittable.** Records are single physical lines (the writer
+  *    relies on JSON string-escaping `\n`), so the text source splits a
+  *    100 TB landing zone into `maxPartitionBytes` chunks with no
+  *    record-boundary coordination.
+  *  - **Quarantine, don't fail.** PERMISSIVE mode routes malformed lines
+  *    to a corrupt-record column instead of killing the job five hours
+  *    in; the landing stats make the quarantine *visible* (a silent
+  *    DROPMALFORMED hides data loss). The whole path is plain projections
+  *    + one aggregation — codegen'd, no UDFs.
+  */
+object Jsonl {
+
+  /** Corrupt-record column name (PERMISSIVE quarantine target). */
+  val CorruptCol = "_corrupt"
+
+  /** The documents-table landing schema plus the quarantine column. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("source", StringType),
+    StructField("text", StringType),
+    StructField(CorruptCol, StringType)))
+
+  /** Render documents as JSON lines. With `corruptMod > 0`, rows with
+    * `doc_id % corruptMod == 0` are truncated to half length — a strict
+    * prefix of a JSON object is never valid JSON (the closing brace is
+    * lost and any interior `}` sits inside a still-open string), so the
+    * corruption is deterministically malformed: the exact planted-input
+    * pattern the PII/boilerplate queries use, letting a DuckDB oracle
+    * replay which rows land in quarantine.
+    */
+  def renderLines(docs: DataFrame, corruptMod: Int = 0): DataFrame = {
+    val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+      col("source"), col("text")))
+    val rendered =
+      if (corruptMod > 0)
+        when(col("doc_id") % corruptMod === 0,
+          line.substr(lit(1), floor(length(line) / 2).cast("int")))
+          .otherwise(line)
+      else line
+    docs.select(rendered.as("value"))
+  }
+
+  /** Write rendered lines ([[renderLines]]) as a plain-text JSONL dir. */
+  def writeLines(lines: DataFrame, path: String): Unit =
+    lines.write.mode("overwrite").text(path)
+
+  /** Scan a JSONL landing dir with the explicit document schema;
+    * malformed lines surface with every data field null and the raw line
+    * in [[CorruptCol]].
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(docSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Per-source landing audit over a [[read]] result: row/parsed counts,
+    * round-tripped character volume, id range. Quarantined rows group
+    * under the NULL source bucket (their fields are unparsed), so the one
+    * aggregate shows both the healthy partitions and the damage.
+    */
+  def landingStats(landed: DataFrame): DataFrame =
+    landed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_parsed"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(asc_nulls_first("source"))
+}

@@ -595,4 +595,54 @@ object StreamingPipeline {
       }
       .start()
   }
+
+  /** Streaming JSONL landing with a dead-letter quarantine: an unbounded
+    * file source over a landing directory of JSON-lines corpus files
+    * ([[graft.sources.Jsonl]] — explicit schema, PERMISSIVE), split per
+    * micro-batch into parsed documents (parquet, the corpus feed) and
+    * quarantined raw lines (text — re-parseable after an upstream fix).
+    * One source cannot drive two streaming sinks without re-reading it,
+    * so the split is a `foreachBatch` with the batch cached across the
+    * two writes.
+    *
+    * Replay safety: `foreachBatch` is at-least-once, so each batch
+    * writes to its own `batch_<id>` subdirectory with `overwrite` — a
+    * replayed batch overwrites its own output and nothing else (the
+    * simpler cousin of [[mergeIndexBatch]]'s marker protocol; here
+    * outputs are per-batch files, not a merged accumulator, so directory
+    * identity alone gives idempotence). Consumers read
+    * `goodDir/batch_*` as one partitioned dataset.
+    *
+    * Scale: the landing scan is line-splittable and schema-pinned (no
+    * inference pass per batch); the split is two column-pruned
+    * projections of one cached scan; quarantine volume is observable per
+    * batch from the written text files — the streaming twin of
+    * [[graft.sources.Jsonl.landingStats]]'s visibility contract.
+    */
+  def jsonlLandingStream(spark: SparkSession, landingDir: String,
+                         goodDir: String, quarantineDir: String,
+                         checkpointDir: String): StreamingQuery = {
+    import graft.sources.Jsonl
+    val stream = spark.readStream
+      .schema(Jsonl.docSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Jsonl.CorruptCol)
+      .json(landingDir)
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val landed = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          landed.where(col(Jsonl.CorruptCol).isNull)
+            .select("doc_id", "lang", "n_chars", "source", "text")
+            .write.mode("overwrite").parquet(s"$goodDir/batch_$batchId")
+          landed.where(col(Jsonl.CorruptCol).isNotNull)
+            .select(col(Jsonl.CorruptCol).as("value"))
+            .write.mode("overwrite").text(s"$quarantineDir/batch_$batchId")
+        } finally landed.unpersist(blocking = false)
+      }
+      .start()
+  }
 }

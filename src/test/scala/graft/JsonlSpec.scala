@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Jsonl
+
+class JsonlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("write → read round-trip is field-exact with zero quarantine") {
+    val dir = Files.createTempDirectory("graft_jsonl_rt").toString + "/d"
+    Jsonl.writeLines(Jsonl.renderLines(docs), dir)
+    // Cached: Spark disallows raw-file queries whose only referenced
+    // column is the internal corrupt-record column (the zero-quarantine
+    // assertion below is exactly that shape).
+    val landed = Jsonl.read(spark, dir).cache()
+
+    assert(landed.where(col(Jsonl.CorruptCol).isNotNull).count() === 0)
+    assert(landed.count() === docs.count())
+    // Full-row equality through the round trip: anti-join in both
+    // directions over every data column (JSON escaping of quotes,
+    // backslashes, newlines must be lossless).
+    val back = landed.select("doc_id", "lang", "n_chars", "source", "text")
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    assert(back.exceptAll(docs.select(cols.head, cols.tail: _*)).count() === 0)
+    assert(docs.select(cols.head, cols.tail: _*).exceptAll(back).count() === 0)
+  }
+
+  test("escaping round-trip: newlines, quotes, backslashes, unicode " +
+       "stay single-line and lossless") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "en", 9L, "s1", "line1\nline2\t\"quoted\" \\back\\"),
+      (2L, "xx", 4L, "s2", "emoji é中 end"),
+      (3L, "en", 0L, "s1", ""))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val dir = Files.createTempDirectory("graft_jsonl_esc").toString + "/d"
+    Jsonl.writeLines(Jsonl.renderLines(tricky), dir)
+    // One physical line per record — the embedded \n must be escaped.
+    assert(spark.read.text(dir).count() === 3)
+    val back = Jsonl.read(spark, dir).cache()
+    assert(back.where(col(Jsonl.CorruptCol).isNotNull).count() === 0)
+    assert(back.select("doc_id", "lang", "n_chars", "source", "text")
+      .exceptAll(tricky).count() === 0)
+  }
+
+  test("corruptMod quarantines exactly the doc_id%mod rows, raw line " +
+       "preserved, parsed complement intact") {
+    val dir = Files.createTempDirectory("graft_jsonl_q").toString + "/d"
+    Jsonl.writeLines(Jsonl.renderLines(docs, corruptMod = 7), dir)
+    val landed = Jsonl.read(spark, dir).cache()
+
+    val expectedBad = docs.where(col("doc_id") % 7 === 0).count()
+    val bad = landed.where(col(Jsonl.CorruptCol).isNotNull)
+    assert(bad.count() === expectedBad)
+    // Quarantined rows carry the raw line and nothing else.
+    assert(bad.where(col("doc_id").isNotNull || col("text").isNotNull ||
+      col("source").isNotNull).count() === 0)
+    // Every quarantined raw line is a strict prefix of a JSON object.
+    assert(bad.where(!col(Jsonl.CorruptCol).startsWith("{")).count() === 0)
+    assert(bad.where(col(Jsonl.CorruptCol).endsWith("}")).count() === 0)
+    // The parsed complement is exactly the non-corrupted originals.
+    val good = landed.where(col(Jsonl.CorruptCol).isNull)
+      .select("doc_id", "lang", "n_chars", "source", "text")
+    val expectedGood = docs.where(col("doc_id") % 7 =!= 0)
+      .select("doc_id", "lang", "n_chars", "source", "text")
+    assert(good.exceptAll(expectedGood).count() === 0)
+    assert(expectedGood.exceptAll(good).count() === 0)
+  }
+
+  test("landingStats groups quarantine under the NULL source bucket") {
+    val dir = Files.createTempDirectory("graft_jsonl_s").toString + "/d"
+    Jsonl.writeLines(Jsonl.renderLines(docs, corruptMod = 7), dir)
+    val stats = Jsonl.landingStats(Jsonl.read(spark, dir)).collect()
+
+    // NULLS FIRST ordering: the quarantine bucket leads.
+    assert(stats.head.isNullAt(0))
+    assert(stats.head.getAs[Long]("n_rows") ===
+      docs.where(col("doc_id") % 7 === 0).count())
+    assert(stats.head.getAs[Long]("n_parsed") === 0L)
+    assert(stats.head.isNullAt(stats.head.fieldIndex("sum_chars")))
+    // Healthy buckets: per-source counts and character sums match a
+    // direct computation from the originals.
+    val expected = docs.where(col("doc_id") % 7 =!= 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    stats.tail.foreach { r =>
+      val (n, chars) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_parsed") === n)
+      assert(r.getAs[Long]("sum_chars") === chars)
+    }
+  }
+}

@@ -464,4 +464,58 @@ class StreamingSpec extends AnyFunSuite {
         .count() === 8L)
     } finally q2.stop()
   }
+
+  test("jsonlLandingStream splits micro-batches into parsed parquet and " +
+       "a raw-line quarantine, per-batch idempotent layout") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Jsonl
+    val dir = Files.createTempDirectory("graft_jsonl_stream").toString
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // The file source watches the flat landing dir, so each wave is
+    // staged then its part files moved in under unique names (the
+    // usual atomic-rename landing protocol).
+    def land(df: org.apache.spark.sql.DataFrame, wave: String): Unit = {
+      val stage = s"$dir/stage_$wave"
+      Jsonl.writeLines(df, stage)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      try parts.filter(_.getFileName.toString.startsWith("part-"))
+        .forEach(f => java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(
+            s"$landing/${wave}_${f.getFileName.toString}.json")))
+      finally parts.close()
+    }
+
+    // Wave 1: clean half of the corpus.
+    land(Jsonl.renderLines(docs.where(col("doc_id") % 2 === 0)), "w1")
+    val q = StreamingPipeline.jsonlLandingStream(spark, landing,
+      s"$dir/good", s"$dir/quarantine", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      // Wave 2: the other half, every doc_id%7==0 line corrupted.
+      land(Jsonl.renderLines(docs.where(col("doc_id") % 2 === 1),
+        corruptMod = 7), "w2")
+      q.processAllAvailable()
+
+      val good = spark.read.parquet(s"$dir/good/batch_*")
+      val expectedGood = docs.where(col("doc_id") % 2 === 0 ||
+        col("doc_id") % 7 =!= 0)
+        .select("doc_id", "lang", "n_chars", "source", "text")
+      assert(good.exceptAll(expectedGood).count() === 0)
+      assert(expectedGood.exceptAll(
+        good.select("doc_id", "lang", "n_chars", "source", "text"))
+        .count() === 0)
+      val quarantined = spark.read.text(s"$dir/quarantine/batch_*")
+      assert(quarantined.count() ===
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)
+          .count())
+      // Raw quarantined lines are strict JSON-object prefixes.
+      assert(quarantined
+        .where(!col("value").startsWith("{") || col("value").endsWith("}"))
+        .count() === 0)
+    } finally q.stop()
+  }
 }
