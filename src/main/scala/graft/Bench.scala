@@ -127,12 +127,32 @@ object Bench {
           graft.streaming.StreamingPipeline.workbookStreamBatched)
         val secSet = runIngest("set",
           graft.streaming.StreamingPipeline.workbookStreamSetBased)
+        // JSONL landing-stream throughput: the sf corpus exported as
+        // JSON lines (doc_id%53 corruption planted) streamed through the
+        // parsed/dead-letter split — the LLM-corpus twin of the workbook
+        // ingest lines. Export happens before the clock starts; the
+        // timed span is the landing scan + both sink writes.
+        val jDocs = graft.model.Tables.load(spark, sfDir, "documents")
+        val jLanding = dir.resolve("jsonl_landing").toString
+        graft.sources.Jsonl.writeLines(
+          graft.sources.Jsonl.renderLines(jDocs, corruptMod = 53), jLanding)
+        val nDocs = jDocs.count()
+        val tj = System.nanoTime()
+        val jq = graft.streaming.StreamingPipeline.jsonlLandingStream(
+          spark, jLanding, dir.resolve("jsonl_good").toString,
+          dir.resolve("jsonl_quarantine").toString,
+          dir.resolve("jsonl_ckpt").toString)
+        jq.processAllAvailable()
+        jq.stop()
+        val secJsonl = (System.nanoTime() - tj) / 1e9
         s""","stream":{"workbooks":$nWb,"tx_rows":$rows,"sec":$secSeq,""" +
           s""""rows_per_sec":${rows / secSeq}},""" +
           s""""stream_batched":{"workbooks":$nWb,"tx_rows":$rows,""" +
           s""""sec":$secBat,"rows_per_sec":${rows / secBat}},""" +
           s""""stream_set_based":{"workbooks":$nWb,"tx_rows":$rows,""" +
-          s""""sec":$secSet,"rows_per_sec":${rows / secSet}}"""
+          s""""sec":$secSet,"rows_per_sec":${rows / secSet}},""" +
+          s""""stream_jsonl":{"docs":$nDocs,"sec":$secJsonl,""" +
+          s""""docs_per_sec":${nDocs / secJsonl}}"""
       } catch { case e: Throwable =>
         // Same failure-honesty contract as the queries: a broken
         // streaming pipeline must not silently vanish from the output

@@ -268,6 +268,9 @@ private[graft] object EntryHelpers {
     jsonlDirs.values.forEach { p =>
       try deleteTree(p) catch { case _: Throwable => () }
     }
+    csvDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
   }))
 
   /** Memoized JSONL landing-zone build for `jsonl_landing`: the document
@@ -285,6 +288,23 @@ private[graft] object EntryHelpers {
       val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
       graft.sources.Jsonl.writeLines(
         graft.sources.Jsonl.renderLines(docs(s2, d), corruptMod = 53),
+        tmp.resolve("docs").toString)
+      tmp
+    }.resolve("docs").toString
+
+  /** Memoized CSV landing-zone build for `csv_landing` — the
+    * [[jsonlLanding]] contract on the CSV format, with the CSV-specific
+    * deterministic plant (doc_id%59 type violation in `n_chars`;
+    * truncation is not reliably malformed in CSV).
+    */
+  private[graft] val csvDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def csvLanding(s: SparkSession, dir: String): String =
+    csvDirs.get(s, dir) { (s2, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+      graft.sources.Csv.writeLines(
+        graft.sources.Csv.renderLines(docs(s2, d), corruptMod = 59),
         tmp.resolve("docs").toString)
       tmp
     }.resolve("docs").toString

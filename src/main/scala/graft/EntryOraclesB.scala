@@ -187,6 +187,24 @@ private[graft] object EntryOraclesB {
         |  MIN(did) AS min_doc, MAX(did) AS max_doc
         |FROM landed GROUP BY src ORDER BY source NULLS FIRST""".stripMargin,
 
+    // Replays the CSV landing contract: doc_id%59 rows carry a type
+    // violation in n_chars (quarantined but field-locally recovered —
+    // their source still groups), clean rows must round-trip exactly.
+    "csv_landing" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 59 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quarantined,
+        |  CAST(SUM(CASE WHEN doc_id % 59 = 0 THEN NULL
+        |    ELSE LENGTH(text) END) AS BIGINT) AS sum_chars_clean,
+        |  CAST(SUM(CASE WHEN doc_id % 59 = 0 THEN NULL
+        |    ELSE n_chars END) AS BIGINT) AS sum_n_chars_clean,
+        |  MIN(CASE WHEN doc_id % 59 = 0 THEN NULL ELSE doc_id END)
+        |    AS min_doc,
+        |  MAX(CASE WHEN doc_id % 59 = 0 THEN NULL ELSE doc_id END)
+        |    AS max_doc
+        |FROM documents GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
     "stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0

@@ -878,6 +878,15 @@ private[graft] object EntryQueries {
       graft.sources.Jsonl.landingStats(
         graft.sources.Jsonl.read(s, jsonlLanding(s, dir)))),
 
+    // CSV landing zone: same round-trip-oracle contract as
+    // `jsonl_landing`, but pinning CSV's DIFFERENT quarantine semantics
+    // (field-local recovery — damaged rows keep their parsed source) and
+    // the projection-dependent corrupt-detection footgun the audit
+    // defeats (Csv.landingStats scaladoc).
+    "csv_landing" -> ((s, dir) =>
+      graft.sources.Csv.landingStats(
+        graft.sources.Csv.read(s, csvLanding(s, dir)))),
+
     // Order-insensitive md5-fold XOR checksum per source — the
     // cross-system reconciliation digest (any engine, any row order,
     // same 60-bit checksum).

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV landing source/sink for document corpora — the [[Jsonl]] landing
+  * contract on the other ubiquitous interchange format, with CSV's
+  * *different* quarantine semantics made explicit and tested:
+  *
+  *  - JSON parse failure nulls the WHOLE row (one malformed byte poisons
+  *    the record); CSV failure is field-local — a type-violating field
+  *    nulls only itself, later fields still parse, and the raw line
+  *    lands in the corrupt column. Quarantined CSV rows therefore keep
+  *    their (parsed) `source`, so the landing audit groups damage under
+  *    the real source instead of a NULL bucket (CsvSpec pins this
+  *    field-local recovery; the `csv_landing` oracle replays it).
+  *  - A short row (fewer tokens than the schema) is null-filled AND
+  *    flagged corrupt.
+  *
+  * Scale posture mirrors [[Jsonl]]: explicit schema (no inference pass),
+  * single-line records so the scan stays line-splittable (embedded
+  * newlines would force `multiLine=true`, which makes files
+  * unsplittable — the corpus contract here is single-line; [[Jsonl]] is
+  * the format for newline-bearing text), PERMISSIVE quarantine instead
+  * of job failure. Reader and writer stay on Spark's symmetric defaults
+  * (quote `"`, escape `\`), so the write→read round trip is lossless for
+  * delimiter/quote/backslash content. Known CSV coercion: empty string
+  * and NULL both serialize to the empty field and read back as NULL.
+  */
+object Csv {
+
+  /** Corrupt-record column name (PERMISSIVE quarantine target). */
+  val CorruptCol = "_corrupt"
+
+  /** The documents-table landing schema plus the quarantine column. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("source", StringType),
+    StructField("text", StringType),
+    StructField(CorruptCol, StringType)))
+
+  /** Render documents as CSV lines. With `corruptMod > 0`, rows with
+    * `doc_id % corruptMod == 0` carry the non-numeric token `xx` in the
+    * BIGINT `n_chars` slot — a deterministic type violation (truncation,
+    * the JSONL plant, is NOT reliably malformed in CSV: a numeric prefix
+    * still parses), replayable by a DuckDB oracle.
+    */
+  def renderLines(docs: DataFrame, corruptMod: Int = 0): DataFrame = {
+    val good = to_csv(struct(col("doc_id"), col("lang"), col("n_chars"),
+      col("source"), col("text")))
+    val rendered =
+      if (corruptMod > 0)
+        when(col("doc_id") % corruptMod === 0,
+          to_csv(struct(col("doc_id"), col("lang"),
+            lit("xx").as("n_chars"), col("source"), col("text"))))
+          .otherwise(good)
+      else good
+    docs.select(rendered.as("value"))
+  }
+
+  /** Write rendered lines ([[renderLines]]) as a plain-text CSV dir. */
+  def writeLines(lines: DataFrame, path: String): Unit =
+    lines.write.mode("overwrite").text(path)
+
+  /** Scan a CSV landing dir with the explicit document schema; malformed
+    * rows surface with the failing fields null, the parseable fields
+    * intact, and the raw line in [[CorruptCol]].
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(docSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  /** Per-source landing audit over a [[read]] result. Unlike the JSONL
+    * form, quarantined rows group under their REAL source (CSV recovery
+    * is field-local), so the audit shows per-source damage directly;
+    * character volume is summed over clean rows only.
+    *
+    * IMPORTANT (a measured Spark footgun, pinned by CsvSpec): CSV
+    * corrupt-record detection is PROJECTION-DEPENDENT — the parser only
+    * parses referenced columns, so a type violation in a pruned-away
+    * column is never seen and its row silently reads as clean. An audit
+    * that grouped by `source` alone would report zero quarantine over a
+    * damaged landing zone. This aggregate therefore references every
+    * typed column (`doc_id`, `n_chars`, `text`) so the scan validates
+    * the full row — which is also why `sum_n_chars_clean` exists.
+    */
+  def landingStats(landed: DataFrame): DataFrame = {
+    val clean = col(CorruptCol).isNull
+    landed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col(CorruptCol)).as("n_quarantined"),
+        sum(when(clean, length(col("text")))).cast("long")
+          .as("sum_chars_clean"),
+        sum(when(clean, col("n_chars"))).cast("long")
+          .as("sum_n_chars_clean"),
+        min(when(clean, col("doc_id"))).as("min_doc"),
+        max(when(clean, col("doc_id"))).as("max_doc"))
+      .orderBy(asc_nulls_first("source"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Csv
+
+class CsvSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("write → read round-trip is field-exact with zero quarantine") {
+    val dir = Files.createTempDirectory("graft_csv_rt").toString + "/d"
+    Csv.writeLines(Csv.renderLines(docs), dir)
+    val landed = Csv.read(spark, dir).cache()
+
+    assert(landed.where(col(Csv.CorruptCol).isNotNull).count() === 0)
+    assert(landed.count() === docs.count())
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val back = landed.select(cols.head, cols.tail: _*)
+    assert(back.exceptAll(docs.select(cols.head, cols.tail: _*)).count() === 0)
+    assert(docs.select(cols.head, cols.tail: _*).exceptAll(back).count() === 0)
+  }
+
+  test("escaping round-trip: delimiters, quotes, backslashes survive " +
+       "the symmetric quote/escape defaults") {
+    val tricky = Seq(
+      (1L, "en", 9L, "s1", """commas, "quoted" and \back\slash"""),
+      (2L, "e,n", 4L, "s,2", "delimiter in keys"),
+      (3L, "en", 5L, "s3", "tab\tand 'single' quotes"))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val dir = Files.createTempDirectory("graft_csv_esc").toString + "/d"
+    Csv.writeLines(Csv.renderLines(tricky), dir)
+    assert(spark.read.text(dir).count() === 3)
+    val back = Csv.read(spark, dir).cache()
+    assert(back.where(col(Csv.CorruptCol).isNotNull).count() === 0)
+    assert(back.select("doc_id", "lang", "n_chars", "source", "text")
+      .exceptAll(tricky).count() === 0)
+  }
+
+  test("quarantine is field-local: corrupt rows keep parsed source, " +
+       "null the violating field, carry the raw line") {
+    val dir = Files.createTempDirectory("graft_csv_q").toString + "/d"
+    Csv.writeLines(Csv.renderLines(docs, corruptMod = 7), dir)
+    val landed = Csv.read(spark, dir).cache()
+
+    val bad = landed.where(col(Csv.CorruptCol).isNotNull)
+    assert(bad.count() === docs.where(col("doc_id") % 7 === 0).count())
+    // Field-local recovery: the type-violating n_chars is null, but
+    // doc_id/source/text parsed fine — the CSV-vs-JSON semantic split
+    // the scaladoc documents.
+    assert(bad.where(col("n_chars").isNotNull).count() === 0)
+    assert(bad.where(col("source").isNull || col("doc_id").isNull ||
+      col("text").isNull).count() === 0)
+    // The raw line carries the planted token.
+    assert(bad.where(!col(Csv.CorruptCol).contains(",xx,")).count() === 0)
+    // The clean complement is exactly the non-corrupted originals.
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val good = landed.where(col(Csv.CorruptCol).isNull)
+      .select(cols.head, cols.tail: _*)
+    val expectedGood = docs.where(col("doc_id") % 7 =!= 0)
+      .select(cols.head, cols.tail: _*)
+    assert(good.exceptAll(expectedGood).count() === 0)
+    assert(expectedGood.exceptAll(good).count() === 0)
+  }
+
+  test("landingStats groups damage under the real source (and defeats " +
+       "projection-dependent corrupt detection)") {
+    val dir = Files.createTempDirectory("graft_csv_s").toString + "/d"
+    Csv.writeLines(Csv.renderLines(docs, corruptMod = 7), dir)
+    val stats = Csv.landingStats(Csv.read(spark, dir)).collect()
+
+    // No NULL bucket — every quarantined row kept its parsed source.
+    assert(stats.forall(!_.isNullAt(0)))
+    val expected = docs.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("q"),
+        sum(when(col("doc_id") % 7 =!= 0, length(col("text")))).as("chars"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats.length === expected.size)
+    stats.foreach { r =>
+      val (n, q, chars) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_quarantined") === q)
+      assert(r.getAs[Long]("sum_chars_clean") === chars)
+    }
+  }
+}
