@@ -67,6 +67,48 @@ object Scale {
       .partitionBy(partitionCols: _*)
       .parquet(dir)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * size-targeted files. Streaming sinks accumulate tiny files by
+    * construction (one-plus files per micro-batch — e.g.
+    * [[graft.streaming.StreamingPipeline.jsonlLandingStream]]'s
+    * per-batch dirs), and at corpus scale millions of small files
+    * dominate job startup (listing, split planning) and metadata-server
+    * pressure long before data volume does; compaction restores
+    * `maxPartitionBytes`-sized splits.
+    *
+    * Two modes, the real trade at scale:
+    *  - `shuffle = false` (default): `coalesce` — NO shuffle, each
+    *    output file concatenates neighboring input splits. The cheap
+    *    path when input files are of comparable size (the streaming-sink
+    *    case); skewed inputs yield skewed outputs.
+    *  - `shuffle = true`: round-robin `repartition` — one full shuffle
+    *    buys balanced output files regardless of input skew.
+    *
+    * Output file count is sized from the MEASURED input bytes (one
+    * filesystem listing, no data pass). Returns (filesBefore,
+    * filesAfter); content equality is contract (ScaleSpec asserts it —
+    * compaction must never lose or duplicate a row).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetFileBytes: Long = 128L << 20,
+              shuffle: Boolean = false): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    def partFiles(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-"))
+    }
+    val before = partFiles(srcDir)
+    val n = math.max(1L,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes)
+        .toLong).toInt
+    val src = spark.read.parquet(srcDir)
+    val sized = if (shuffle) src.repartition(n) else src.coalesce(n)
+    sized.write.mode("overwrite").parquet(dstDir)
+    (before.length.toLong, partFiles(dstDir).length.toLong)
+  }
+
   /** Sketch-path incremental dedup — [[Dedup.incrementalDedup]] for the
     * corpus size where the exact fingerprint index no longer broadcasts:
     * the existing corpus' fingerprints fold into a Bloom filter (a fixed

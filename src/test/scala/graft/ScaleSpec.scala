@@ -196,4 +196,32 @@ class ScaleSpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compact: coalesce mode collapses small files without a shuffle, " +
+       "shuffle mode balances; content identical in both") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // A streaming-sink-shaped landing: 64 tiny part files.
+    docs.repartition(64).write.parquet(s"$dir/src")
+
+    val (before, after) = Scale.compact(spark, s"$dir/src", s"$dir/dst",
+      targetFileBytes = 1L << 20)
+    assert(before === 64L)
+    assert(after < 8L)
+    val back = spark.read.parquet(s"$dir/dst")
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+    // coalesce mode: no Exchange in the write plan's lineage.
+    assert(Scale.isShuffleFree(
+      spark.read.parquet(s"$dir/src").coalesce(2)))
+
+    val (_, afterSh) = Scale.compact(spark, s"$dir/src", s"$dir/dst2",
+      targetFileBytes = 1L << 20, shuffle = true)
+    assert(afterSh < 8L)
+    val backSh = spark.read.parquet(s"$dir/dst2")
+    assert(backSh.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(backSh).count() === 0)
+  }
 }
