@@ -820,6 +820,36 @@ private[graft] object EntryOraclesB {
 
     "neardup_clusters_star" -> nearDupClustersSql,
 
+    // Leakage-safe split twin: the transitive-closure clustering wrapped
+    // in the split_assign Knuth bucket arithmetic, keyed by cluster.
+    "cluster_split" ->
+      s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql))
+         |SELECT doc_id, cluster,
+         |  CASE WHEN cluster * 2654435761 % 1000000007 % 100 < 90
+         |         THEN 'train'
+         |       WHEN cluster * 2654435761 % 1000000007 % 100 < 95
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // Snapshot-diff twin: the same two deterministic snapshot views
+    // (old drops %7==1, new drops %7==2 and revises %7==3), digests
+    // full-outer-joined on doc_id.
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
+        |    FROM documents WHERE doc_id % 7 <> 1),
+        |n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 3
+        |      THEN coalesce(text, '') || ' [rev2]'
+        |      ELSE coalesce(text, '') END) AS fp
+        |    FROM documents WHERE doc_id % 7 <> 2)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
     // predicate, set-distinct grams per doc before the overlap join.
     "contamination_overlap" ->
@@ -949,6 +979,38 @@ private[graft] object EntryOraclesB {
          |JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
          |WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
          |  AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Drop-reason attribution twin: the same six component CTEs
+    // left-joined as signals, first-failing-gate CASE in the pipeline's
+    // rule order — 'kept' is definitionally curation_pipeline_v2's
+    // survivor set.
+    "curation_reasons" ->
+      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+         |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
+         |band AS (SELECT doc_id FROM ($lengthFilterSql)),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(text)))),
+         |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
+         |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql))
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN band.doc_id IS NULL THEN 'length'
+         |       WHEN q.quality_score IS NULL
+         |         OR q.quality_score < 0.5 THEN 'quality'
+         |       WHEN l.pred_lang IS NULL
+         |         OR l.pred_lang = 'unknown' THEN 'language'
+         |       WHEN reps.doc_id IS NULL THEN 'duplicate'
+         |       WHEN dsc.dup_frac IS NULL
+         |         OR dsc.dup_frac > 0.5 THEN 'dup_spans'
+         |       WHEN lm.avg_prob IS NULL THEN 'unscoreable'
+         |       ELSE 'kept' END AS verdict
+         |FROM documents d
+         |LEFT JOIN band ON band.doc_id = d.doc_id
+         |LEFT JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN l ON l.doc_id = d.doc_id
+         |LEFT JOIN reps ON reps.doc_id = d.doc_id
+         |LEFT JOIN dsc ON dsc.doc_id = d.doc_id
+         |LEFT JOIN lm ON lm.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     // BM25 with the log-free fixed-point scoring formula mirrored

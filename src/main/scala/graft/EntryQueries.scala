@@ -678,6 +678,38 @@ private[graft] object EntryQueries {
     "simhash_pairs_md5" -> ((s, dir) =>   // md5-sliced portable variant
       Dedup.simhashPairsPortable(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Cross-snapshot corpus diff: two deterministic snapshot views of the
+    // documents table (old drops doc_id%7==1, new drops %7==2 and
+    // revises the text of %7==3) reconciled into per-doc
+    // added/removed/changed/unchanged — the incremental-crawl operator
+    // that decides what re-enters curation. One digest-only full-outer
+    // join; the corpus text never crosses the shuffle.
+    "snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.where(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"), col("text"))
+      val newSnap = d.where(col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3,
+            concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
+    }),
+
+    // Leakage-safe holdout split: near-dup clusters (the neardup_clusters
+    // labeling) assigned to train/val/test ATOMICALLY by Knuth hash of
+    // the cluster label — no near-duplicate pair can straddle train and
+    // test, the eval-contamination guarantee split_assign's per-doc
+    // hashing cannot make.
+    "cluster_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.clusterSplit(
+          Dedup.connectedComponents(
+            Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
+            d.select("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // ---- Similarity search ----------------------------------------------
 
     "ann_topk" -> ((s, dir) => Similarity.topK(emb(s, dir), queryId = 0L)),
@@ -1130,6 +1162,47 @@ private[graft] object EntryQueries {
         .join(TextOps.lmScore(d)
           .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
         .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
+        .orderBy("doc_id")
+    }),
+
+    // Curation drop-reason attribution — the observability twin of
+    // curation_pipeline_v2: every document labeled with the FIRST gate
+    // that rejects it (fixed rule order: length band → quality →
+    // language → exact-duplicate → dup-span coverage → LM-scoreable),
+    // or 'kept'. Production pipelines audit WHY the corpus shrank; a
+    // pass/fail filter can't answer that. Each gate is the SAME
+    // component operator the pipeline composes (left-joined as a
+    // signal instead of inner-joined as a filter), so verdict='kept'
+    // is definitionally curation_pipeline_v2's survivor set — pinned
+    // by MixingSpec against the registry query itself.
+    "curation_reasons" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), col("source"))
+        .join(TextOps.lengthBandFilter(d)
+          .select(col("doc_id"), lit(true).as("in_band")),
+          Seq("doc_id"), "left")
+        .join(TextOps.qualityScore(TextOps.tokenStats(d))
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id"), "left")
+        .join(TextOps.langIdAgg(d)
+          .select(col("doc_id"), col("pred_lang")), Seq("doc_id"), "left")
+        .join(Dedup.exactDedup(d)
+          .select(col("doc_id"), lit(true).as("is_rep")),
+          Seq("doc_id"), "left")
+        .join(Dedup.duplicateSpanCoverage(d)
+          .select(col("doc_id"), col("dup_frac")), Seq("doc_id"), "left")
+        .join(TextOps.lmScore(d)
+          .select(col("doc_id"), col("avg_prob")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("in_band").isNull, lit("length"))
+            .when(col("quality_score").isNull ||
+              col("quality_score") < 0.5, lit("quality"))
+            .when(col("pred_lang").isNull ||
+              col("pred_lang") === "unknown", lit("language"))
+            .when(col("is_rep").isNull, lit("duplicate"))
+            .when(col("dup_frac").isNull ||
+              col("dup_frac") > 0.5, lit("dup_spans"))
+            .when(col("avg_prob").isNull, lit("unscoreable"))
+            .otherwise(lit("kept")).as("verdict"))
         .orderBy("doc_id")
     }),
 

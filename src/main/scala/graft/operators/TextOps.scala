@@ -923,6 +923,33 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Leakage-safe train/val/test split: the holdout hash is keyed by
+    * near-dup CLUSTER label, not document id, so near-duplicate documents
+    * can never straddle train and test — the eval-contamination failure
+    * mode of per-document splitting (a test document whose near-twin sits
+    * in train is a leaked answer, and [[holdoutSplit]]'s per-doc buckets
+    * scatter every multi-doc cluster across splits with probability
+    * ≈ 1 − (0.9^(k−1)·…) per cluster). Same Knuth multiplicative-hash
+    * bucket arithmetic as [[holdoutSplit]] (so the two operators share
+    * proportions and the SQL-oracle story), applied to the cluster label
+    * from [[graft.operators.Dedup.connectedComponents]] — whose label IS
+    * the cluster-minimum doc_id, keeping the ~3.4e9-id overflow bound.
+    * A pure projection over the clustering it consumes: the split adds
+    * NO shuffle, and every member of a cluster maps to the same bucket
+    * by construction, not by coordination.
+    */
+  def clusterSplit(clusters: DataFrame, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket =
+      col("cluster") * lit(2654435761L) % lit(1000000007L) % lit(100L)
+    clusters.select(col("doc_id"), col("cluster"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** BPE merge-pair training over the corpus — the tokenizer-training
     * operator of an LLM data pipeline. Classic frequency-weighted BPE:
     * the corpus is scanned ONCE into a weighted word vocabulary

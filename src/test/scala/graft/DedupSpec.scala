@@ -543,4 +543,29 @@ class DedupSpec extends AnyFunSuite {
     assert(withNull(1).isNullAt(1) && withNull(1).isNullAt(4))
     assert(withNull(1).getAs[Long]("n_spans") === 0L)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, " +
+       "null texts compare as carried-over") {
+    val oldSnap = Seq(
+      (1L, Option("alpha")), (2L, Option("beta")),
+      (3L, Option("gamma")), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (2L, Option("beta")),            // identical → unchanged
+      (3L, Option("gamma v2")),        // revised → changed
+      (4L, Option.empty[String]),      // null in both → unchanged
+      (5L, Option("epsilon")))         // new → added
+      .toDF("doc_id", "text")          // 1 missing → removed
+    val out = Dedup.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+      .toSeq
+    assert(out === Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "unchanged"), (5L, "added")))
+    // digests, not documents, cross the join: the plan's join keys are
+    // doc_id and both projected sides carry only (doc_id, md5)
+    val plan = Dedup.snapshotDiff(oldSnap, newSnap)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
 }

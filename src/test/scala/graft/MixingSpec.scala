@@ -138,4 +138,23 @@ class MixingSpec extends AnyFunSuite {
     assert(out(4L) === ((2L, 2.0)))           // same-ms peer included
     assert(out(5L) === ((2L, 2.0)))
   }
+
+  test("curation_reasons: 'kept' is exactly curation_pipeline_v2's " +
+       "survivor set and verdicts partition the corpus (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val reasons = SparkEntry.queries("curation_reasons")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+    val nDocs = spark.read
+      .parquet(s"$dir/documents.parquet").count()
+    assert(reasons.length === nDocs)          // every doc gets a verdict
+    val kept = reasons.collect { case (id, "kept") => id }.toSet
+    val v2 = SparkEntry.queries("curation_pipeline_v2")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === v2)                       // definitional sync
+    // attribution uses only the pipeline's vocabulary of reasons
+    val allowed = Set("length", "quality", "language", "duplicate",
+      "dup_spans", "unscoreable", "kept")
+    assert(reasons.map(_._2).toSet.subsetOf(allowed))
+  }
 }

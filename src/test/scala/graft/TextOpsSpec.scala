@@ -168,6 +168,40 @@ class TextOpsSpec extends AnyFunSuite {
       out.map(t => s"[${t._1},${t._2},${t._3}]"))
   }
 
+  test("clusterSplit: cluster members never straddle splits, buckets " +
+       "match the Knuth arithmetic the per-doc split would scatter") {
+    def bucket(k: Long) = k * 2654435761L % 1000000007L % 100L
+    // A near-dup cluster whose members' PER-DOC buckets land in
+    // different splits (the leakage holdoutSplit cannot prevent) plus
+    // singletons. Clusters keyed by min member id, as
+    // connectedComponents labels them.
+    val members = (0L until 400L).filter(i => bucket(i) >= 90)
+      .take(3).toSeq :+ 1L                      // 1 → bucket 47 (train)
+    val clusters = (members.map(m => (m, members.min)) ++
+      Seq((200L, 200L), (201L, 201L))).toDF("doc_id", "cluster")
+    val out = TextOps.clusterSplit(clusters).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[String]("split")))
+    // the per-doc buckets really do straddle the 90/95 boundaries…
+    assert(members.map(bucket).exists(_ < 90) &&
+      members.map(bucket).exists(_ >= 90))
+    // …but every cluster gets exactly one split
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === 1)
+    }
+    // and the assigned split is the cluster label's own bucket
+    out.foreach { case (_, cl, split) =>
+      val b = bucket(cl)
+      val expected =
+        if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(split === expected, s"cluster $cl bucket $b")
+    }
+    // pure projection: no shuffle introduced over the input clustering
+    val plan = TextOps.clusterSplit(clusters)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("winnowFingerprints: shared-run guarantee, density bound, " +
        "determinism, short-doc empty") {
     val shared = "the quick brown fox jumps over it"   // 33 chars
