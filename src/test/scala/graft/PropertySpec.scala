@@ -624,6 +624,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: snapshotDiff equals brute-force map reconciliation " +
+       "and is partition-invariant") {
+    import graft.operators.Dedup
+    // Random snapshots: ids 0..119, each present in old/new with p=0.8,
+    // text drawn from a tiny pool so unchanged/changed both occur.
+    val pool = Vector("alpha", "beta", "gamma", null)
+    def snap() = (0L until 120L).flatMap { id =>
+      if (rnd.nextDouble() < 0.8)
+        Some((id, pool(rnd.nextInt(pool.length)))) else None
+    }
+    val oldRows = snap(); val newRows = snap()
+    val oldMap = oldRows.toMap; val newMap = newRows.toMap
+    val expected = (oldMap.keySet ++ newMap.keySet).toSeq.sorted.map { id =>
+      val st = (oldMap.get(id), newMap.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) =>
+          if (Option(a).getOrElse("") == Option(b).getOrElse(""))
+            "unchanged" else "changed"
+        case _ => fail("id in neither snapshot")
+      }
+      (id, st)
+    }
+    def run(parts: Int) = Dedup.snapshotDiff(
+        oldRows.toDF("doc_id", "text").repartition(parts),
+        newRows.toDF("doc_id", "text").repartition(parts))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run(3) === expected)
+    assert(run(7) === expected)    // partition-count invariant
+  }
+
+  test("property: clusterSplit assigns every cluster atomically on " +
+       "random clusterings, with holdoutSplit's exact proportions") {
+    import graft.operators.TextOps
+    // Random clustering: 300 docs hashed into ~80 clusters keyed by
+    // min member id (the connectedComponents labeling contract).
+    val docs = (0L until 300L).map(i => (i, rnd.nextInt(80)))
+    val byCluster = docs.groupBy(_._2).values.flatMap { members =>
+      val label = members.map(_._1).min
+      members.map { case (id, _) => (id, label) }
+    }.toSeq
+    val out = TextOps.clusterSplit(byCluster.toDF("doc_id", "cluster"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 300)
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length === 1, s"cluster $cl straddles")
+    }
+    // the assignment is holdoutSplit's arithmetic applied to the label
+    out.foreach { case (_, cl, split) =>
+      val b = cl * 2654435761L % 1000000007L % 100L
+      val exp = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(split === exp)
+    }
+  }
+
   test("property: sql surface exposes array_dot after registration") {
     org.apache.spark.sql.graftext.GraftFunctionRegistry.register(spark)
     val r = spark.sql(
