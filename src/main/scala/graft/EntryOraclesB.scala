@@ -850,6 +850,56 @@ private[graft] object EntryOraclesB {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // Blocklist gate twin: the same 3-word list literal, list_filter
+    // count, one IEEE division, same 0.02 verdict threshold.
+    "blocklist_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains(['slow', 'dup', 'leak'], x)))
+        |      AS BIGINT) AS n_flagged
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_flagged,
+        |  CAST(n_flagged AS DOUBLE) / n_tokens AS flagged_frac,
+        |  (CAST(n_flagged AS DOUBLE) / n_tokens) <= 0.02 AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Incremental re-curation twin: the snapshot CTEs feed a dirty set
+    // (added/changed), and the blocklist + min-length gates run over
+    // ONLY those docs' new text.
+    "incremental_curation" ->
+      """WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
+        |    FROM documents WHERE doc_id % 7 <> 1),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3
+        |      THEN coalesce(text, '') || ' [rev2]'
+        |      ELSE text END AS text
+        |    FROM documents WHERE doc_id % 7 <> 2),
+        |nf AS (SELECT doc_id, text, md5(coalesce(text, '')) AS fp FROM n),
+        |diff AS (SELECT COALESCE(o.doc_id, nf.doc_id) AS doc_id,
+        |    CASE WHEN o.fp IS NULL THEN 'added'
+        |         WHEN nf.fp IS NULL THEN 'removed'
+        |         WHEN o.fp <> nf.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN nf ON o.doc_id = nf.doc_id),
+        |dirty AS (SELECT d.doc_id, d.status,
+        |    string_split(lower(nf.text), ' ') AS toks
+        |  FROM diff d JOIN nf ON nf.doc_id = d.doc_id
+        |  WHERE d.status IN ('added', 'changed')),
+        |g AS (SELECT doc_id, status,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains(['slow', 'dup', 'leak'], x)))
+        |      AS BIGINT) AS n_flagged
+        |  FROM dirty)
+        |SELECT doc_id, status, n_tokens, n_flagged,
+        |  CAST(n_flagged AS DOUBLE) / n_tokens AS flagged_frac
+        |FROM g
+        |WHERE CAST(n_flagged AS DOUBLE) / n_tokens <= 0.02
+        |  AND n_tokens >= 10
+        |ORDER BY doc_id""".stripMargin,
+
     // 8-gram decontamination twin: same md5 gram hashes, same 10% holdout
     // predicate, set-distinct grams per doc before the overlap join.
     "contamination_overlap" ->

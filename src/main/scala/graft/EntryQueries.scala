@@ -696,6 +696,39 @@ private[graft] object EntryQueries {
       Dedup.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
     }),
 
+    // Blocklist / badwords gate (the C4 cleaning step): occurrence
+    // stats + pass verdict against a 3-word blocklist literal, as a
+    // shuffle-free projection.
+    "blocklist_filter" -> ((s, dir) =>
+      TextOps.blocklistStats(docs(s, dir), Seq("slow", "dup", "leak"))
+        .orderBy("doc_id")),
+
+    // Incremental re-curation — the production pattern snapshot_diff
+    // exists to feed: ONLY the added/changed documents of the new
+    // snapshot pay curation (here the projection gates: blocklist pass
+    // ∧ ≥ 10 tokens); unchanged docs keep their standing verdicts and
+    // removed docs leave. The gates run AFTER the dirty-set semi-join,
+    // so re-curation cost tracks churn, not corpus size.
+    "incremental_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.where(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"), col("text"))
+      val newSnap = d.where(col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3,
+            concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      val dirty = Dedup.snapshotDiff(oldSnap, newSnap)
+        .where(col("status").isin("added", "changed"))
+      val dirtyDocs = newSnap.join(dirty, Seq("doc_id"))
+      TextOps.blocklistStats(dirtyDocs, Seq("slow", "dup", "leak"))
+        .join(dirtyDocs.select("doc_id", "status"), Seq("doc_id"))
+        .where(col("pass") && col("n_tokens") >= 10)
+        .select(col("doc_id"), col("status"), col("n_tokens"),
+          col("n_flagged"), col("flagged_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe holdout split: near-dup clusters (the neardup_clusters
     // labeling) assigned to train/val/test ATOMICALLY by Knuth hash of
     // the cluster label — no near-duplicate pair can straddle train and

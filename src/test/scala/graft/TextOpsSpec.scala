@@ -202,6 +202,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("blocklistStats: occurrence counts, fraction, verdict, " +
+       "null-text propagation, shuffle-free plan") {
+    val d = Seq(
+      (0L, Option("clean words only here")),            // 0/4 → pass
+      (1L, Option("slow query slow disk dup")),         // 3/5 = 0.6 → fail
+      (2L, Option("slow a b c d e f g h i")),           // 1/10 = 0.1 → pass
+      (3L, Option.empty[String]))                       // null → null verdict
+      .toDF("doc_id", "text")
+    val out = TextOps.blocklistStats(d, Seq("slow", "dup"), maxFrac = 0.25)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_tokens"),
+      out(i).getAs[Long]("n_flagged"), out(i).getAs[Double]("flagged_frac"))
+    assert(row(0) === ((4L, 0L, 0.0)) && out(0).getAs[Boolean]("pass"))
+    assert(row(1) === ((5L, 3L, 0.6)) && !out(1).getAs[Boolean]("pass"))
+    assert(row(2) === ((10L, 1L, 0.1)) && out(2).getAs[Boolean]("pass"))
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2) && out(3).isNullAt(4))
+    // the blocklist is a literal: the whole gate is one projection
+    val plan = TextOps.blocklistStats(d, Seq("slow"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("winnowFingerprints: shared-run guarantee, density bound, " +
        "determinism, short-doc empty") {
     val shared = "the quick brown fox jumps over it"   // 33 chars
