@@ -704,11 +704,20 @@ private[graft] object EntryQueries {
         .orderBy("doc_id")),
 
     // Incremental re-curation — the production pattern snapshot_diff
-    // exists to feed: ONLY the added/changed documents of the new
-    // snapshot pay curation (here the projection gates: blocklist pass
-    // ∧ ≥ 10 tokens); unchanged docs keep their standing verdicts and
-    // removed docs leave. The gates run AFTER the dirty-set semi-join,
-    // so re-curation cost tracks churn, not corpus size.
+    // exists to feed: only the added/changed documents of the new
+    // snapshot re-enter the curated set; unchanged docs keep their
+    // standing verdicts and removed docs leave. Plan shape: the
+    // projection gates (blocklist pass ∧ ≥ 10 tokens) evaluate IN THE
+    // SCAN of the new snapshot (shuffle-free, like every projection
+    // gate), and every join in the query moves only (doc_id, digest)
+    // or (doc_id, stats) — the corpus text never crosses an exchange.
+    // The first landing of this query semi-joined the dirty set BEFORE
+    // gating, which re-shuffled the dirty docs' full text; the
+    // six-decade measurement priced that at 19.7× for the last 10×
+    // (SCALING.md fifteenth batch) and this narrow form replaced it.
+    // Expensive gates (pair joins) WOULD semi-join first — on the
+    // bucketed corpus layout that join is co-located and still moves
+    // no text.
     "incremental_curation" -> ((s, dir) => {
       val d = docs(s, dir)
       val oldSnap = d.where(col("doc_id") % 7 =!= 1)
@@ -720,9 +729,8 @@ private[graft] object EntryQueries {
             .otherwise(col("text")).as("text"))
       val dirty = Dedup.snapshotDiff(oldSnap, newSnap)
         .where(col("status").isin("added", "changed"))
-      val dirtyDocs = newSnap.join(dirty, Seq("doc_id"))
-      TextOps.blocklistStats(dirtyDocs, Seq("slow", "dup", "leak"))
-        .join(dirtyDocs.select("doc_id", "status"), Seq("doc_id"))
+      val gates = TextOps.blocklistStats(newSnap, Seq("slow", "dup", "leak"))
+      dirty.join(gates, Seq("doc_id"))
         .where(col("pass") && col("n_tokens") >= 10)
         .select(col("doc_id"), col("status"), col("n_tokens"),
           col("n_flagged"), col("flagged_frac"))
