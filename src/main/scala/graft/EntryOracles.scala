@@ -132,12 +132,16 @@ private[graft] object EntryOracles {
 
     "bpe_encode" -> bpeEncodeSql,
 
+    // Reduced modular form mirrors TextOps.knuthBucket — same value as
+    // the textbook (id·2654435761)%p form, defined for any 64-bit id.
     "split_assign" ->
       """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM (SELECT CASE
-        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 90 THEN 'train'
-        |    WHEN doc_id * 2654435761 % 1000000007 % 100 < 95 THEN 'val'
+        |    WHEN doc_id % 1000000007 * 654435747 % 1000000007 % 100 < 90
+        |      THEN 'train'
+        |    WHEN doc_id % 1000000007 * 654435747 % 1000000007 % 100 < 95
+        |      THEN 'val'
         |    ELSE 'test' END AS split, n_chars FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin,
 

@@ -195,7 +195,8 @@ private[graft] object EntryOraclesB {
         |  CAST(SUM(CASE WHEN doc_id % 59 = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_quarantined,
         |  CAST(SUM(CASE WHEN doc_id % 59 = 0 THEN NULL
-        |    ELSE LENGTH(text) END) AS BIGINT) AS sum_chars_clean,
+        |    ELSE LENGTH(COALESCE(text, '')) END) AS BIGINT)
+        |    AS sum_chars_clean,
         |  CAST(SUM(CASE WHEN doc_id % 59 = 0 THEN NULL
         |    ELSE n_chars END) AS BIGINT) AS sum_n_chars_clean,
         |  MIN(CASE WHEN doc_id % 59 = 0 THEN NULL ELSE doc_id END)
@@ -821,14 +822,15 @@ private[graft] object EntryOraclesB {
     "neardup_clusters_star" -> nearDupClustersSql,
 
     // Leakage-safe split twin: the transitive-closure clustering wrapped
-    // in the split_assign Knuth bucket arithmetic, keyed by cluster.
+    // in the split_assign Knuth bucket arithmetic (reduced modular form,
+    // mirrors TextOps.knuthBucket), keyed by cluster.
     "cluster_split" ->
       s"""WITH cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql))
          |SELECT doc_id, cluster,
-         |  CASE WHEN cluster * 2654435761 % 1000000007 % 100 < 90
-         |         THEN 'train'
-         |       WHEN cluster * 2654435761 % 1000000007 % 100 < 95
-         |         THEN 'val'
+         |  CASE WHEN cluster % 1000000007 * 654435747 % 1000000007 % 100
+         |           < 90 THEN 'train'
+         |       WHEN cluster % 1000000007 * 654435747 % 1000000007 % 100
+         |           < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
 

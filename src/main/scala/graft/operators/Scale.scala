@@ -99,6 +99,17 @@ object Scale {
       fs.listStatus(p).filter(s => s.isFile &&
         s.getPath.getName.startsWith("part-"))
     }
+    // Guard: the read of srcDir is lazy, so writing mode("overwrite") to
+    // the same directory would truncate the input before it is read —
+    // silently destroying the data this maintenance job promises never
+    // to lose. Fail loudly on (qualified) path equality instead.
+    val qualify = { p: Path =>
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p)
+    }
+    require(qualify(new Path(srcDir)) != qualify(new Path(dstDir)),
+      s"compact: srcDir and dstDir must differ (both = $srcDir); " +
+        "an in-place overwrite would truncate the lazily-read input")
     val before = partFiles(srcDir)
     val n = math.max(1L,
       math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes)

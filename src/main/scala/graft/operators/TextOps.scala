@@ -921,15 +921,28 @@ object TextOps {
       .orderBy(desc("n_occ"), asc("token"))
   }
 
+  /** The Knuth multiplicative-hash split bucket shared by
+    * [[holdoutSplit]] and [[clusterSplit]]:
+    * (id · 2654435761) mod 1000000007 mod 100, computed in REDUCED
+    * modular form ((id mod p) · (2654435761 mod p)) mod p mod 100 — the
+    * residue 654435747 keeps the product under 6.6·10^17 for every
+    * non-negative 64-bit id, so the expression never wraps Long where
+    * DuckDB's unbounded HUGEINT arithmetic would keep going (the silent
+    * cross-engine divergence the round-8 advisor flagged at ids above
+    * ~3.47e9). Identical value to the textbook form wherever that form
+    * doesn't overflow; defined (and engine-portable) everywhere.
+    */
+  private def knuthBucket(id: Column): Column =
+    (id % lit(1000000007L)) * lit(654435747L) %
+      lit(1000000007L) % lit(100L)
+
   /** Deterministic train/val/test holdout assignment by multiplicative
     * hash of `doc_id` — the split every training pipeline runs before
     * packing, and it must be a pure per-row projection (no shuffle, no
     * sampling state) so the same document lands in the same split on
-    * every machine and every rerun. Bucket =
-    * (doc_id · 2654435761) mod 1000000007 mod 100 (Knuth multiplicative
-    * hashing — `doc_id` must stay below ~3.4e9 for the product to fit a
-    * signed 64-bit; at larger id spaces swap in `xxhash64`, which has no
-    * SQL-oracle twin). Returns the per-split summary (split, n_docs,
+    * every machine and every rerun. Bucket = [[knuthBucket]] —
+    * overflow-safe Knuth multiplicative hashing, valid for any
+    * non-negative id. Returns the per-split summary (split, n_docs,
     * n_chars) — one hash-aggregate over three keys; the assignment
     * itself is the pure projection inside it.
     */
@@ -937,8 +950,7 @@ object TextOps {
                    valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val bucket =
-      col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(100L)
+    val bucket = knuthBucket(col("doc_id"))
     docs
       .select(
         when(bucket < trainPct, lit("train"))
@@ -956,11 +968,12 @@ object TextOps {
     * mode of per-document splitting (a test document whose near-twin sits
     * in train is a leaked answer, and [[holdoutSplit]]'s per-doc buckets
     * scatter every multi-doc cluster across splits with probability
-    * ≈ 1 − (0.9^(k−1)·…) per cluster). Same Knuth multiplicative-hash
-    * bucket arithmetic as [[holdoutSplit]] (so the two operators share
-    * proportions and the SQL-oracle story), applied to the cluster label
-    * from [[graft.operators.Dedup.connectedComponents]] — whose label IS
-    * the cluster-minimum doc_id, keeping the ~3.4e9-id overflow bound.
+    * ≈ 1 − (0.9^(k−1)·…) per cluster). Same overflow-safe Knuth
+    * multiplicative-hash bucket arithmetic as [[holdoutSplit]]
+    * ([[knuthBucket]] — so the two operators share proportions and the
+    * SQL-oracle story, for any non-negative cluster id), applied to the
+    * cluster label from [[graft.operators.Dedup.connectedComponents]] —
+    * whose label IS the cluster-minimum doc_id.
     * A pure projection over the clustering it consumes: the split adds
     * NO shuffle, and every member of a cluster maps to the same bucket
     * by construction, not by coordination.
@@ -969,8 +982,7 @@ object TextOps {
                    valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val bucket =
-      col("cluster") * lit(2654435761L) % lit(1000000007L) % lit(100L)
+    val bucket = knuthBucket(col("cluster"))
     clusters.select(col("doc_id"), col("cluster"),
       when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))

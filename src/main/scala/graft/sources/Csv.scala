@@ -95,8 +95,13 @@ object Csv {
     landed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
         count(col(CorruptCol)).as("n_quarantined"),
-        sum(when(clean, length(col("text")))).cast("long")
-          .as("sum_chars_clean"),
+        // CSV round-trips '' to NULL; coalescing before length() makes
+        // empty and absent texts both contribute 0, so the audit agrees
+        // with a parquet-side replay (LENGTH(COALESCE(text,''))) even
+        // for a source whose every clean row is empty — without it that
+        // group sums to NULL here but 0 over the originals.
+        sum(when(clean, length(coalesce(col("text"), lit("")))))
+          .cast("long").as("sum_chars_clean"),
         sum(when(clean, col("n_chars"))).cast("long")
           .as("sum_n_chars_clean"),
         min(when(clean, col("doc_id"))).as("min_doc"),

@@ -91,4 +91,26 @@ class CsvSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_chars_clean") === chars)
     }
   }
+
+  test("landingStats: a source whose clean rows are all empty-text " +
+       "sums to 0 chars, not NULL (CSV '' → NULL round-trip)") {
+    val d = Seq(
+      (1L, "en", 0L, "empty_src", ""),
+      (2L, "en", 0L, "empty_src", ""),
+      (3L, "en", 5L, "mixed", "hello"),
+      (4L, "en", 0L, "mixed", ""))
+      .toDF("doc_id", "lang", "n_chars", "source", "text")
+    val dir = Files.createTempDirectory("graft_csv_e").toString + "/d"
+    Csv.writeLines(Csv.renderLines(d), dir)
+    val stats = Csv.landingStats(Csv.read(spark, dir)).collect()
+      .map(r => r.getString(0) ->
+        (r.isNullAt(r.fieldIndex("sum_chars_clean")),
+          if (r.isNullAt(r.fieldIndex("sum_chars_clean"))) -1L
+          else r.getAs[Long]("sum_chars_clean"))).toMap
+    // The all-empty group must be (false, 0) — the parquet-side replay
+    // LENGTH(COALESCE(text,'')) computes 0 there, and before the
+    // coalesce fix this group read NULL.
+    assert(stats("empty_src") === ((false, 0L)))
+    assert(stats("mixed") === ((false, 5L)))
+  }
 }

@@ -168,6 +168,31 @@ class TextOpsSpec extends AnyFunSuite {
       out.map(t => s"[${t._1},${t._2},${t._3}]"))
   }
 
+  test("split bucket arithmetic is overflow-safe: huge ids get the " +
+       "EXACT (unbounded-arithmetic) Knuth bucket, not the Long-wrapped " +
+       "one") {
+    // (id·2654435761) mod 1e9+7 mod 100 computed with big integers:
+    //   4e9                  → 17  (Long-wrapped form would say 9)
+    //   Long.MaxValue        → 86  (wrapped: 64)
+    //   123456789012345      → 44  (wrapped: 39)
+    // The reduced modular form must agree with unbounded arithmetic —
+    // the DuckDB-HUGEINT-vs-Spark-Long divergence the r8 advisor
+    // flagged. All three land < 90 → train, but we pin the bucket
+    // itself via a 1%-granular probe: split with trainPct chosen just
+    // below/at the exact bucket flips the assignment.
+    for ((id, b) <- Seq((4000000000L, 17), (Long.MaxValue, 86),
+                        (123456789012345L, 44))) {
+      val df = Seq((id, id)).toDF("doc_id", "cluster")
+      val at = TextOps.clusterSplit(df, trainPct = b + 1, valPct = 0)
+        .collect().head.getString(2)
+      val below = TextOps.clusterSplit(df, trainPct = math.max(b, 1),
+          valPct = 0).collect().head.getString(2)
+      assert(at === "train", s"id=$id bucket should be < ${b + 1}")
+      if (b > 0)
+        assert(below === "test", s"id=$id bucket should be >= $b")
+    }
+  }
+
   test("clusterSplit: cluster members never straddle splits, buckets " +
        "match the Knuth arithmetic the per-doc split would scatter") {
     def bucket(k: Long) = k * 2654435761L % 1000000007L % 100L
