@@ -10,11 +10,13 @@ import graft.operators._
 private[graft] object EntryOracleSql {
 
   // ---- DuckDB oracle SQL ----------------------------------------------
-  // Omitted (rows-only check) for: simhash_pairs (xxhash64 is not
-  // portable — the md5-sliced simhash_pairs_md5 variant IS oracle-checked)
-  // and approx_users_per_type / approx_event_quantiles (sketches; error
-  // bounds vs the exact twins asserted in PropertySpec). Those three are
-  // the ONLY rows-only entries: multimodal_features is oracle-checked via
+  // Omitted (rows-only check) for the three SKETCH rows only:
+  // approx_users_per_type / approx_event_quantiles (error bounds vs the
+  // exact twins asserted in PropertySpec) and column_stats_approx (HLL
+  // NDV; error bound vs the exact column_stats twin in ScaleSpec).
+  // The xxhash64 simhash pair search ships as Dedup.simhashPairs + a
+  // DedupSpec equivalence pin, with the md5-sliced simhash_pairs_md5
+  // registry row carrying the oracle. multimodal_features is oracle-checked via
   // the LCG replay + Q40 fixed-point entropy (and the mod-2^64
   // rolling_fingerprint via HUGEINT arithmetic). The approximate ANN
   // paths (ann_topk_lsh / ann_topk_ivf / ann_topk_ivf_kmeans /

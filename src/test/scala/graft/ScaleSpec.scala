@@ -89,6 +89,41 @@ class ScaleSpec extends AnyFunSuite {
       ("v", 1L, 2L, Some(2.5), Some(7.5))))
   }
 
+  test("columnStatsApprox: exact nulls/min/max, HLL ndv within " +
+       "rsd-scaled error of the exact twin, NO expand in the plan") {
+    val lineitem = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = Scale.columnStats(lineitem).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rsd = 0.02
+    val approx = Scale.columnStatsApprox(lineitem, rsd).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      // nulls and ranges are exact — identical to the exact twin
+      assert(r.getAs[Long]("n_nulls") === e.getAs[Long]("n_nulls"))
+      assert(Option(r.getAs[java.lang.Double]("min_num")) ===
+        Option(e.getAs[java.lang.Double]("min_num")))
+      assert(Option(r.getAs[java.lang.Double]("max_num")) ===
+        Option(e.getAs[java.lang.Double]("max_num")))
+      // HLL++ at rsd=0.02: 6 standard errors is a generous determinism
+      // bound (the estimate is deterministic; the bound documents it)
+      val ndv = e.getAs[Long]("ndv").toDouble
+      val est = r.getAs[Long]("ndv_approx").toDouble
+      assert(math.abs(est - ndv) <= math.max(1.0, 6 * rsd * ndv),
+        s"${r.getString(0)}: est=$est exact=$ndv")
+    }
+    // The scale contract: the approx plan must NOT carry the expand
+    // node the exact form's COUNT(DISTINCT)s require.
+    val planned = Scale.columnStatsApprox(lineitem, rsd)
+      .queryExecution.executedPlan.toString
+    assert(!planned.contains("Expand"),
+      "approx column stats must plan without an expand node")
+    assert(Scale.columnStats(lineitem)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "(sanity) the exact twin does plan via expand")
+  }
+
   test("paretoFront2D: non-dominated points only, coincident points " +
        "tie and both survive via the count") {
     // Points: (y=3,x=1) front; (3,1) duplicate (same point — counts 2);
