@@ -121,12 +121,14 @@ object Bench {
           q.stop()
           (System.nanoTime() - t0) / 1e9
         }
-        val secSeq =
-          runIngest("seq", graft.streaming.StreamingPipeline.workbookStream)
+        val secSeq = runIngest("seq",
+          graft.streaming.StreamingPipeline.workbookStream(_, _, _, _, _))
         val secBat = runIngest("bat",
-          graft.streaming.StreamingPipeline.workbookStreamBatched)
+          graft.streaming.StreamingPipeline
+            .workbookStreamBatched(_, _, _, _, _))
         val secSet = runIngest("set",
-          graft.streaming.StreamingPipeline.workbookStreamSetBased)
+          graft.streaming.StreamingPipeline
+            .workbookStreamSetBased(_, _, _, _, _))
         // JSONL landing-stream throughput: the sf corpus exported as
         // JSON lines (doc_id%53 corruption planted) streamed through the
         // parsed/dead-letter split — the LLM-corpus twin of the workbook

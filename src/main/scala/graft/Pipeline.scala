@@ -33,7 +33,8 @@ case class BatchResult(
   * The GoldenPipelineSpec asserts the reference's golden values on its
   * own sample workbook.
   */
-class Pipeline(spark: SparkSession, stateDir: String, processedDir: String) {
+class Pipeline(spark: SparkSession, stateDir: String, processedDir: String,
+               shardThreshold: Long = Xlsx.DefaultShardThreshold) {
 
   val store = new StateStore(spark, stateDir)
   Files.createDirectories(Paths.get(processedDir))
@@ -138,10 +139,15 @@ class Pipeline(spark: SparkSession, stateDir: String, processedDir: String) {
     val nested = Relational.nestDetails(categoryTotals)
 
     // S12: 3-sheet export, rows ordered as rendered (SURVEY.md §7.4.5).
-    Xlsx.write(s"$processedDir/processed_$uploadId.xlsx", Seq(
-      "CategoryTotalsSummary" -> summary,
-      "TopSpenders" -> top.orderBy("category"),
-      "MergedData" -> merged))
+    // Size-aware (SURVEY §7.4.8): the bounded summary/top sheets always
+    // collect into the single workbook; the input-sized MergedData sheet
+    // switches to the executor-side sharded writer past shardThreshold
+    // rows, so a large upload never collects its detail on the driver.
+    Xlsx.writeAuto(s"$processedDir/processed_$uploadId.xlsx",
+      Seq("CategoryTotalsSummary" -> summary,
+        "TopSpenders" -> top.orderBy("category")),
+      "MergedData" -> merged,
+      shardThreshold)
 
     BatchResult(uploadId, summary, top, merged, nested, nChanges)
   }

@@ -17,8 +17,10 @@ object Scale {
     *
     * Use when a handful of keys dominate (power-law joins) and the dim
     * side is too large to broadcast outright; AQE's skew-join handles
-    * sort-merge cases, but salting also covers aggregations-after-join
-    * and pre-AQE shuffles.
+    * sort-merge cases (PlanContractSpec pins OptimizeSkewedJoin actually
+    * firing on a hot-key SMJ — the case where this manual salt is NOT
+    * needed), but salting also covers aggregations-after-join and
+    * pre-AQE shuffles, where the runtime rewrite can't reach.
     *
     * The salt is `pmod(hash(fact rowid-ish cols), salts)` — deterministic
     * given the row, so retries/replays produce identical partitioning.

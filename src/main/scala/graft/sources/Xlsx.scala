@@ -179,6 +179,41 @@ object Xlsx {
         () => df.collect().iterator.map(_.toSeq))
     })
 
+  /** Size-aware S12 export (SURVEY §7.4.8's "sharded sinks when inputs
+    * exceed driver memory ... swap in without API change"): the small
+    * sheets (bounded aggregates — category summaries, top-spender rows)
+    * always land in the single workbook at `path`; the one INPUT-SIZED
+    * sheet `big` lands there too while it stays within `shardThreshold`
+    * rows, and above it switches to the executor-side [[writeSharded]]
+    * writer (shards beside the workbook, in
+    * `<path minus .xlsx>_<sheet>_shards/`), returning the shard paths —
+    * [[mergeShards]] reassembles one deliverable when required. The
+    * threshold probe is `limit(threshold+1).count()`, bounded work that
+    * never counts (or collects) the full frame on the driver: above the
+    * threshold, the big sheet's rows only ever exist executor-side.
+    */
+  def writeAuto(path: String, small: Seq[(String, DataFrame)],
+                big: (String, DataFrame),
+                shardThreshold: Long = DefaultShardThreshold)
+      : Seq[String] = {
+    val (bigName, bigDf) = big
+    val over =
+      bigDf.limit((shardThreshold + 1).toInt).count() > shardThreshold
+    if (!over) { write(path, small :+ big); Seq.empty }
+    else {
+      write(path, small)
+      val dir = path.stripSuffix(".xlsx") + s"_${bigName}_shards"
+      writeSharded(bigDf, dir, bigName)
+    }
+  }
+
+  /** Default [[writeAuto]] cutover: well under Excel's [[MaxRows]] and a
+    * bounded driver collect (~200k rows of the 14-column merged detail ≈
+    * low hundreds of MB) — above it, a single-workbook export is both a
+    * driver-memory risk and within 5× of the sheet cap.
+    */
+  val DefaultShardThreshold: Long = 200000L
+
   /** Executor-side sharded export — the S12 scale path when one workbook
     * can no longer hold (or one driver can no longer collect) the result:
     * every partition writes its own single-sheet workbook shard with the

@@ -361,7 +361,10 @@ object StreamingPipeline {
     */
   def workbookStream(spark: SparkSession, landingDir: String,
                      stateDir: String, processedDir: String,
-                     checkpointDir: String): StreamingQuery = {
+                     checkpointDir: String,
+                     shardThreshold: Long =
+                       graft.sources.Xlsx.DefaultShardThreshold)
+      : StreamingQuery = {
     val files = spark.readStream
       .format("binaryFile")
       .option("pathGlobFilter", "*.[xX][lL][sS][xX]")  // S3: ext filter
@@ -375,7 +378,8 @@ object StreamingPipeline {
     files.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pipeline = new Pipeline(spark, stateDir, processedDir)
+        val pipeline =
+          new Pipeline(spark, stateDir, processedDir, shardThreshold)
         val ledger =
           java.nio.file.Paths.get(checkpointDir, "processed_paths.txt")
         val done: Set[String] =
@@ -420,7 +424,10 @@ object StreamingPipeline {
     */
   def workbookStreamBatched(spark: SparkSession, landingDir: String,
                             stateDir: String, processedDir: String,
-                            checkpointDir: String): StreamingQuery = {
+                            checkpointDir: String,
+                            shardThreshold: Long =
+                              graft.sources.Xlsx.DefaultShardThreshold)
+      : StreamingQuery = {
     val files = spark.readStream
       .format("binaryFile")
       .option("pathGlobFilter", "*.[xX][lL][sS][xX]")
@@ -435,7 +442,8 @@ object StreamingPipeline {
     files.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pipeline = new Pipeline(spark, stateDir, processedDir)
+        val pipeline =
+          new Pipeline(spark, stateDir, processedDir, shardThreshold)
         val ledger =
           java.nio.file.Paths.get(checkpointDir, "processed_paths.txt")
         val done: Set[String] =
@@ -507,7 +515,10 @@ object StreamingPipeline {
     */
   def workbookStreamSetBased(spark: SparkSession, landingDir: String,
                              stateDir: String, processedDir: String,
-                             checkpointDir: String): StreamingQuery = {
+                             checkpointDir: String,
+                             shardThreshold: Long =
+                               graft.sources.Xlsx.DefaultShardThreshold)
+      : StreamingQuery = {
     val files = spark.readStream
       .format("binaryFile")
       .option("pathGlobFilter", "*.[xX][lL][sS][xX]")
@@ -522,7 +533,8 @@ object StreamingPipeline {
     files.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pipeline = new Pipeline(spark, stateDir, processedDir)
+        val pipeline =
+          new Pipeline(spark, stateDir, processedDir, shardThreshold)
         val ledger =
           java.nio.file.Paths.get(checkpointDir, "processed_paths.txt")
         val done: Set[String] =

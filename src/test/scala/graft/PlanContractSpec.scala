@@ -176,4 +176,49 @@ class PlanContractSpec extends AnyFunSuite {
     assert(winSpecs.exists(_.contains("cluster")),
       "representative selection must be the cluster-partitioned window")
   }
+
+  test("AQE skew-join splits a hot key's reducer at runtime — the case " +
+       "where Scale.saltedJoin's manual salt is NOT needed") {
+    // Scale.saltedJoin exists for (a) aggregations straight after the
+    // join and (b) pre-AQE/exchange-reused shuffles; for a plain skewed
+    // sort-merge equi-join, Spark's own OptimizeSkewedJoin must take
+    // over. This pins that it actually fires: one hot key (~90% of a
+    // fat-payload fact side) against a non-broadcastable dim, with the
+    // skew thresholds lowered to test scale — the executed (adaptive)
+    // plan must carry the skew=true SMJ marker, i.e. the hot partition
+    // was split into multiple tasks with the dim side replicated.
+    import org.apache.spark.sql.functions._
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "2")
+    try {
+      val fact = spark.range(0, 50000).select(
+        when(col("id") % 10 === 0, pmod(col("id"), lit(100)))
+          .otherwise(lit(7L)).as("key"),
+        lpad(col("id").cast("string"), 200, "x").as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("key"),
+        concat(lit("dim_"), col("id")).as("attr"))
+      val joined = fact.join(dim, Seq("key"))
+      // Execute joined ITSELF (count() would plan a separate, column-
+      // pruned query and leave this one's adaptive plan non-final).
+      assert(joined.collect().length === 50000)
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        s"expected AQE skew-join marker in the adaptive plan:\n$executed")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -353,6 +353,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("workbook stream defaults to the sharded MergedData export past " +
+       "the row threshold; mergeShards reassembles one deliverable") {
+    val sample = "/root/reference/uploads/Txn_Details.xlsx"
+    assume(Files.exists(java.nio.file.Paths.get(sample)))
+    val dir = Files.createTempDirectory("graft_wbshard").toString
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    Files.copy(java.nio.file.Paths.get(sample),
+      java.nio.file.Paths.get(s"$landing/Txn_Details.xlsx"))
+
+    // Threshold 100 << the sample's ~1k merged rows: the streaming path
+    // must activate the executor-side sharded writer on its own.
+    val q = StreamingPipeline.workbookStream(spark, landing,
+      s"$dir/state", s"$dir/processed", s"$dir/ckpt",
+      shardThreshold = 100L)
+    try q.processAllAvailable() finally q.stop()
+
+    val wb = s"$dir/processed/processed_1.xlsx"
+    assert(Files.exists(java.nio.file.Paths.get(wb)))
+    // The single workbook carries ONLY the bounded sheets…
+    val sheets = graft.sources.Xlsx.read(wb).map(_._1)
+    assert(sheets.toSet === Set("CategoryTotalsSummary", "TopSpenders"))
+    // …and the input-sized sheet landed as executor-written shards.
+    val shardDir = s"$dir/processed/processed_1_MergedData_shards"
+    val shards = new java.io.File(shardDir).listFiles()
+      .map(_.toString).filter(_.endsWith(".xlsx")).sorted.toSeq
+    assert(shards.nonEmpty)
+    val shardRows = shards.map(p =>
+      graft.sources.Xlsx.read(p, wanted = Some("MergedData"))
+        .head._2.length - 1L).sum
+    assert(shardRows === 1041L)  // golden merged-row count, no header
+
+    // mergeShards: one deliverable, header once, all rows, in order.
+    val mergedPath = s"$dir/processed/merged_all.xlsx"
+    graft.sources.Xlsx.mergeShards(shards, mergedPath, "MergedData")
+    val rows = graft.sources.Xlsx.read(mergedPath,
+      wanted = Some("MergedData")).head._2
+    assert(rows.length - 1L === 1041L)
+    assert(rows.head.count(_ == "transaction_id") === 1)
+  }
+
   test("batched-parse workbook stream reaches the same state as the " +
        "per-file stream, including CDC re-toggle sequencing") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
