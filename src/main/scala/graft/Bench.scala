@@ -23,6 +23,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Opt-in (SPARK_GRAFT_SHUFFLE=1): per-query total shuffle-write
+    // bytes via a stage-completion listener — exact in local mode (one
+    // JVM sees every task). Feeds SCALING.md's cluster-shape projection
+    // (measured bytes → per-executor shuffle at 100 TB), costs nothing
+    // when off.
+    val traceShuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").contains("1")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (traceShuffle) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler
+              .SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    val shuffleByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // Session warmup (codegen/JIT/file-listing) so the first timed query
     // isn't charged the cold-start; then min-of-2 per query to damp
     // machine noise at these sub-10s scales.
@@ -64,8 +81,15 @@ object Bench {
       .map { case (name, fn) =>
         // min-of-2, but only over runs that succeeded; one failure marks
         // the query failed (a flaky query is not a benchmarkable one).
-        name -> (for (a <- timeCold(name, fn); b <- timeCold(name, fn))
-          yield math.min(a, b))
+        if (traceShuffle) shuffleBytes.set(0L)
+        val timed =
+          (for (a <- timeCold(name, fn); b <- timeCold(name, fn))
+            yield math.min(a, b))
+        // both cold runs shuffle identically → halve the accumulated
+        // total for the per-run figure
+        if (traceShuffle && timed.isDefined)
+          shuffleByQuery(name) = shuffleBytes.get() / 2
+        name -> timed
       }
     val results = attempts.collect { case (n, Some(t)) => n -> t }
     val failed = attempts.collect { case (n, None) => n }
@@ -166,9 +190,12 @@ object Bench {
     }
     val failedAll = failed ++ (if (streamFailed) Seq("stream_ingest") else Nil)
     val failedAllJson = failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val shuffleJson = if (!traceShuffle) "" else
+      shuffleByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","shuffle_bytes":{""", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedAllJson,"sf":"$sfDir"$streamJson}"""
+      s""""failed":$failedAllJson,"sf":"$sfDir"$streamJson$shuffleJson}"""
     // The full line is ~2.5 KB and has historically been truncated by the
     // driver's tail window mid-object (VERDICT r3 §8, r5 §4, r6 §6). A
     // compact summary object — small enough that any tail window holds it

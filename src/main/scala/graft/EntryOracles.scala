@@ -616,6 +616,26 @@ private[graft] object EntryOracles {
         |                          >= DATE '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Q4 shape: EXISTS replays the left-semi join, epoch-millis lag.
+    "order_priority_counts" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND epoch_ms(l.l_shipdate)
+        |                      > epoch_ms(o.o_orderdate) + 5184000000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Q16 shape: distinct suppliers per (brand, type), one brand out.
+    "brand_supplier_counts" ->
+      """SELECT p_brand, p_type,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+
     "event_quantiles" ->
       """SELECT event_type,
         |  roundbankers(quantile_cont(value, 0.5), 4) AS p50,

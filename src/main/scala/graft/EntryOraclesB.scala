@@ -483,6 +483,10 @@ private[graft] object EntryOraclesB {
 
     "neardup_pairs_banded" -> nearDupPairsBandedSql,
 
+    // The sliced mode computes the IDENTICAL relation (union of
+    // band-hash slices + distinct) — same oracle.
+    "neardup_pairs_banded_sliced" -> nearDupPairsBandedSql,
+
     "containment_pairs" -> containmentPairsSql,
 
     // Bit-interleave replay: sum of shifted masked bits of both inputs.

@@ -310,6 +310,43 @@ private[graft] object EntryQueries {
         .limit(20)
     }),
 
+    // TPC-H Q4 shape (order priority checking): orders with at least one
+    // lineitem shipped > 60 days after the order date, counted per
+    // priority. EXISTS ≡ LEFT SEMI join — the equi key drives the hash
+    // join and the 60-day lag is its residual predicate, so the plan is
+    // one key-partitioned join + a 5-group aggregate; the semi join
+    // dedups order keys on the build side, no DISTINCT needed.
+    "order_priority_counts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("_o_ms"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("_s_ms"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("_s_ms") > col("_o_ms") + lit(5184000000L), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q16 shape (supplier diversity per product line, sans the
+    // partsupp table this testdata omits): distinct suppliers observed
+    // per (brand, type) in the fact table, excluding one brand — the
+    // 156-row dimension broadcasts, the distinct-count shuffles once on
+    // the (brand, type) key after map-side expand.
+    "brand_supplier_counts" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#5")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"))
+    }),
+
     // Anti join: customers with no order since 2000-01-01, per market
     // segment. Date-scoped deliberately — the unscoped anti-join is empty
     // at every SF (testdata gives every customer an order), which made the
@@ -442,6 +479,19 @@ private[graft] object EntryQueries {
     // verify cost as the corpus grows; same exact-Jaccard verify.
     "neardup_pairs_banded" -> ((s, dir) =>
       Dedup.nearDupPairsBanded(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Bounded-scratch sliced execution of the same banded relation:
+    // band-key ranges processed as K sequential jobs against a
+    // doc_id-bucketed signature table, peak spill ~1/K of the one-shot —
+    // the mode that lets the pair family run at 50 M docs on one node.
+    // Shares the one-shot banded oracle (the union is the identical
+    // relation; equality also pinned in DedupSpec).
+    "neardup_pairs_banded_sliced" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_sliced_pairs").toString
+      Dedup.nearDupPairsBandedSliced(docs(s, dir), work, slices = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Asymmetric containment (quote/subset detection): |A∩B|/|A| and
     // /|B| over the LSH candidate pairs — the signal that finds a short

@@ -68,21 +68,57 @@ object ScaleProbe {
             EntryHelpers.plantedVecs(spark, sfDir), cb, threshold = 0.9),
           runs,
           s""""probe":"semantic_dedup","cells":$nCells""")
+      case "pairs-sliced" =>
+        // Bounded-scratch sliced banding at deployment slice counts —
+        // the sixth-decade measurement mode for the pair family (the
+        // registry row pins slices=4 for its oracle; scratch scales
+        // ~1/K, so the 50 M-doc run chooses K to fit the node's disk).
+        val slices = args(2).toInt
+        val buildSlices = if (args.length > 3) args(3).toInt else 1
+        val runs = if (args.length > 4) args(4).toInt else 1
+        val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+        (() => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_sliced").toString
+            graft.operators.Dedup.nearDupPairsBandedSliced(
+              docsDf, work, slices = slices, buildSlices = buildSlices)
+          },
+          runs,
+          s""""probe":"neardup_pairs_banded_sliced","slices":$slices,""" +
+            s""""build_slices":$buildSlices""")
       case other => sys.error(s"unknown probe kind: $other")
     }
 
-    def once(): Double = {
+    // Total shuffle-write bytes per run — the number the SCALING.md
+    // cluster-shape projection divides by executor count. Collected via
+    // a stage-completion listener (local metrics are exact here: one
+    // JVM sees every task).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler
+              .SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+
+    def once(): (Double, Long) = {
       spark.catalog.clearCache()
       System.gc()
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       pairsDf().write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, shuffleBytes.get())
     }
-    val best = (1 to runs).map(_ => once()).min
+    val outcomes = (1 to runs).map(_ => once())
+    val best = outcomes.map(_._1).min
+    val shuf = outcomes.map(_._2).max
     // Pair count once, outside the timed runs (it re-executes the plan).
     spark.catalog.clearCache()
     val pairs = pairsDf().count()
-    println(s"""{$desc,"sf":"$sfDir","sec":$best,"pairs":$pairs}""")
+    println(s"""{$desc,"sf":"$sfDir","sec":$best,""" +
+      s""""shuffle_bytes":$shuf,"pairs":$pairs}""")
     spark.stop()
   }
 }

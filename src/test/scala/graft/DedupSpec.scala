@@ -101,6 +101,36 @@ class DedupSpec extends AnyFunSuite {
     assert(r4.contains((0L, 1L)))
   }
 
+  test("nearDupPairsBandedSliced: union of K band-hash slices is " +
+       "EXACTLY the one-shot banded relation (real corpus, K=4)") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val oneShot = Dedup.nearDupPairsBanded(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    assert(oneShot.nonEmpty, "fixture must produce pairs")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sliced_eq").toString
+    val sliced = Dedup.nearDupPairsBandedSliced(corpus, work, slices = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard")))
+    // distinct() must have removed cross-slice duplicate verifications
+    assert(sliced.length === sliced.toSet.size)
+    assert(sliced.toSet === oneShot)
+    // degenerate single slice too (pure refactor of the one-shot path),
+    // plus a strided BUILD (3 disjoint doc_id strides appended into the
+    // bucketed table must union to the one-shot signature frame)
+    val work1 = java.nio.file.Files
+      .createTempDirectory("graft_sliced_eq1").toString
+    val k1 = Dedup.nearDupPairsBandedSliced(corpus, work1, slices = 1,
+        buildSlices = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    assert(k1 === oneShot)
+  }
+
   test("containmentPairs: a short doc embedded in a long one scores " +
        "containment ~1 on the short side with low Jaccard") {
     val short0 = "alpha beta gamma delta epsilon zeta eta theta"
