@@ -230,6 +230,55 @@ private[graft] object EntryOraclesB {
          |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Replays TextOps.tokenEntropy bit-for-bit: the Q40 square-and-
+    // shift binary log as a HUGEINT recursion over the distinct token
+    // counts (the multimodal_features lg-CTE applied to text), entropy
+    // as the integer Σ h·(L(n) − L(h)) // n, then the single IEEE
+    // division by 2^40.
+    "token_entropy" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  string_split(lower(text), ' ') AS toks FROM documents),
+        |hist AS (SELECT doc_id, tok, COUNT(*) AS h FROM
+        |    (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, CAST(SUM(h) AS BIGINT) AS n,
+        |    COUNT(*) AS nd FROM hist GROUP BY 1),
+        |vals AS (SELECT DISTINCT h AS v FROM hist
+        |  UNION SELECT DISTINCT n FROM nn),
+        |p2 AS (SELECT CAST(e AS INT) AS e,
+        |    CAST(1 AS BIGINT) << CAST(e AS INT) AS pv
+        |  FROM (SELECT unnest(range(61)) AS e)),
+        |ipart AS (SELECT v, MAX(e) AS ip FROM vals JOIN p2 ON pv <= v
+        |  GROUP BY v),
+        |lg(v, k, x, frac) AS (
+        |  SELECT i.v, 0,
+        |    CAST(CAST(i.v AS BIGINT) << (60 - i.ip) AS HUGEINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM ipart i
+        |  UNION ALL
+        |  SELECT v, k + 1,
+        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
+        |         THEN ((x*x) // 1152921504606846976) // 2
+        |         ELSE (x*x) // 1152921504606846976 END,
+        |    CASE WHEN (x*x) // 1152921504606846976 >= 2305843009213693952
+        |         THEN frac * 2 + 1 ELSE frac * 2 END
+        |  FROM lg WHERE k < 40),
+        |l2 AS (SELECT lg.v, (CAST(i.ip AS BIGINT) << 40) + lg.frac AS lfp
+        |  FROM lg JOIN ipart i ON lg.v = i.v WHERE lg.k = 40),
+        |ent AS (SELECT hist.doc_id, nn.n, nn.nd,
+        |    CAST(SUM(hist.h * (l2n.lfp - l2h.lfp)) // nn.n AS BIGINT)
+        |      AS entropy_fp
+        |  FROM hist JOIN nn ON hist.doc_id = nn.doc_id
+        |  JOIN l2 l2h ON l2h.v = hist.h
+        |  JOIN l2 l2n ON l2n.v = nn.n
+        |  GROUP BY 1, 2, 3)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(e.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(e.nd, 0) AS BIGINT) AS n_distinct,
+        |  e.entropy_fp,
+        |  CAST(e.entropy_fp AS DOUBLE) / 1099511627776.0 AS entropy_bits
+        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |  FROM documents),
@@ -913,6 +962,34 @@ private[graft] object EntryOraclesB {
          |SELECT c.doc_id, hh.holdout_id, COUNT(*) AS n_shared
          |FROM c JOIN hh ON c.g = hh.g
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 3-gram novelty of odd-id docs vs the even-id gram set: distinct
+    // md5'd grams (same byte-exact gram recipe as the contamination
+    // CTE), LEFT JOIN against the reference set, one IEEE division;
+    // docs with < 3 tokens carry null novelty.
+    "ngram_novelty" -> {
+      val gram3 = (0 until 3).map(o => s"toks[i+$o]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS r,
+         |  string_split(lower(text), ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, r, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_transform(range(1, len(toks) - 1),
+         |        i -> md5(concat_ws(' ', $gram3)))
+         |    ELSE [] END)) AS g FROM t),
+         |inc AS (SELECT doc_id, g FROM g WHERE NOT r),
+         |ref AS (SELECT DISTINCT g FROM g WHERE r),
+         |s AS (SELECT i.doc_id, COUNT(*) AS n_grams,
+         |    SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS n_novel
+         |  FROM inc i LEFT JOIN ref ON i.g = ref.g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN s.n_grams > 0
+         |    THEN CAST(s.n_novel AS DOUBLE) / s.n_grams END AS novelty
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // minShared = 1, so "flagged" reduces to sharing ANY distinct 8-gram.
     "decontaminate" ->

@@ -665,6 +665,16 @@ private[graft] object EntryQueries {
     // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every
     // doc sharing an 8-gram with the holdout slice — what a training run
     // reads after the contamination_overlap scan above.
+    // Per-doc 3-gram novelty of the odd-id half against the even-id
+    // half's gram index — the crawl-batch freshness signal (low novelty
+    // = re-crawling what the corpus already holds).
+    "ngram_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.ngramNovelty(d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("lang"), col("source"))
@@ -1153,6 +1163,12 @@ private[graft] object EntryQueries {
     // bounded-memory twin of vocab_topk's full-vocabulary aggregate.
     "heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(docs(s, dir))),
+
+    // Per-doc unigram Shannon entropy in Q40 fixed point (codegen'd
+    // integer square-and-shift log — oracle replays it with a HUGEINT
+    // recursion); entropy_bits is one division by the constant 2^40.
+    "token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(docs(s, dir)).orderBy("doc_id")),
 
     // Gopher-style repetition signals: top-token fraction + duplicate
     // bigram/trigram occurrence fractions per document.

@@ -77,18 +77,9 @@ object Multimodal {
     */
   private[graft] def log2Fp(v: Long): Long = {
     require(v >= 1, s"log2Fp domain error: $v")
-    val ip = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    var x = BigInt(v) << (60 - ip) // Q60 mantissa in [1, 2)
-    val two = BigInt(1) << 61
-    var frac = 0L
-    var k = 0
-    while (k < 40) {
-      x = (x * x) >> 60
-      frac <<= 1
-      if (x >= two) { x >>= 1; frac |= 1L }
-      k += 1
-    }
-    (ip.toLong << 40) | frac
+    // One shared kernel with the column form ([[graft.functions.Log2Fp]])
+    // so the scalar, interpreted, and codegen paths cannot drift.
+    graft.functions.Log2Fp.compute(v)
   }
 
   /** Fixed-point Shannon entropy (Q40 bits, truncated) of a histogram

@@ -228,6 +228,49 @@ object TextOps {
         dupFrac(col("_n_tri"), col("_d_tri")).as("dup_trigram_frac"))
   }
 
+  /** Per-document unigram (token) Shannon entropy in Q40 FIXED POINT —
+    * the repetitiveness signal on an information-theoretic scale:
+    * near-zero bits means the document is one token stuttered
+    * (template/boilerplate spam), log2(n_tokens) bits means every token
+    * is distinct; curation gates threshold it alongside
+    * [[repetitionStats]]' ratio signals. Entropy is the classic
+    * Σ h·(log2(n) − log2(h)) / n — computed entirely in integer
+    * arithmetic via the codegen'd [[graft.functions.Log2Fp]] (truncated
+    * Q40 binary log, no libm), so the per-doc sum is an order-free
+    * integer aggregate and the DuckDB oracle replays it bit-for-bit
+    * with a HUGEINT recursion (the `multimodal_features` argument,
+    * applied to text). `entropy_bits` is the one IEEE step: a single
+    * division by the constant 2^40.
+    *
+    * Plan shape: one tokenize → (doc_id, token) hash aggregate; the
+    * per-doc total rides a doc_id window over the SAME partitioning
+    * (no second exchange — the aggregate's shuffle already clusters the
+    * key) into the final doc_id aggregate. No pair joins, no corpus-
+    * stream sort; token-linear like [[repetitionStats]].
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("h"))
+      .withColumn("n", sum("h").over(w))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("h") * (graft.functions.Log2Fp(col("n")) -
+          graft.functions.Log2Fp(col("h")))).as("_s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("_s DIV n_tokens").as("entropy_fp"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("entropy_fp"),
+        (col("entropy_fp").cast("double") / lit(1099511627776.0))
+          .as("entropy_bits"))
+  }
+
   /** Corpus-bigram language-model quality score — the deterministic
     * stand-in for the KenLM-perplexity filter of CCNet-style pipelines:
     * documents whose token transitions are typical of the corpus score

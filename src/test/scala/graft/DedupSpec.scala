@@ -101,6 +101,22 @@ class DedupSpec extends AnyFunSuite {
     assert(r4.contains((0L, 1L)))
   }
 
+  test("ngramNovelty: per-doc fraction of distinct 3-grams absent " +
+       "from the reference; gram-less docs carry null") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, "a b c d e"),  // grams {abc,bcd,cde} — cde novel → 1/3
+      (2L, "x y"),        // < 3 tokens → no grams → null novelty
+      (3L, "p q r"))      // {pqr} novel → 1.0
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(inc, ref).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("novelty")).map(_.toDouble)))
+    assert(out(0) === ((1L, 3L, 1L, Some(1.0 / 3))))
+    assert(out(1) === ((2L, 0L, 0L, None)))
+    assert(out(2) === ((3L, 1L, 1L, Some(1.0))))
+  }
+
   test("nearDupPairsBandedSliced: union of K band-hash slices is " +
        "EXACTLY the one-shot banded relation (real corpus, K=4)") {
     val corpus = spark.read

@@ -290,6 +290,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 3L, 1, 3, 6L), (2L, 2L, 4, 5, 9L)))
   }
 
+  test("tokenEntropy: Q40 integer entropy — 0 for a stutter, exactly " +
+       "2 bits for 4 distinct tokens, 1 bit for 2+2, null for null text") {
+    val d = Seq((1L, "x x x x"), (2L, "a b c d"),
+        (3L, null.asInstanceOf[String]), (4L, "a a b b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("entropy_fp")).map(_.toLong),
+        Option(r.getAs[java.lang.Double]("entropy_bits"))
+          .map(_.toDouble)))
+    val q40 = 1L << 40
+    // "x x x x": one token class → H = 0 exactly
+    assert(out(0) === ((1L, 4L, 1L, Some(0L), Some(0.0))))
+    // "a b c d": H = log2(4) = 2 bits — exact in Q40 (L(4) = 2·2^40,
+    // L(1) = 0, truncation-free)
+    assert(out(1) === ((2L, 4L, 4L, Some(2 * q40), Some(2.0))))
+    // null text → no tokens → zero counts, null entropy
+    assert(out(2) === ((3L, 0L, 0L, None, None)))
+    // "a a b b": H = 1 bit exactly (L(4) − L(2) = 2^40)
+    assert(out(3) === ((4L, 4L, 2L, Some(q40), Some(1.0))))
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
