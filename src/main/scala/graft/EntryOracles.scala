@@ -636,6 +636,37 @@ private[graft] object EntryOracles {
         |GROUP BY 1, 2
         |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
 
+    // Q14 shape: monthly promo revenue share, DECIMAL sums + one IEEE
+    // division.
+    "promo_revenue_share" ->
+      """SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
+        |  CAST(roundbankers(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END), 2)
+        |    AS DOUBLE) AS promo_rev,
+        |  CAST(roundbankers(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+        |    AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q19 shape: OR-of-ANDs disjuncts, single aggregate row.
+    "special_revenue" ->
+      """SELECT COUNT(*) AS n_items,
+        |  CAST(roundbankers(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 30)
+        |   OR (p_brand = 'Brand#2' AND p_type IN ('SMALL', 'MEDIUM')
+        |       AND l_quantity >= 10)
+        |   OR (p_size >= 40 AND l_discount < 0.05)""".stripMargin,
+
     "event_quantiles" ->
       """SELECT event_type,
         |  roundbankers(quantile_cont(value, 0.5), 4) AS p50,

@@ -347,6 +347,56 @@ private[graft] object EntryQueries {
         .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"))
     }),
 
+    // TPC-H Q14 shape (promotion effect): monthly share of revenue from
+    // PROMO-type parts. Conditional DECIMAL aggregate over the broadcast
+    // part join; the share is computed promo/total as ONE IEEE division
+    // on the two exact sums.
+    "promo_revenue_share" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          unix_millis(date_trunc("month", col("l_shipdate"))
+            .cast("timestamp")).as("month_ms"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").as("rev"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("month_ms")
+        .agg(sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("_pr"),
+          sum(col("rev")).as("_tr"))
+        .select(col("month_ms"),
+          bround(col("_pr"), 2).cast("double").as("promo_rev"),
+          bround(col("_tr"), 2).cast("double").as("total_rev"),
+          (col("_pr").cast("double") / col("_tr").cast("double"))
+            .as("promo_share"))
+        .orderBy("month_ms")
+    }),
+
+    // TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    // predicate): three disjunct brand/size/quantity arms over the
+    // lineitem⋈part join — the composite-boolean-pushdown exercise
+    // (each arm's dimension-only conjuncts prune the broadcast side;
+    // the fact-side conjuncts evaluate in-scan).
+    "special_revenue" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_discount"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").as("rev"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 30)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_type").isin("SMALL", "MEDIUM") &&
+            col("l_quantity") >= 10) ||
+          (col("p_size") >= 40 && col("l_discount") < 0.05))
+        .agg(count(lit(1)).as("n_items"),
+          bround(sum("rev"), 2).cast("double").as("revenue"))
+    }),
+
     // Anti join: customers with no order since 2000-01-01, per market
     // segment. Date-scoped deliberately — the unscoped anti-join is empty
     // at every SF (testdata gives every customer an order), which made the
