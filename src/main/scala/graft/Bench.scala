@@ -8,6 +8,24 @@ import org.apache.spark.sql.SparkSession
   * expression work a bare `.count()` would let it skip (VERDICT r1 §wrong.2).
   */
 object Bench {
+  /** Blocks until the SparkListener event bus has delivered every queued
+    * event (reflection: `LiveListenerBus.waitUntilEmpty` is
+    * private[spark]). Stage-completed events arrive on an async bus, so
+    * reading a metrics accumulator right after an action returns can
+    * undercount the query just run and bleed the stragglers into the
+    * next query's window after a reset; draining first makes the
+    * read/reset boundary exact. Falls back to a short settle sleep if
+    * the private API ever moves.
+    */
+  private[graft] def drainListenerBus(
+      sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(10000L))
+      ()
+    } catch { case _: Throwable => Thread.sleep(200L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -81,14 +99,20 @@ object Bench {
       .map { case (name, fn) =>
         // min-of-2, but only over runs that succeeded; one failure marks
         // the query failed (a flaky query is not a benchmarkable one).
-        if (traceShuffle) shuffleBytes.set(0L)
+        if (traceShuffle) {
+          drainListenerBus(spark.sparkContext)
+          shuffleBytes.set(0L)
+        }
         val timed =
           (for (a <- timeCold(name, fn); b <- timeCold(name, fn))
             yield math.min(a, b))
         // both cold runs shuffle identically → halve the accumulated
-        // total for the per-run figure
-        if (traceShuffle && timed.isDefined)
+        // total for the per-run figure (bus drained first so no
+        // stage-completed event is missed or mis-attributed)
+        if (traceShuffle && timed.isDefined) {
+          drainListenerBus(spark.sparkContext)
           shuffleByQuery(name) = shuffleBytes.get() / 2
+        }
         name -> timed
       }
     val results = attempts.collect { case (n, Some(t)) => n -> t }

@@ -334,13 +334,17 @@ private[graft] object EntryQueries {
     // partsupp table this testdata omits): distinct suppliers observed
     // per (brand, type) in the fact table, excluding one brand — the
     // 156-row dimension broadcasts, the distinct-count shuffles once on
-    // the (brand, type) key after map-side expand.
+    // the (brand, type) key after map-side expand. No broadcast hint:
+    // `part` grows linearly with scale (unlike nation/region), so the
+    // plan must stay free to degrade to a shuffle join past the
+    // threshold — AQE/CBO picks broadcast at small SF on its own
+    // (PlanContractSpec pins both regimes).
     "brand_supplier_counts" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .where(col("p_brand") =!= "Brand#5")
         .select(col("p_partkey"), col("p_brand"), col("p_type"))
       t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"),
           count(lit(1)).as("n_lineitems"))
@@ -348,9 +352,11 @@ private[graft] object EntryQueries {
     }),
 
     // TPC-H Q14 shape (promotion effect): monthly share of revenue from
-    // PROMO-type parts. Conditional DECIMAL aggregate over the broadcast
-    // part join; the share is computed promo/total as ONE IEEE division
-    // on the two exact sums.
+    // PROMO-type parts. Conditional DECIMAL aggregate over the part
+    // join (unhinted — the scale-growing dim must be allowed to fall
+    // back to a shuffle join; AQE broadcasts it while it's small); the
+    // share is computed promo/total as ONE IEEE division on the two
+    // exact sums.
     "promo_revenue_share" -> ((s, dir) => {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
       t(s, dir, "lineitem")
@@ -359,7 +365,7 @@ private[graft] object EntryQueries {
             .cast("timestamp")).as("month_ms"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,4)").as("rev"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("month_ms")
         .agg(sum(when(col("p_type") === "PROMO", col("rev"))
             .otherwise(lit(0).cast("decimal(18,4)"))).as("_pr"),
@@ -375,8 +381,9 @@ private[graft] object EntryQueries {
     // TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
     // predicate): three disjunct brand/size/quantity arms over the
     // lineitem⋈part join — the composite-boolean-pushdown exercise
-    // (each arm's dimension-only conjuncts prune the broadcast side;
-    // the fact-side conjuncts evaluate in-scan).
+    // (each arm's dimension-only conjuncts prune the dimension side;
+    // the fact-side conjuncts evaluate in-scan). Unhinted join, same
+    // rationale as brand_supplier_counts.
     "special_revenue" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_type"),
@@ -385,7 +392,7 @@ private[graft] object EntryQueries {
         .select(col("l_partkey"), col("l_quantity"), col("l_discount"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,4)").as("rev"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .where((col("p_brand") === "Brand#1" &&
             col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 30)) ||

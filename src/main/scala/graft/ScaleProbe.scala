@@ -106,10 +106,13 @@ object ScaleProbe {
     def once(): (Double, Long) = {
       spark.catalog.clearCache()
       System.gc()
+      Bench.drainListenerBus(spark.sparkContext)
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       pairsDf().write.format("noop").mode("overwrite").save()
-      ((System.nanoTime() - t0) / 1e9, shuffleBytes.get())
+      val wall = (System.nanoTime() - t0) / 1e9
+      Bench.drainListenerBus(spark.sparkContext)
+      (wall, shuffleBytes.get())
     }
     val outcomes = (1 to runs).map(_ => once())
     val best = outcomes.map(_._1).min

@@ -197,8 +197,12 @@ object Xlsx {
                 shardThreshold: Long = DefaultShardThreshold)
       : Seq[String] = {
     val (bigName, bigDf) = big
-    val over =
-      bigDf.limit((shardThreshold + 1).toInt).count() > shardThreshold
+    // Probe limit clamps to Int.MaxValue: a threshold at/above it would
+    // otherwise wrap to a negative limit despite the Long-typed knob
+    // (at that magnitude the answer is always "not over" anyway).
+    val probe = math.min(shardThreshold + 1, Int.MaxValue.toLong).toInt
+    val over = shardThreshold < Int.MaxValue.toLong &&
+      bigDf.limit(probe).count() > shardThreshold
     if (!over) { write(path, small :+ big); Seq.empty }
     else {
       write(path, small)

@@ -177,6 +177,38 @@ class PlanContractSpec extends AnyFunSuite {
       "representative selection must be the cluster-partitioned window")
   }
 
+  test("part-dimension joins broadcast by Spark's choice at small SF " +
+       "and degrade to a shuffle join when the dim exceeds the " +
+       "threshold — no forced hint pinning a scale-growing table") {
+    // `part` grows linearly with scale (~4 GB at sf1000), so the three
+    // TPC-H-shaped queries must not hint-force it to broadcast: the
+    // hint would override spark.sql.autoBroadcastJoinThreshold and the
+    // plan could never fall back. Pin both regimes: default threshold →
+    // Spark itself broadcasts the tiny sf0.001 part; threshold -1
+    // (standing in for "dim grew past the bound") → the same query
+    // plans a non-broadcast equi-join.
+    val qs = Seq("brand_supplier_counts", "promo_revenue_share",
+      "special_revenue")
+    for (q <- qs) {
+      val p = fmt(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q should broadcast the small part dim at sf0.001 (CBO/AQE)")
+    }
+    val keep = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try for (q <- qs) {
+      val p = fmt(q)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q must degrade to a shuffle join when part exceeds the " +
+          s"broadcast threshold — a leftover hint would prevent this")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("AQE skew-join splits a hot key's reducer at runtime — the case " +
        "where Scale.saltedJoin's manual salt is NOT needed") {
     // Scale.saltedJoin exists for (a) aggregations straight after the
