@@ -234,7 +234,10 @@ private[graft] object EntryOraclesB {
     // shift binary log as a HUGEINT recursion over the distinct token
     // counts (the multimodal_features lg-CTE applied to text), entropy
     // as the integer Σ h·(L(n) − L(h)) // n, then the single IEEE
-    // division by 2^40.
+    // division by 2^40. Mirrors the operator's documented 300k-token
+    // domain cap (TokenSummary.EntropyCapTokens): past it the Spark
+    // Long accumulator could wrap where HUGEINT does not, so BOTH
+    // sides return null rather than risk silent divergence.
     "token_entropy" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |  string_split(lower(text), ' ') AS toks FROM documents),
@@ -265,8 +268,9 @@ private[graft] object EntryOraclesB {
         |l2 AS (SELECT lg.v, (CAST(i.ip AS BIGINT) << 40) + lg.frac AS lfp
         |  FROM lg JOIN ipart i ON lg.v = i.v WHERE lg.k = 40),
         |ent AS (SELECT hist.doc_id, nn.n, nn.nd,
-        |    CAST(SUM(hist.h * (l2n.lfp - l2h.lfp)) // nn.n AS BIGINT)
-        |      AS entropy_fp
+        |    CASE WHEN nn.n > 300000 THEN NULL ELSE
+        |      CAST(SUM(hist.h * (l2n.lfp - l2h.lfp)) // nn.n AS BIGINT)
+        |    END AS entropy_fp
         |  FROM hist JOIN nn ON hist.doc_id = nn.doc_id
         |  JOIN l2 l2h ON l2h.v = hist.h
         |  JOIN l2 l2n ON l2n.v = nn.n

@@ -30,19 +30,28 @@ object TextOps {
     * bit-deterministic in any engine.
     */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    docs.select(
-      col("doc_id"),
-      length(col(textCol)).as("n_chars"),
-      size(toks).as("n_tokens"),
-      regexp_count(col(textCol), lit(WordPiecePattern)).as("n_word_pieces"),
-      size(array_distinct(toks)).as("n_distinct"),
-      (length(regexp_replace(col(textCol), " ", "")).cast("double") /
-        size(toks)).as("avg_token_len"),
-      (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") /
-        size(toks)).as("stopword_ratio"),
-      (size(array_distinct(toks)).cast("double") / size(toks))
-        .as("distinct_ratio"))
+    // One codegen'd pass per document ([[graft.functions.TokenSummary]])
+    // replaces the three interpreted HOF passes (size / array_distinct /
+    // stopword filter) AND the [[WordPiecePattern]] regexp_count — the
+    // regex engine alone was ~70% of this operator's runtime (micro-
+    // measured 3.9 s of 5.3 s at sf10), so the word-piece count moved
+    // into the same byte scan as a character-class run counter. Same
+    // columns, same values, zero shuffle either way; measured decades
+    // in SCALING.md batch 18a.
+    docs.select(col("doc_id"), col(textCol),
+        graft.functions.TokenSummary(col(textCol), EnStopwords).as("_ts"))
+      .select(
+        col("doc_id"),
+        length(col(textCol)).as("n_chars"),
+        col("_ts.n_tokens").cast("int").as("n_tokens"),
+        col("_ts.n_word_pieces").cast("int").as("n_word_pieces"),
+        col("_ts.n_distinct").cast("int").as("n_distinct"),
+        (col("_ts.tok_chars").cast("double") / col("_ts.n_tokens"))
+          .as("avg_token_len"),
+        (col("_ts.stop_hits").cast("double") / col("_ts.n_tokens"))
+          .as("stopword_ratio"),
+        (col("_ts.n_distinct").cast("double") / col("_ts.n_tokens"))
+          .as("distinct_ratio"))
   }
 
   /** Equi-depth token-count histogram: rank every document into one of
@@ -242,34 +251,32 @@ object TextOps {
     * applied to text). `entropy_bits` is the one IEEE step: a single
     * division by the constant 2^40.
     *
-    * Plan shape: one tokenize → (doc_id, token) hash aggregate; the
-    * per-doc total rides a doc_id window over the SAME partitioning
-    * (no second exchange — the aggregate's shuffle already clusters the
-    * key) into the final doc_id aggregate. No pair joins, no corpus-
-    * stream sort; token-linear like [[repetitionStats]].
+    * Plan shape: a PURE MAP — the token histogram is per-document
+    * state, so it is built row-locally inside the scan by the codegen'd
+    * [[graft.functions.TokenSummary]] (one hash-map pass per document);
+    * NOTHING shuffles, sorts, or joins. The explode → (doc_id, token)
+    * hash-aggregate formulation this replaces entered the sort-fallback
+    * spill regime at the sixth decade (887 s / ×11.9 at sf1000,
+    * SCALING.md batch 17); the row-local form is scan-bound (231 s,
+    * ×10.1 — batch 18a).
+    *
+    * Domain bound (round-9 ADVICE): documents beyond
+    * [[graft.functions.TokenSummary.EntropyCapTokens]] (300k) tokens
+    * yield NULL `entropy_fp`/`entropy_bits` — past that the Q40 Long
+    * sum could wrap while the oracle's HUGEINT does not, and a silently
+    * wrapped entropy is worse than an explicit out-of-domain null. The
+    * oracle SQL carries the same CASE, and TextOpsSpec pins both sides
+    * of the cap.
     */
-  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val perDoc = docs
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.TokenSummary(lower(col(textCol))).as("_ts"))
       .select(col("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("h"))
-      .withColumn("n", sum("h").over(w))
-      .groupBy("doc_id")
-      .agg(max("n").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("h") * (graft.functions.Log2Fp(col("n")) -
-          graft.functions.Log2Fp(col("h")))).as("_s"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        expr("_s DIV n_tokens").as("entropy_fp"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        col("entropy_fp"),
-        (col("entropy_fp").cast("double") / lit(1099511627776.0))
+        coalesce(col("_ts.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("_ts.n_distinct"), lit(0L)).as("n_distinct"),
+        col("_ts.entropy_fp").as("entropy_fp"),
+        (col("_ts.entropy_fp").cast("double") / lit(1099511627776.0))
           .as("entropy_bits"))
-  }
 
   /** Corpus-bigram language-model quality score — the deterministic
     * stand-in for the KenLM-perplexity filter of CCNet-style pipelines:

@@ -312,6 +312,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3) === ((4L, 4L, 2L, Some(q40), Some(1.0))))
   }
 
+  test("TokenSummary's word-piece run counter matches regexp_count on " +
+       "adversarial class-boundary strings (unicode, control chars, " +
+       "digit/letter/punct runs)") {
+    import org.apache.spark.sql.functions.{col, lit, regexp_count}
+    // The run counter replaced the regex engine for performance; this
+    // pins byte-level equivalence with Spark's own regexp_count on the
+    // exact cases where the two could diverge: multi-byte UTF-8 runs,
+    // Java-\\s whitespace (incl. \\x0B vertical tab), class flips
+    // with no separator, empty and whitespace-only strings.
+    val cases = Seq(
+      "hello world", "abc123def", "a1!b2?c", "  leading", "trailing  ",
+      "", " ", "\t\n\f\r", "tab\tsep", "emoji \ud83d\ude00 mix",
+      "caf\u00e9 na\u00efve", "42", "...", "a.b,c;d", "x\u00e9\u00e97y",
+      "\u4e16\u754c hello \u4e16\u754c", "a  b   c", "1,234.56",
+      "don't stop", "under_score", "mixed\u000bvtab\fformfeed")
+    val d = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        graft.functions.TokenSummary(col("text"))
+          .getField("n_word_pieces").cast("int").as("rc"),
+        regexp_count(col("text"), lit(TextOps.WordPiecePattern)).as("re"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"run counter diverged from regexp on case ${r.getLong(0)}")
+    }
+  }
+
+  test("tokenEntropy: the 300k-token domain cap — exact just under, " +
+       "null just over (the Long accumulator's provable-exactness bound)") {
+    val cap = graft.functions.TokenSummary.EntropyCapTokens.toInt
+    // Under the cap: `cap` copies of one token → entropy exactly 0
+    // (single token class), still computed. Over the cap: cap+1 tokens
+    // → entropy_fp/entropy_bits null, counts still real — a wrapped
+    // Long sum would silently diverge from the oracle's HUGEINT, so
+    // out-of-domain is an explicit null, not a wrong number.
+    val under = ("t " * (cap - 1)) + "t"
+    val over = under + " t"
+    val d = Seq((1L, under), (2L, over)).toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(d).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === cap.toLong)
+    assert(out(0).getAs[java.lang.Long]("entropy_fp") === 0L)
+    assert(out(1).getLong(1) === cap.toLong + 1)
+    assert(out(1).getAs[java.lang.Long]("entropy_fp") === null)
+    assert(out(1).getAs[java.lang.Double]("entropy_bits") === null)
+    assert(out(1).getLong(2) === 1L) // n_distinct unaffected by the cap
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
