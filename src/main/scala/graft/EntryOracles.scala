@@ -234,6 +234,31 @@ private[graft] object EntryOracles {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // Hashed-feature linear classifier inference: unigram md5 buckets
+    // (importance_weights' feature hash), the fixed literal weight
+    // formula w(b) = ((b*37+11) % 201) - 100, exact BIGINT logit sums,
+    // one final IEEE division - TextOps.classifierScore integer for
+    // integer.
+    "classifier_score" -> {
+      def nib(k: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id, md5(unnest(toks)) AS h FROM t),
+         |b AS (SELECT doc_id,
+         |  ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS b FROM f),
+         |s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(((b * 37 + 11) % 201) - 100) AS BIGINT) AS logit_fp
+         |  FROM b GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(s.n_tokens, 0) AS n_tokens,
+         |  COALESCE(s.logit_fp, 0) AS logit_fp,
+         |  CAST(s.logit_fp AS DOUBLE) / s.n_tokens AS avg_logit,
+         |  COALESCE(s.logit_fp, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // Fixed-point bigram LM score: integer `(c2·10^8) // c1` per
     // transition, exact BIGINT per-doc sums, one final IEEE division —
     // replaying TextOps.lmScore's arithmetic step for step.

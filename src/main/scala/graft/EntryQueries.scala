@@ -1316,6 +1316,13 @@ private[graft] object EntryQueries {
     "pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(docs(s, dir)).orderBy("doc_id")),
 
+    // Hashed-feature linear quality classifier (the CCNet/fastText
+    // inference slot): fixed literal weight model, exact integer logit,
+    // keep = logit > 0. Oracle replays the md5 feature hash and the
+    // weight formula integer-for-integer.
+    "classifier_score" -> ((s, dir) =>
+      TextOps.classifierScore(docs(s, dir)).orderBy("doc_id")),
+
     // Composed curation pass — the full cleaning pipeline as ONE plan:
     // corpus-quantile length band ∩ quality threshold ∩ language known ∩
     // exact-dedup representative. Proves the curation operators compose

@@ -844,6 +844,55 @@ object TextOps {
           .as("avg_importance"))
   }
 
+  /** Quality-classifier inference — the CCNet/fastText slot in a real
+    * curation stack: a hashed-feature LINEAR model scores every document,
+    * and the curation gate thresholds the logit. Features are bag-of-
+    * words unigram buckets (integer value of the first 3 md5 hex digits
+    * of each lowercased token → 4096 buckets, the
+    * [[importanceWeights]] feature hash); weights are a FIXED literal
+    * model — `w(b) = ((b·37 + 11) mod 201) − 100 ∈ [−100, 100]` — so the
+    * DuckDB oracle replays inference integer-for-integer. At cluster
+    * scale the weight column is the trained coefficient table you
+    * materialize once per model version and broadcast/generate against
+    * every incoming batch; the ARITHMETIC (integer dot product, one
+    * final IEEE division) is exactly what a production int8-quantized
+    * linear scorer runs.
+    *
+    * No sigmoid: `exp` is not correctly-rounded IEEE and would diverge
+    * cross-engine (the [[lmScore]] reasoning) — and thresholding a
+    * logit is order-equivalent to thresholding the probability, so the
+    * keep decision loses nothing. Output per document: (doc_id,
+    * n_tokens, logit_fp — the exact integer Σ w(bucket(tok)),
+    * avg_logit = logit_fp/n_tokens as ONE IEEE division (null for
+    * token-less docs), keep = logit_fp > 0).
+    *
+    * Plan shape: tokenize → explode → per-token weight (all codegen'd
+    * scalar ops) → one (doc_id) hash aggregate with map-side combine —
+    * the shuffle carries one partial sum per document per task, not the
+    * token stream. Scan-linear, the [[lmScore]] family.
+    */
+  def classifierScore(docs: DataFrame,
+                      textCol: String = "text"): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long") *
+          lit(37L) + lit(11L)).as("_wb"))
+      .select(col("doc_id"), (col("_wb") % 201L - 100L).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit_fp"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logit_fp"), lit(0L)).as("logit_fp"),
+        when(col("n_tokens").isNull, lit(null).cast("double"))
+          .otherwise(col("logit_fp").cast("double") /
+            col("n_tokens").cast("double")).as("avg_logit"),
+        (coalesce(col("logit_fp"), lit(0L)) > 0L).as("keep"))
+  }
+
   /** Weighted mixture upsampling for data mixing: every stratum's docs
     * are repeated `epochs(stratum)` times (default `defaultEpochs`) —
     * the "high-quality sources get more epochs" step. One output row per

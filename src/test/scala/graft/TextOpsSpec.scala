@@ -360,6 +360,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1).getLong(2) === 1L) // n_distinct unaffected by the cap
   }
 
+  test("classifierScore: hand-computed logits via an independent md5 " +
+       "(MessageDigest), keep thresholding, null/empty-text handling") {
+    import org.apache.spark.sql.functions.col
+    // Independent re-derivation of the fixed literal model: bucket =
+    // int of first 3 md5 hex digits, w(b) = ((b*37 + 11) % 201) - 100.
+    def w(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 3), 16)
+      ((b * 37 + 11) % 201) - 100
+    }
+    val d = Seq((1L, "alpha beta beta"), (2L, ""),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.classifierScore(d).orderBy("doc_id").collect()
+    val exp1 = w("alpha") + 2 * w("beta")
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === exp1)
+    assert(out(0).getAs[Double]("avg_logit") === exp1.toDouble / 3.0)
+    assert(out(0).getBoolean(4) === (exp1 > 0))
+    // empty text tokenizes to one empty token -> its bucket's weight
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getLong(2) === w(""))
+    // null text -> zero counts, null average, keep=false
+    assert(out(2).getLong(1) === 0L)
+    assert(out(2).getLong(2) === 0L)
+    assert(out(2).getAs[java.lang.Double]("avg_logit") === null)
+    assert(out(2).getBoolean(4) === false)
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
