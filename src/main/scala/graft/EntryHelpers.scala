@@ -316,6 +316,67 @@ private[graft] object EntryHelpers {
       (buildAuditState(s2, d, tmp.toString), tmp)
     }._1
 
+  private[graft] val ingestStates =
+    new SessionMemo[(graft.state.StateStore, java.nio.file.Path)](
+      { case (_, p) => deleteTree(p) })
+
+  private[graft] def ingestState(s: SparkSession, dir: String)
+      : graft.state.StateStore =
+    ingestStates.get(s, dir) { (s2, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest")
+      (buildIngestState(s2, d, tmp.toString), tmp)
+    }._1
+
+  /** Drives [[graft.streaming.StreamingPipeline.workbookStreamIdempotent]]
+    * end to end for the `audit_ingest_idempotent` oracle: three landed
+    * workbooks derived deterministically from the `customer` table —
+    * batch_1, a BYTE-IDENTICAL copy of batch_1 under another name, and a
+    * batch_2 with every custkey%3==0 address changed — through the
+    * content-digest gate with injected timestamps. The duplicate must
+    * leave NO trace in state, so the oracle (2 uploads rows, derived
+    * from the customer count) re-checks the skip on every Verify run.
+    */
+  private[graft] def buildIngestState(s: SparkSession, dir: String,
+                                      tmp: String)
+      : graft.state.StateStore = {
+    import s.implicits._
+    val landing = s"$tmp/landing"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(landing))
+    val cust = t(s, dir, "customer").orderBy("c_custkey").limit(200)
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"),
+        col("c_nationkey").cast("long"))
+      .collect() // bounded: ≤200 rows, the xlsx driver-sink envelope
+    def packed(changed: Boolean) = cust.toSeq.map { r =>
+      val k = r.getLong(0)
+      val base = s"${r.getString(1)} St ${r.getLong(2)}"
+      val addr = if (changed && k % 3 == 0) base + "B" else base
+      Tuple1(s"{${k}_Name ${k}_m$k@x_1990-01-01_${addr}_1.5}")
+    }.toDF("customer_id-name-email-dob-address-created-date")
+    val tx = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("transaction_id", "customer_id", "transaction_date",
+        "product_code", "amount", "payment_type")
+    val prod = Seq.empty[(String, String, String, String)]
+      .toDF("product_code", "product_name", "category", "unit_price")
+    def write(name: String, changed: Boolean): Unit =
+      graft.sources.Xlsx.write(s"$landing/$name",
+        Seq("Transactions" -> tx, "Customers" -> packed(changed),
+          "Products" -> prod))
+    write("batch_1.xlsx", changed = false)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$landing/batch_1.xlsx"),
+      java.nio.file.Paths.get(s"$landing/batch_1_dup.xlsx"))
+    write("batch_2.xlsx", changed = true)
+    val ts = Map("batch_1.xlsx" -> "2026-01-01T00:00:00",
+      "batch_1_dup.xlsx" -> "2026-01-01T12:00:00",
+      "batch_2.xlsx" -> "2026-01-02T00:00:00")
+    val q = graft.streaming.StreamingPipeline.workbookStreamIdempotent(
+      s, landing, s"$tmp/state", s"$tmp/processed", s"$tmp/ckpt",
+      timestampFor = ts(_))
+    try q.processAllAvailable() finally q.stop()
+    new graft.state.StateStore(s, s"$tmp/state")
+  }
+
   private[graft] def buildAuditState(s: SparkSession, dir: String, tmp: String)
       : graft.state.StateStore = {
     val store = new graft.state.StateStore(s, tmp)

@@ -484,6 +484,23 @@ private[graft] object EntryOracles {
         |    CAST(0 AS BIGINT))
         |ORDER BY "timestamp" DESC, id DESC""".stripMargin,
 
+    // The idempotent-ingest state: batch_1 + a byte-identical dup +
+    // batch_2 through the content-digest gate. Expected = exactly two
+    // uploads rows (ids dense 1,2 -- the dup allocated NOTHING), counts
+    // from the customer table capped at the builder's 200-row slice.
+    "audit_ingest_idempotent" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS id, 'batch_2.xlsx' AS filename,
+        |    '2026-01-02T00:00:00' AS "timestamp",
+        |    CAST(0 AS BIGINT) AS transactions_rows,
+        |    (SELECT LEAST(COUNT(*), 200) FROM customer) AS customers_rows,
+        |    CAST(0 AS BIGINT) AS products_rows
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'batch_1.xlsx', '2026-01-01T00:00:00',
+        |    CAST(0 AS BIGINT), (SELECT LEAST(COUNT(*), 200) FROM customer),
+        |    CAST(0 AS BIGINT))
+        |ORDER BY "timestamp" DESC, id DESC""".stripMargin,
+
     "audit_address_changes" ->
       """WITH ch AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS id,

@@ -1559,6 +1559,13 @@ private[graft] object EntryQueries {
     "audit_address_changes" -> ((s, dir) =>
       auditState(s, dir).addressChangesOrdered),
 
+    // Idempotent re-ingest audit: three landed workbooks (one a byte-
+    // identical duplicate) through the content-digest gate -> exactly
+    // two uploads rows, the duplicate leaving NO state trace. The
+    // oracle derives the expected table from the customer count.
+    "audit_ingest_idempotent" -> ((s, dir) =>
+      ingestState(s, dir).uploadsOrdered),
+
     // ---- Data-mixing / curation additions (round 8, second wave) --------
 
     // Temperature-scaled (T=2) multinomial source-mixing weights —

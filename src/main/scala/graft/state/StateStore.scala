@@ -91,6 +91,22 @@ class StateStore(spark: SparkSession, dir: String,
     metas.indices.map(base + _ + 1L)
   }
 
+  /** Content-digest ingest ledger (idempotent re-ingest twin — see
+    * [[graft.model.Tables.uploadDigestsSchema]]).
+    */
+  def uploadDigests: DataFrame =
+    backend.read("upload_digests", Tables.uploadDigestsSchema)
+
+  /** Records one ingested workbook's content digest. Appended AFTER the
+    * batch's state effects commit, so a crash between the two replays
+    * the batch (at-least-once) rather than silently dropping it.
+    */
+  def recordUploadDigest(digest: String, uploadId: Long,
+                         filename: String, timestamp: String): Unit =
+    backend.append("upload_digests", spark.createDataFrame(
+      java.util.List.of(Row(digest, uploadId, filename, timestamp)),
+      Tables.uploadDigestsSchema))
+
   /** J3 + S7 + S8 (app.py:110-123): CDC against *mutating intra-batch
     * state* plus last-writer-wins upsert, set-based.
     *

@@ -400,6 +400,80 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Idempotent re-ingest twin of [[workbookStream]] — the production
+    * landing contract the reference deliberately lacks. The reference
+    * re-processes a re-uploaded workbook unconditionally (its replay
+    * non-idempotence is load-bearing and preserved by the golden
+    * pipeline tests); a production landing zone needs the opposite:
+    * ingesting the SAME BYTES twice must be a no-op, whatever the file
+    * is named and whichever micro-batch it arrives in.
+    *
+    * Mechanism: the md5 of each file's content is computed executor-side
+    * from the binaryFile scan, the micro-batch's digests are anti-joined
+    * set-based against the persistent `upload_digests` state ledger (the
+    * S9 point-lookup→set-join rule applied to S6's metadata — the
+    * incrementalDedup pattern on ingest), in-batch duplicates collapse
+    * to their first path in path order, and only surviving files run the
+    * batch pipeline. Each survivor's digest is recorded AFTER its state
+    * effects commit: a crash between the two replays the file
+    * (at-least-once into an idempotent gate) rather than dropping it.
+    * A path ledger is unnecessary — a checkpoint-replayed path carries
+    * identical bytes, so the digest gate subsumes it — and a CHANGED
+    * file at a previously seen path correctly re-ingests (new digest),
+    * which the path ledger got wrong.
+    *
+    * The driver collects only (path, digest) pairs for one micro-batch's
+    * surviving files — the same bounded listing envelope as
+    * [[workbookStream]]; content bytes stay executor-side.
+    *
+    * @param timestampFor upload timestamp per filename — injectable so
+    *                     deterministic harnesses (the
+    *                     `audit_ingest_idempotent` oracle) can replay
+    *                     it; production default is wall-clock now.
+    */
+  def workbookStreamIdempotent(spark: SparkSession, landingDir: String,
+                               stateDir: String, processedDir: String,
+                               checkpointDir: String,
+                               shardThreshold: Long =
+                                 graft.sources.Xlsx.DefaultShardThreshold,
+                               timestampFor: String => String = _ =>
+                                 java.time.LocalDateTime.now().toString)
+      : StreamingQuery = {
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.[xX][lL][sS][xX]")  // S3: ext filter
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(landingDir)
+      .select(col("path"), md5(col("content")).as("digest"))
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pipeline =
+          new Pipeline(spark, stateDir, processedDir, shardThreshold)
+        val fresh = batch
+          .join(pipeline.store.uploadDigests.select("digest"),
+            Seq("digest"), "left_anti")
+          .select("path", "digest").orderBy("path")
+          .collect() // bounded: one micro-batch's file listing
+        val seenInBatch = scala.collection.mutable.HashSet.empty[String]
+        fresh.foreach { r =>
+          val (raw, dg) = (r.getString(0), r.getString(1))
+          if (seenInBatch.add(dg)) {
+            val fn = java.nio.file.Paths.get(
+              raw.stripPrefix("file:")).getFileName.toString
+            val ts = timestampFor(fn)
+            val res = pipeline.runBatch(raw.stripPrefix("file:"), ts)
+            pipeline.store.recordUploadDigest(dg, res.uploadId, fn, ts)
+          }
+        }
+      }
+      .start()
+  }
+
   /** [[workbookStream]] with the landing-file parse batched ACROSS the
     * micro-batch's workbooks: instead of one driver-side zip parse per
     * workbook per sheet, each required sheet is scanned once per

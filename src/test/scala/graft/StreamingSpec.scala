@@ -353,6 +353,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent workbook stream: identical bytes skip (any name, any " +
+       "micro-batch); new content re-ingests") {
+    import spark.implicits._
+    val sample = "/root/reference/uploads/Txn_Details.xlsx"
+    assume(Files.exists(java.nio.file.Paths.get(sample)))
+    val dir = Files.createTempDirectory("graft_wbidem").toString
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    Files.copy(java.nio.file.Paths.get(sample),
+      java.nio.file.Paths.get(s"$landing/Txn_Details.xlsx"))
+    // byte-identical copy under a DIFFERENT name, same micro-batch
+    Files.copy(java.nio.file.Paths.get(sample),
+      java.nio.file.Paths.get(s"$landing/Txn_Details_copy.xlsx"))
+
+    val q = StreamingPipeline.workbookStreamIdempotent(spark, landing,
+      s"$dir/state", s"$dir/processed", s"$dir/ckpt")
+    val store = new graft.state.StateStore(spark, s"$dir/state")
+    try {
+      q.processAllAvailable()
+      // two landed files, ONE state delta: in-batch digest collapse
+      assert(store.uploads.count() === 1L)
+      assert(store.uploadDigests.count() === 1L)
+      val changes1 = store.addressChanges.count()
+
+      // byte-identical re-upload in a LATER micro-batch, third name:
+      // the persistent ledger (not the in-batch set) must skip it
+      Files.copy(java.nio.file.Paths.get(sample),
+        java.nio.file.Paths.get(s"$landing/Txn_Details_again.xlsx"))
+      q.processAllAvailable()
+      assert(store.uploads.count() === 1L)
+      assert(store.addressChanges.count() === changes1)
+
+      // genuinely NEW content must pass the digest gate
+      val tx = Seq(("TXN1", "C1", "45000", "P1", "10.0", "Cash"))
+        .toDF("transaction_id", "customer_id", "transaction_date",
+          "product_code", "amount", "payment_type")
+      val cust = Seq(Tuple1("{C1_New Name_n@x_1990-01-01_Addr 1_1.5}"))
+        .toDF("customer_id-name-email-dob-address-created-date")
+      val prod = Seq(("P1", "Prod 1", "Cat1", "10"))
+        .toDF("product_code", "product_name", "category", "unit_price")
+      graft.sources.Xlsx.write(s"$landing/Txn_Details_v2.xlsx",
+        Seq("Transactions" -> tx, "Customers" -> cust,
+          "Products" -> prod))
+      q.processAllAvailable()
+      assert(store.uploads.count() === 2L)
+      assert(store.uploadDigests.count() === 2L)
+    } finally q.stop()
+  }
+
   test("workbook stream defaults to the sharded MergedData export past " +
        "the row threshold; mergeShards reassembles one deliverable") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
