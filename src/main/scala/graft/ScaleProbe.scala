@@ -86,6 +86,53 @@ object ScaleProbe {
           runs,
           s""""probe":"neardup_pairs_banded_sliced","slices":$slices,""" +
             s""""build_slices":$buildSlices""")
+      case "edges-build" =>
+        // <sfDir> edges-build <outPath> <slices> <buildSlices> -- the
+        // once-per-corpus-version materialization step of the wedge
+        // family's edge-table contract (Dedup.writePairGraph): sliced
+        // banding builds the pair graph, parquet persists it. Not a
+        // timed probe; prints the edge count and exits.
+        val outPath = args(2)
+        val slices = args(3).toInt
+        val buildSlices = if (args.length > 4) args(4).toInt else 1
+        val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_edges_build").toString
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.writePairGraph(
+          graft.operators.Dedup.nearDupPairsBandedSliced(
+            docsDf, work, slices = slices, buildSlices = buildSlices),
+          outPath)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = spark.read.parquet(outPath).count()
+        println("{\"probe\":\"edges_build\",\"sec\":" + sec +
+          ",\"edges\":" + n + "}")
+        spark.stop()
+        return
+      case "wedge" =>
+        // <edgesParquet> wedge <op> [runs] -- the wedge family measured
+        // FROM the materialized edge table (the contract's consumption
+        // side): no corpus anywhere in the plan. `sfDir` is the edge
+        // parquet path for this kind.
+        val op = args(2)
+        val runs = if (args.length > 3) args(3).toInt else 2
+        val edges = graft.operators.Dedup.readPairGraph(spark, sfDir)
+        (() => {
+            graft.operators.Dedup.clearWedgeCache() // cold per run
+            op match {
+              case "triangle_counts" =>
+                graft.operators.Dedup.triangleCounts(edges)
+              case "clustering_coeff" =>
+                graft.operators.Dedup.clusteringCoefficient(edges)
+              case "kcore" =>
+                graft.operators.Dedup.kCore(edges, k = 2, maxRounds = 64)
+              case "degree_histogram" =>
+                graft.operators.Dedup.degreeHistogram(edges)
+              case other => sys.error(s"unknown wedge op: $other")
+            }
+          },
+          runs,
+          "\"probe\":\"wedge_from_edges\",\"op\":\"" + op + "\"")
       case other => sys.error(s"unknown probe kind: $other")
     }
 

@@ -254,6 +254,32 @@ class DedupSpec extends AnyFunSuite {
     check(plan, belowAgg = false)
   }
 
+  test("wedge family from a materialized edge table matches the " +
+       "corpus-fed form exactly (writePairGraph -> readPairGraph parity)") {
+    // The 100-TB contract: the pair graph is materialized once and every
+    // graph operator consumes the persisted table -- this pins that the
+    // parquet round trip changes nothing for all four family members.
+    val docs = (0L until 60L).map { i =>
+      val fam = i % 6
+      (i, s"shared text family $fam tail ${i % 3} pad pad pad")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edges").toString + "/edges"
+    Dedup.writePairGraph(pairs, dir)
+    val edges = Dedup.readPairGraph(spark, dir)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(dump(Dedup.triangleCounts(edges)) ===
+      dump(Dedup.triangleCounts(pairs)))
+    assert(dump(Dedup.clusteringCoefficient(edges)) ===
+      dump(Dedup.clusteringCoefficient(pairs)))
+    assert(dump(Dedup.kCore(edges).orderBy("doc_id")) ===
+      dump(Dedup.kCore(pairs).orderBy("doc_id")))
+    assert(dump(Dedup.degreeHistogram(edges)) ===
+      dump(Dedup.degreeHistogram(pairs)))
+  }
+
   test("clusteringCoefficient: clique vertices score 1, pendant 0, hub " +
        "between") {
     // triangle {1,2,3} plus pendant 4 on vertex 1:
