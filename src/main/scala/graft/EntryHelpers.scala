@@ -236,6 +236,74 @@ private[graft] object EntryHelpers {
       .join(Dedup.exactDedup(d).select("doc_id"), Seq("doc_id"))
       .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "unknown")
 
+  /** The composed corpus-production run — the END-TO-END dress
+    * rehearsal of the training-data factory, every stage the SAME
+    * component operator its standalone oracle row checks:
+    *
+    *  1. curate (v3): the v2 gate chain (length band, quality, lang-id,
+    *     exact-dedup rep, dup-span coverage, LM-scoreable) PLUS the
+    *     hashed-feature classifier gate ([[TextOps.classifierScore]]).
+    *  2. dedup-apply: near-dup clusters over the full corpus
+    *     ([[Dedup.nearDupPairs]] → [[Dedup.connectedComponents]]), keep
+    *     each cluster's best CURATED member by (quality, doc_id) — a
+    *     cluster whose global best was already gated out still keeps
+    *     its best surviving member ([[Dedup.keepByScore]]).
+    *  3. decontaminate: drop survivors sharing an 8-gram with the
+    *     holdout slice (doc_id % 10 == 0), and the holdout itself.
+    *  4. mix: temperature quotas + quality ranking
+    *     ([[TextOps.mixManifest]]) computed ON THE SURVIVING corpus —
+    *     quotas reflect what curation left, not what crawling found.
+    *  5. shuffle: deterministic training order
+    *     ([[TextOps.shuffleOrder]]) over the mixed set.
+    *  6. pack: sequence slots ([[TextOps.packSequences]]) in TRAINING
+    *     order — the doc_id column is remapped to `position` so the
+    *     component's prefix-sum machinery packs the shuffled stream
+    *     unchanged, then joined back.
+    *
+    * One row per produced document: (doc_id, source, quality_score,
+    * position, n_tokens, seq_id, seq_offset). The `corpus_production`
+    * registry row checks it per-document; `corpus_production_card` is
+    * the dataset card (per-source totals) over the same chain.
+    *
+    * Scale: every stage is individually ladder-measured; what the
+    * composition adds is cache/spill interaction, measured as SCALING.md
+    * batch 18b (per-stage wall/shuffle at sf100 and sf1000).
+    */
+  private[graft] def corpusProduction(d: DataFrame): DataFrame = {
+    val cur = curationBase(d)
+      .join(Dedup.duplicateSpanCoverage(d)
+        .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+      .join(TextOps.lmScore(d)
+        .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
+      .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
+      .join(TextOps.classifierScore(d).where(col("keep"))
+        .select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val clusters = Dedup.connectedComponents(
+      Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+    val reps = Dedup.keepByScore(
+      cur.select("doc_id", "quality_score"), clusters)
+    val dd = cur.join(reps.select("doc_id"), Seq("doc_id"))
+    val dec = dd.join(
+      Dedup.decontaminate(d, col("doc_id") % 10 === 0).select("doc_id"),
+      Seq("doc_id"))
+    val mixed = TextOps.mixManifest(
+        d.join(dec.select("doc_id"), Seq("doc_id")))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val sh = TextOps.shuffleOrder(mixed.select("doc_id"))
+      .select(col("doc_id"), col("position"))
+    val packed = TextOps.packSequences(
+        d.select(col("doc_id"), col("text"))
+          .join(sh, Seq("doc_id"))
+          .select(col("position").as("doc_id"), col("text")))
+      .select(col("doc_id").as("position"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+    mixed.join(sh, Seq("doc_id")).join(packed, Seq("position"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("position"), col("n_tokens"), col("seq_id"),
+        col("seq_offset"))
+  }
+
   /** Deterministic two-batch state build for the S10/S11 audit scans: the
     * customer table becomes two synthetic customer batches (batch 2 changes
     * the address of every custkey % 3 == 0 row), run through the real

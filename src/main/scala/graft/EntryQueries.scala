@@ -1347,6 +1347,24 @@ private[graft] object EntryQueries {
         .orderBy("doc_id")
     }),
 
+    // The composed corpus-production run (see
+    // EntryHelpers.corpusProduction): curate v3 -> dedup-apply ->
+    // decontaminate -> mix -> shuffle -> pack as ONE plan, checked
+    // per-document; the oracle replays the component CTE chain.
+    "corpus_production" -> ((s, dir) =>
+      corpusProduction(docs(s, dir)).orderBy("position")),
+
+    // Dataset card over the same chain: per-source totals of the
+    // produced corpus -- what a training run's data sheet records.
+    "corpus_production_card" -> ((s, dir) =>
+      corpusProduction(docs(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          min("position").as("first_position"),
+          max("position").as("last_position"))
+        .orderBy("source")),
+
     // Curation drop-reason attribution — the observability twin of
     // curation_pipeline_v2: every document labeled with the FIRST gate
     // that rejects it (fixed rule order: length band → quality →

@@ -109,6 +109,88 @@ object ScaleProbe {
           ",\"edges\":" + n + "}")
         spark.stop()
         return
+      case "corpus-production" =>
+        // <sfDir> corpus-production [outDir] -- the composed run with
+        // each stage materialized to parquet at its boundary (the
+        // production posture: stage outputs are narrow manifests) and
+        // timed separately, so SCALING.md batch 18b can show per-stage
+        // wall/shuffle at sf100/sf1000 and whether composition breaks
+        // any stage's measured linearity (cache/spill interaction is
+        // exactly what per-stage standalone measurement misses).
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Dedup, TextOps}
+        val outDir = if (args.length > 2) args(2)
+          else java.nio.file.Files
+            .createTempDirectory("graft_cprod").toString
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val sb = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler
+                  .SparkListenerStageCompleted): Unit =
+              sb.addAndGet(sc.stageInfo.taskMetrics
+                .shuffleWriteMetrics.bytesWritten)
+          })
+        val out = new StringBuilder("{\"probe\":\"corpus_production\"")
+        def stage(name: String)(f: => org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          Bench.drainListenerBus(spark.sparkContext)
+          sb.set(0L)
+          val t0 = System.nanoTime()
+          f.write.mode("overwrite").parquet(s"$outDir/$name")
+          val back = spark.read.parquet(s"$outDir/$name")
+          val n = back.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Bench.drainListenerBus(spark.sparkContext)
+          out.append(",\"" + name + "\":{\"sec\":" + sec +
+            ",\"shuffle_b\":" + sb.get() + ",\"rows\":" + n + "}")
+          println(s"[cprod] $name: $sec s, ${sb.get()} shuffle B, $n rows")
+          back
+        }
+        val cur = stage("s1_curate") {
+          EntryHelpers.curationBase(d)
+            .join(Dedup.duplicateSpanCoverage(d)
+              .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+            .join(TextOps.lmScore(d)
+              .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
+            .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
+            .join(TextOps.classifierScore(d).where(col("keep"))
+              .select("doc_id"), Seq("doc_id"))
+            .select(col("doc_id"), col("source"), col("quality_score"))
+        }
+        val dd = stage("s2_dedup_apply") {
+          val clusters = Dedup.connectedComponents(
+            Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
+            d.select("doc_id"))
+          cur.join(Dedup.keepByScore(
+              cur.select("doc_id", "quality_score"), clusters)
+            .select("doc_id"), Seq("doc_id"))
+        }
+        val dec = stage("s3_decontaminate") {
+          dd.join(Dedup.decontaminate(d, col("doc_id") % 10 === 0)
+            .select("doc_id"), Seq("doc_id"))
+        }
+        val mixed = stage("s4_mix") {
+          TextOps.mixManifest(d.join(dec.select("doc_id"), Seq("doc_id")))
+            .select(col("doc_id"), col("source"), col("quality_score"))
+        }
+        val sh = stage("s5_shuffle") {
+          TextOps.shuffleOrder(mixed.select("doc_id"))
+            .select(col("doc_id"), col("position"))
+        }
+        stage("s6_pack") {
+          val packed = TextOps.packSequences(
+              d.select(col("doc_id"), col("text"))
+                .join(sh, Seq("doc_id"))
+                .select(col("position").as("doc_id"), col("text")))
+            .select(col("doc_id").as("position"), col("n_tokens"),
+              col("seq_id"), col("seq_offset"))
+          mixed.join(sh, Seq("doc_id")).join(packed, Seq("position"))
+        }
+        println(out.append("}").toString)
+        spark.stop()
+        return
       case "wedge" =>
         // <edgesParquet> wedge <op> [runs] -- the wedge family measured
         // FROM the materialized edge table (the contract's consumption

@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   * its 9 clones and near-dup pair counts would grow quadratically in
   * factor (45 extra pairs per group), measuring an artifact instead of
   * the engine:
-  *  - documents: EVERY replica (including 0) prefixes every token with
-  *    `r<r>` so cross-replica shingles/minhashes/simhashes do NOT
-  *    collide; each replica reproduces the original pair structure in a
-  *    disjoint hash space → pairs/edges/triangles scale linearly in
-  *    factor, which is what real corpus growth looks like. Replica 0
+  *  - documents: EVERY replica (including 0) prefixes every CONTENT
+  *    token with `r<r>` so cross-replica shingles/minhashes/simhashes
+  *    do NOT collide; each replica reproduces the original pair
+  *    structure in a disjoint hash space → pairs/edges/triangles scale
+  *    linearly in factor, which is what real corpus growth looks like.
+  *    FUNCTION WORDS (the four language-ID stopword lists) are left
+  *    unsalted: they are corpus-universal in real text, and salting
+  *    them zeroed every stopword-driven signal on the amplified ladder
+  *    — lang-id called every amplified document 'unknown', so the
+  *    curation family measured EMPTY pipelines at sf ≥ 1 (caught by the
+  *    round-10 corpus-production dress rehearsal, stage-1 rows = 0).
+  *    The spurious-pair risk this re-opens is only all-stopword
+  *    shingles shared cross-replica — rare, estimator-filtered by the
+  *    Jaccard threshold, and the ScaleUpSpec linear-density pin is the
+  *    regression check. Replica 0
   *    MUST be salted too: an earlier version kept replica 0 verbatim,
   *    and STACKED amplifications then alias — gen-2 replica j of a
   *    gen-1 replica-0 doc ("r<j>" + raw) is byte-identical to gen-2
@@ -118,6 +128,16 @@ object ScaleUp {
     (perm, signs)
   }
 
+  /** Tokens the document amplifier never salts: the union of the four
+    * language-ID stopword lists — the function-word skeleton every
+    * replica shares, exactly as real corpora in one language do.
+    */
+  val FunctionWords: Seq[String] =
+    graft.operators.TextOps.EnStopwords ++
+      graft.operators.TextOps.DeStopwords ++
+      graft.operators.TextOps.FrStopwords ++
+      graft.operators.TextOps.EsStopwords
+
   def amplify(spark: SparkSession, src: String, out: String,
               factor: Int, tables: Option[Set[String]] = None): Unit = {
     val reps = broadcast(spark.range(factor)
@@ -138,7 +158,8 @@ object ScaleUp {
       val salted = docs.crossJoin(reps).select(
         (col("doc_id") + col("rep").cast("long") * dOff).as("doc_id"),
         array_join(transform(split(col("text"), " "),
-          t => concat(lit("r"), col("rep"), t)), " ").as("text"),
+          t => when(t.isin(FunctionWords: _*), t)
+            .otherwise(concat(lit("r"), col("rep"), t))), " ").as("text"),
         col("lang"), col("source"))
       write(salted.withColumn("n_chars", length(col("text")).cast("long")),
         "documents", factor * 4)

@@ -111,6 +111,36 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
+  test("amplified documents keep their function-word skeleton: lang-id " +
+       "and stopword signals survive, content tokens stay salted") {
+    val src = Files.createTempDirectory("graft_su_fw_src").toString
+    val out = Files.createTempDirectory("graft_su_fw_out").toString
+    val docs = Seq(
+      (0L, "the cat is in a hat and the dog", "en", "s0"),
+      (10L, "der hund ist mit der katze und ein vogel", "de", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.parquet(s"$src/documents.parquet")
+    ScaleUp.amplify(spark, src, out, factor = 3,
+      tables = Some(Set("documents")))
+    val amp = spark.read.parquet(s"$out/documents.parquet")
+    assert(amp.count() === 6L)
+    // lang-id must still resolve on every replica (round-10 fix: the
+    // all-token salt made every amplified doc 'unknown' and the
+    // curation family measured empty pipelines at sf >= 1)
+    val langs = graft.operators.TextOps.langIdAgg(amp)
+      .select("pred_lang").collect().map(_.getString(0))
+    assert(langs.count(_ == "en") === 3)
+    assert(langs.count(_ == "de") === 3)
+    // content tokens of distinct replicas must stay disjoint (the
+    // anti-aliasing contract is untouched for non-function words)
+    val toks = amp.select(explode(split(col("text"), " ")).as("t"))
+      .where(!col("t").isin(ScaleUp.FunctionWords: _*))
+      .select("t").distinct().collect().map(_.getString(0))
+    assert(toks.forall(t => t.startsWith("r0") || t.startsWith("r1") ||
+      t.startsWith("r2")))
+  }
+
   test("signedPerm: non-identity, distinct, non-commuting") {
     val dim = 64
     val maps = (0 until 20).map(r => ScaleUp.signedPerm(r, dim))
