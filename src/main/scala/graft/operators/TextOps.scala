@@ -257,8 +257,8 @@ object TextOps {
     * NOTHING shuffles, sorts, or joins. The explode → (doc_id, token)
     * hash-aggregate formulation this replaces entered the sort-fallback
     * spill regime at the sixth decade (887 s / ×11.9 at sf1000,
-    * SCALING.md batch 17); the row-local form is scan-bound (231 s,
-    * ×10.1 — batch 18a).
+    * SCALING.md batch 17); the row-local form is scan-bound (351.5 s,
+    * ×7.7 — batch 18a).
     *
     * Domain bound (round-9 ADVICE): documents beyond
     * [[graft.functions.TokenSummary.EntropyCapTokens]] (300k) tokens
