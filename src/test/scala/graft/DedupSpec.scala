@@ -254,6 +254,29 @@ class DedupSpec extends AnyFunSuite {
     check(plan, belowAgg = false)
   }
 
+  test("band-bucket cap drops over-cap buckets from candidate " +
+       "generation and leaves under-cap results untouched") {
+    // Four verbatim copies: every band bucket has size 4. With the cap
+    // below that, candidate generation must drop the buckets (no pairs
+    // -- the universal-shingle skew contract); with the default cap the
+    // exact duplicates are all found.
+    val d = (0L until 4L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupPairs(d, maxBucket = 3).count() === 0L)
+    assert(Dedup.nearDupPairs(d).count() === 6L)
+    // mixed corpus: a hot clone family over the cap is dropped, an
+    // independent small duplicate pair below the cap is still found
+    val mixed = ((0L until 5L)
+      .map(i => (i, "one two three four five six seven")) ++
+      Seq((100L, "red green blue cyan magenta yellow"),
+          (101L, "red green blue cyan magenta yellow")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(mixed, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((100L, 101L)))
+  }
+
   test("wedge family from a materialized edge table matches the " +
        "corpus-fed form exactly (writePairGraph -> readPairGraph parity)") {
     // The 100-TB contract: the pair graph is materialized once and every
