@@ -159,10 +159,28 @@ object ScaleProbe {
               .select("doc_id"), Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("quality_score"))
         }
+        // s2 pair generation follows the pair family's documented mode
+        // contract: one-shot while the corpus fits the node's shuffle
+        // scratch, bounded-scratch sliced banding past it (args(3) =
+        // "sliced:K:B"). The registry row pins the oracle-checkable
+        // one-shot parameterization; the probe measures the
+        // deployment-scale mode (the parameterized-operator rule).
+        val s2Mode = if (args.length > 3) args(3) else "oneshot"
         val dd = stage("s2_dedup_apply") {
+          val pairs = s2Mode.split(":") match {
+            case Array("oneshot") =>
+              Dedup.nearDupPairs(d).select("doc_a", "doc_b")
+            case Array("sliced", k, b) =>
+              val work = java.nio.file.Files
+                .createTempDirectory("graft_cprod_pairs").toString
+              Dedup.nearDupPairsBandedSliced(d, work,
+                  slices = k.toInt, buildSlices = b.toInt)
+                .select("doc_a", "doc_b")
+            case other =>
+              sys.error(s"bad s2 mode: ${other.mkString(":")}")
+          }
           val clusters = Dedup.connectedComponents(
-            Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
-            d.select("doc_id"))
+            pairs, d.select("doc_id"))
           cur.join(Dedup.keepByScore(
               cur.select("doc_id", "quality_score"), clusters)
             .select("doc_id"), Seq("doc_id"))
