@@ -177,6 +177,24 @@ class PlanContractSpec extends AnyFunSuite {
       "representative selection must be the cluster-partitioned window")
   }
 
+  test("token_entropy is a pure map: one TokenSummary eval, no " +
+       "aggregate, no window, and the only exchange is the terminal " +
+       "oracle sort") {
+    // Round 9's ADVICE caught the old formulation's docstring claiming
+    // a plan shape it didn't have; the round-10 rework makes the claim
+    // trivially checkable -- the per-doc histogram is row-local, so
+    // NOTHING may shuffle before the output sort, and projection
+    // collapse must not duplicate the TokenSummary eval per field.
+    val p = fmt("token_entropy")
+    assert("""(?m)^\s*\(\d+\) Exchange""".r.findAllMatchIn(p).size === 1,
+      s"expected exactly the terminal sort exchange:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "the per-doc histogram must not be a cross-row aggregate")
+    assert(!p.contains("Window"), "no window — the old second exchange")
+    assert("token_summary".r.findAllMatchIn(p).size === 1,
+      "TokenSummary must be evaluated once per row, not once per field")
+  }
+
   test("part-dimension joins broadcast by Spark's choice at small SF " +
        "and degrade to a shuffle join when the dim exceeds the " +
        "threshold — no forced hint pinning a scale-growing table") {
