@@ -148,15 +148,62 @@ object ScaleProbe {
           println(s"[cprod] $name: $sec s, ${sb.get()} shuffle B, $n rows")
           back
         }
+        // Stage 1 is SUB-STAGED per gate: each gate materializes its
+        // (small) verdict frame and its shuffle files become
+        // reclaimable before the next gate starts, so the live scratch
+        // is one gate's working set, not the sum of seven (the
+        // composed one-plan form held every gate's exchange live at
+        // once and died at sf100 with 43 GB free — the dress
+        // rehearsal's first catch). The two heavy gates additionally
+        // take a gram-hash slice count (args(4), default 1 = one-shot)
+        // for the decade where even ONE gate's exchange exceeds the
+        // node: dup-span and LM slices are parity-pinned bit-identical
+        // to their one-shot forms.
+        val heavySlices = if (args.length > 4) args(4).toInt else 1
+        val s1a = stage("s1a_band") {
+          TextOps.lengthBandFilter(d).select("doc_id")
+        }
+        val s1b = stage("s1b_quality") {
+          TextOps.qualityScore(TextOps.tokenStats(d))
+            .where(col("quality_score") >= 0.5)
+            .select(col("doc_id"), col("quality_score"))
+        }
+        val s1c = stage("s1c_lang") {
+          TextOps.langIdAgg(d).where(col("pred_lang") =!= "unknown")
+            .select("doc_id")
+        }
+        val s1d = stage("s1d_reps") {
+          Dedup.exactDedup(d).select("doc_id")
+        }
+        val s1e = stage("s1e_dupspan") {
+          val cov =
+            if (heavySlices > 1)
+              Dedup.duplicateSpanCoverageSliced(d,
+                java.nio.file.Files
+                  .createTempDirectory("graft_cprod_ds").toString,
+                slices = heavySlices)
+            else Dedup.duplicateSpanCoverage(d)
+          cov.where(col("dup_frac") <= 0.5).select("doc_id")
+        }
+        val s1f = stage("s1f_lm") {
+          val lm =
+            if (heavySlices > 1)
+              TextOps.lmScoreSliced(d,
+                java.nio.file.Files
+                  .createTempDirectory("graft_cprod_lm").toString,
+                slices = heavySlices)
+            else TextOps.lmScore(d)
+          lm.where(col("avg_prob").isNotNull).select("doc_id")
+        }
+        val s1g = stage("s1g_clf") {
+          TextOps.classifierScore(d).where(col("keep")).select("doc_id")
+        }
         val cur = stage("s1_curate") {
-          EntryHelpers.curationBase(d)
-            .join(Dedup.duplicateSpanCoverage(d)
-              .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
-            .join(TextOps.lmScore(d)
-              .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
-            .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
-            .join(TextOps.classifierScore(d).where(col("keep"))
-              .select("doc_id"), Seq("doc_id"))
+          d.select(col("doc_id"), col("source"))
+            .join(s1a, Seq("doc_id")).join(s1b, Seq("doc_id"))
+            .join(s1c, Seq("doc_id")).join(s1d, Seq("doc_id"))
+            .join(s1e, Seq("doc_id")).join(s1f, Seq("doc_id"))
+            .join(s1g, Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("quality_score"))
         }
         // s2 pair generation follows the pair family's documented mode

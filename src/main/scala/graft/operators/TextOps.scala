@@ -317,28 +317,109 @@ object TextOps {
     */
   def lmScore(docs: DataFrame, scale: Long = 100000000L,
               textCol: String = "text"): DataFrame = {
+    // Scratch discipline for the corpus-sized bigram stream (the
+    // round-10 dress rehearsal's lesson — the string-keyed two-join
+    // form shuffled 9.1 GB at sf100, ~91 GB extrapolated at sf1000,
+    // over a single node's scratch):
+    //  1. the stream carries 8-byte xxhash64 keys, never gram TEXT
+    //     (the sigSets/ngram_novelty/duplicatedPositions key-width
+    //     rule; hash-keyed counts equal text-keyed counts for a
+    //     collision-free hash, and the text-keyed DuckDB replay is
+    //     itself the collision check);
+    //  2. the transition-probability RATIO TABLE is derived first from
+    //     VOCAB-SIZED aggregates (gram counts join unigram counts on
+    //     the w1 hash — w1 is a function of the gram, so `first(th)`
+    //     per gh is exact), and the stream then crosses exactly ONE
+    //     exchange — the ratio join — instead of two;
+    //  3. no persist: the stream is consumed twice (gram counts, ratio
+    //     join) but re-deriving it is a cheap codegen scan, while a
+    //     MEMORY_AND_DISK copy of the corpus bigram stream is exactly
+    //     the scratch the sixth decade cannot spare (the buildSlices
+    //     trade: CPU is not the binding constraint, disk is).
+    // At cluster scale the ratio table IS the LM you materialize once
+    // per corpus version; incoming batches pay only the one join.
     val uni = docs
       .select(explode(split(lower(col(textCol)), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("_c1"))
-    val bigrams = docs
+      .select(xxhash64(col("tok")).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("_c1"))
+    def bigrams = docs
       .select(col("doc_id"),
         explode(graft.functions.TokenNgrams(lower(col(textCol)), 2))
           .as("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bi = bigrams.groupBy("gram").agg(count(lit(1)).as("_c2"))
+    val ratio = bigrams
+      .select(xxhash64(col("gram")).as("gh"),
+        xxhash64(substring_index(col("gram"), " ", 1)).as("th"))
+      .groupBy("gh").agg(count(lit(1)).as("_c2"), first("th").as("th"))
+      .join(uni, Seq("th"))
+      .select(col("gh"), expr(s"_c2 * ${scale}L DIV _c1").as("_r"))
     val scored = bigrams
-      .join(bi, Seq("gram"))
-      .withColumn("tok", substring_index(col("gram"), " ", 1))
-      .join(uni, Seq("tok"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .join(ratio, Seq("gh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr(s"_c2 * ${scale}L DIV _c1")).as("prob_fp_sum"))
+        sum(col("_r")).as("prob_fp_sum"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("prob_fp_sum"), lit(0L)).as("prob_fp_sum"),
         // Explicit null (not 0/0 → NaN) for bigram-less docs: NaN is not
         // hash-portable across engines, null is.
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(col("prob_fp_sum").cast("double") /
+            (col("n_bigrams") * lit(scale)).cast("double")).as("avg_prob"))
+  }
+
+  /** [[lmScore]] in K bounded-scratch GRAM-HASH slices — the sliced
+    * execution mode for the corpus size where even the single
+    * stream-crossing exchange exceeds a node's scratch (measured
+    * 6.2 GB at sf100 after the ratio-table rework ⇒ ~62 GB at sf1000,
+    * over this box's headroom). Per-doc (n_bigrams, prob_fp_sum) is
+    * ADDITIVE over any partition of the gram space, so each slice
+    * scores only grams with `gh % K == k` (filtered in-scan), writes
+    * its per-doc partials to `workDir`, and the union re-aggregates —
+    * bit-identical to the one-shot (TextOpsSpec pins it), with at most
+    * 1/K of the stream's exchange in flight. The unigram count table
+    * is corpus-global, so it is materialized ONCE to `workDir` and
+    * reused by every slice.
+    */
+  def lmScoreSliced(docs: DataFrame, workDir: String, slices: Int = 4,
+                    scale: Long = 100000000L,
+                    textCol: String = "text"): DataFrame = {
+    require(slices >= 1, "slices must be >= 1")
+    val spark = docs.sparkSession
+    docs.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+      .select(xxhash64(col("tok")).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("_c1"))
+      .write.mode("overwrite").parquet(s"$workDir/uni")
+    val uni = spark.read.parquet(s"$workDir/uni")
+    def bigrams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TokenNgrams(lower(col(textCol)), 2))
+          .as("gram"))
+    for (k <- 0 until slices) {
+      def slice = bigrams
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"),
+          xxhash64(substring_index(col("gram"), " ", 1)).as("th"))
+        .where(pmod(col("gh"), lit(slices.toLong)) === k.toLong)
+      val ratio = slice
+        .groupBy("gh").agg(count(lit(1)).as("_c2"), first("th").as("th"))
+        .join(uni, Seq("th"))
+        .select(col("gh"), expr(s"_c2 * ${scale}L DIV _c1").as("_r"))
+      slice.select(col("doc_id"), col("gh"))
+        .join(ratio, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_s"))
+        .write.mode("overwrite").parquet(s"$workDir/lm_$k")
+      System.gc()
+    }
+    val partials = spark.read
+      .parquet((0 until slices).map(k => s"$workDir/lm_$k"): _*)
+      .groupBy("doc_id")
+      .agg(sum("_n").as("n_bigrams"), sum("_s").as("prob_fp_sum"))
+    docs.select(col("doc_id")).join(partials, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("prob_fp_sum"), lit(0L)).as("prob_fp_sum"),
         when(col("n_bigrams").isNull, lit(null).cast("double"))
           .otherwise(col("prob_fp_sum").cast("double") /
             (col("n_bigrams") * lit(scale)).cast("double")).as("avg_prob"))

@@ -277,6 +277,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((100L, 101L)))
   }
 
+  test("duplicateSpansSliced / duplicateSpanCoverageSliced equal the " +
+       "one-shot forms exactly (gram-hash slice union = the relation)") {
+    val d = Seq(
+      (0L, "a b c d e f g h i j k l m n o p"),
+      (1L, "z z a b c d e f g h i j q r s t u v"),
+      (2L, "unrelated words only here nothing shared at all today"),
+      (3L, "q r s t u v w x y z1 z2 z3 a b c d e f g h i j"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_spans_sliced").toString
+    assert(dump(Dedup.duplicateSpansSliced(d, work, slices = 3)) ===
+      dump(Dedup.duplicateSpans(d)))
+    def dumpCov(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val work2 = java.nio.file.Files
+      .createTempDirectory("graft_cov_sliced").toString
+    assert(dumpCov(Dedup.duplicateSpanCoverageSliced(d, work2, slices = 3))
+      === dumpCov(Dedup.duplicateSpanCoverage(d)))
+  }
+
   test("wedge family from a materialized edge table matches the " +
        "corpus-fed form exactly (writePairGraph -> readPairGraph parity)") {
     // The 100-TB contract: the pair graph is materialized once and every

@@ -391,6 +391,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2).getBoolean(4) === false)
   }
 
+  test("lmScoreSliced equals lmScore exactly (per-doc sums additive " +
+       "over the gram-hash partition)") {
+    val d = Seq(
+      (0L, "the cat sat on the mat the cat ran"),
+      (1L, "the cat sat on a log"),
+      (2L, "one"), (3L, null.asInstanceOf[String]),
+      (4L, "the cat the cat the cat"))
+      .toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lm_sliced").toString
+    assert(dump(TextOps.lmScoreSliced(d, work, slices = 3)) ===
+      dump(TextOps.lmScore(d)))
+  }
+
   test("repetitionStats: hand-computed fractions on crafted docs") {
     val d = Seq((0L, "a a a b"), (1L, "x y z w"), (2L, "go go go go"))
       .toDF("doc_id", "text")
