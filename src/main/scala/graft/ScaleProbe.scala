@@ -157,8 +157,8 @@ object ScaleProbe {
         // rehearsal's first catch). The two heavy gates additionally
         // take a gram-hash slice count (args(4), default 1 = one-shot)
         // for the decade where even ONE gate's exchange exceeds the
-        // node: dup-span and LM slices are parity-pinned bit-identical
-        // to their one-shot forms.
+        // node: dup-span, LM, and decontamination slices are
+        // parity-pinned bit-identical to their one-shot forms.
         val heavySlices = if (args.length > 4) args(4).toInt else 1
         val s1a = stage("s1a_band") {
           TextOps.lengthBandFilter(d).select("doc_id")
@@ -233,8 +233,14 @@ object ScaleProbe {
             .select("doc_id"), Seq("doc_id"))
         }
         val dec = stage("s3_decontaminate") {
-          dd.join(Dedup.decontaminate(d, col("doc_id") % 10 === 0)
-            .select("doc_id"), Seq("doc_id"))
+          val surv =
+            if (heavySlices > 1)
+              Dedup.decontaminateSliced(d, col("doc_id") % 10 === 0,
+                java.nio.file.Files
+                  .createTempDirectory("graft_cprod_dc").toString,
+                slices = heavySlices)
+            else Dedup.decontaminate(d, col("doc_id") % 10 === 0)
+          dd.join(surv.select("doc_id"), Seq("doc_id"))
         }
         val mixed = stage("s4_mix") {
           TextOps.mixManifest(d.join(dec.select("doc_id"), Seq("doc_id")))

@@ -49,17 +49,37 @@ case class Log2Fp(child: Expression) extends UnaryExpression {
 }
 
 object Log2Fp {
-  /** The shared scalar kernel — both eval paths route here. */
+  /** The shared scalar kernel — both eval paths route here.
+    *
+    * Long-only square-and-shift, bit-identical to the original BigInt
+    * form (Log2FpSpec pins it against a BigInt reference): the Q60
+    * mantissa x sits in [2^60, 2^61), so x*x < 2^122 and the truncated
+    * `(x*x) >> 60` is reassembled from `Math.multiplyHigh` (the intrinsic
+    * 128-bit product's top half) as `(hi << 4) | (lo >>> 60)` — always
+    * < 2^62, signed-safe throughout. The BigInt version allocated two
+    * BigIntegers per iteration × 40 iterations per call × one call per
+    * DISTINCT TOKEN per document in [[TokenSummary]]'s entropy pass:
+    * ~10^9 allocations at 5 M docs, measured as ~22 busy cores for
+    * minutes in the sf100 dress rehearsal's quality gate. Exact powers
+    * of two (every h=1 token count — the bulk of a Zipfian histogram's
+    * distinct entries) short-circuit to `ip << 40`: their mantissa is
+    * exactly 1.0, every square stays 1.0, and all 40 fraction bits are
+    * provably zero.
+    */
   def compute(v: Long): Long = {
     val ip = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    var x = BigInt(v) << (60 - ip) // Q60 mantissa in [1, 2)
-    val two = BigInt(1) << 61
+    if ((v & (v - 1L)) == 0L) return ip.toLong << 40
+    // Q60 mantissa in [1, 2); BigInt's `<< (60 - ip)` right-shifts when
+    // ip > 60, and v > 0 makes floor == logical shift.
+    var x = if (ip <= 60) v << (60 - ip) else v >>> (ip - 60)
+    val two = 1L << 61
     var frac = 0L
     var k = 0
     while (k < 40) {
-      x = (x * x) >> 60
+      val lo = x * x
+      x = (Math.multiplyHigh(x, x) << 4) | (lo >>> 60)
       frac <<= 1
-      if (x >= two) { x >>= 1; frac |= 1L }
+      if (x >= two) { x >>>= 1; frac |= 1L }
       k += 1
     }
     (ip.toLong << 40) | frac

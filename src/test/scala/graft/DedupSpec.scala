@@ -300,6 +300,38 @@ class DedupSpec extends AnyFunSuite {
       === dumpCov(Dedup.duplicateSpanCoverage(d)))
   }
 
+  test("contaminationOverlapSliced / decontaminateSliced equal the " +
+       "one-shot forms exactly, including n_shared counts past " +
+       "minShared = 1 (per-slice distinct-gram counts are disjoint)") {
+    import org.apache.spark.sql.functions.col
+    val eight = "one two three four five six seven eight"
+    val nine = s"$eight nine"
+    val d = Seq(
+      (0L, s"holdout doc containing $nine and trailing text"),    // holdout
+      (1L, s"training doc that leaks $nine verbatim and again $nine"),
+      (2L, s"single leak only $eight then diverges completely here now"),
+      (3L, "clean training doc with nothing shared at all here today"),
+      (4L, "short"))                                              // < 8 tokens
+      .toDF("doc_id", "text")
+    val hold = col("doc_id") === 0L
+    def dumpOv(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "holdout_id").collect().map(_.toSeq).toSeq
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_decon_sliced").toString
+    assert(dumpOv(Dedup.contaminationOverlapSliced(d, hold, work,
+        slices = 3)) === dumpOv(Dedup.contaminationOverlap(d, hold)))
+    def dumpDocs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    for (minShared <- Seq(1, 2, 3)) {
+      val work2 = java.nio.file.Files
+        .createTempDirectory("graft_decon_sliced2").toString
+      assert(dumpDocs(Dedup.decontaminateSliced(d, hold, work2,
+          minShared = minShared, slices = 3)) ===
+        dumpDocs(Dedup.decontaminate(d, hold, minShared = minShared)),
+        s"minShared=$minShared")
+    }
+  }
+
   test("wedge family from a materialized edge table matches the " +
        "corpus-fed form exactly (writePairGraph -> readPairGraph parity)") {
     // The 100-TB contract: the pair graph is materialized once and every

@@ -103,6 +103,36 @@ class MultimodalSpec extends AnyFunSuite {
       Array(512L) ++ Array.fill(15)(0L), 512L) === 0L)
   }
 
+  test("log2Fp: Long-only kernel is bit-identical to the BigInt reference " +
+       "across the full domain (the oracle replays THIS bit pattern)") {
+    // the original BigInt square-and-shift, kept verbatim as the reference
+    def ref(v: Long): Long = {
+      val ip = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      var x = BigInt(v) << (60 - ip)
+      val two = BigInt(1) << 61
+      var frac = 0L
+      var k = 0
+      while (k < 40) {
+        x = (x * x) >> 60
+        frac <<= 1
+        if (x >= two) { x >>= 1; frac |= 1L }
+        k += 1
+      }
+      (ip.toLong << 40) | frac
+    }
+    for (v <- 1L to 65536L)
+      assert(graft.functions.Log2Fp.compute(v) === ref(v), s"v=$v")
+    val rnd = new scala.util.Random(40)
+    // cover every bit position, incl. the ip > 60 right-shift branch
+    for (bits <- 1 to 63; _ <- 1 to 8) {
+      val v = (rnd.nextLong() >>> (64 - bits)) | (1L << (bits - 1))
+      assert(graft.functions.Log2Fp.compute(v) === ref(v), s"v=$v")
+    }
+    for (v <- Seq(Long.MaxValue, Long.MaxValue - 1, (1L << 62) + 3L,
+        (1L << 61) - 1L, (1L << 60) + 1L))
+      assert(graft.functions.Log2Fp.compute(v) === ref(v), s"v=$v")
+  }
+
   test("sampleFrames: strided selection with binary slices") {
     val vids = Multimodal.synthesize(spark, 30)
     val frames = Multimodal.sampleFrames(vids, stride = 4, frameBytes = 64)
