@@ -52,7 +52,7 @@ object Log2Fp {
   /** The shared scalar kernel — both eval paths route here.
     *
     * Long-only square-and-shift, bit-identical to the original BigInt
-    * form (Log2FpSpec pins it against a BigInt reference): the Q60
+    * form (MultimodalSpec pins it against a BigInt reference): the Q60
     * mantissa x sits in [2^60, 2^61), so x*x < 2^122 and the truncated
     * `(x*x) >> 60` is reassembled from `Math.multiplyHigh` (the intrinsic
     * 128-bit product's top half) as `(hi << 4) | (lo >>> 60)` — always
