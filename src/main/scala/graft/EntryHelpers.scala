@@ -287,15 +287,24 @@ private[graft] object EntryHelpers {
     val dec = dd.join(
       Dedup.decontaminate(d, col("doc_id") % 10 === 0).select("doc_id"),
       Seq("doc_id"))
-    val mixed = TextOps.mixManifest(
-        d.join(dec.select("doc_id"), Seq("doc_id")))
+    // Mix and pack consume NARROW frames: the per-doc stats manifest
+    // and the split-token length are computed where the text lives
+    // (one map pass each, no exchange), and every join after that
+    // carries 8-byte keys + counts. Feeding `d ⋈ survivors` with text
+    // here cost ×200 shuffle at sf1000 once the survivor set outgrew
+    // the broadcast threshold (SCALING.md batch 18b s4; VERDICT r10
+    // item 1).
+    val mixed = TextOps.mixManifestFromStats(
+        TextOps.docStatsManifest(d)
+          .join(dec.select("doc_id"), Seq("doc_id")))
       .select(col("doc_id"), col("source"), col("quality_score"))
     val sh = TextOps.shuffleOrder(mixed.select("doc_id"))
       .select(col("doc_id"), col("position"))
-    val packed = TextOps.packSequences(
-        d.select(col("doc_id"), col("text"))
+    val packed = TextOps.packSequencesByLen(
+        d.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
           .join(sh, Seq("doc_id"))
-          .select(col("position").as("doc_id"), col("text")))
+          .select(col("position").as("doc_id"), col("n_tokens")))
       .select(col("doc_id").as("position"), col("n_tokens"),
         col("seq_id"), col("seq_offset"))
     mixed.join(sh, Seq("doc_id")).join(packed, Seq("position"))
@@ -339,7 +348,87 @@ private[graft] object EntryHelpers {
     csvDirs.values.forEach { p =>
       try deleteTree(p) catch { case _: Throwable => () }
     }
+    producedCorpus.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    simhashEdgeDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    neardupEdgeDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    ingestStates.values.forEach { case (_, p) =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    jsonlIngestStates.values.forEach { case (_, p) =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    csvIngestStates.values.forEach { case (_, p) =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
   }))
+
+  /** Memoized materialized edge tables — the wedge family's 100-TB
+    * input contract ([[Dedup.writePairGraph]]) wired into the registry:
+    * the pair graph is built ONCE per (session, sf dir) and persisted
+    * as narrow (doc_a, doc_b) parquet; every graph operator row reads
+    * the table (batch 18c measured the family at 1.6–8.2 s from the
+    * persisted sixth-decade table vs ~800 s corpus-fed per operator).
+    * Corpus-fed pair PRODUCTION stays oracle-checked by its own rows
+    * (`simhash_pairs_md5`, `neardup_pairs*`) and by the LSH-graph
+    * consumers left deliberately corpus-fed (`neardup_clusters`,
+    * `edit_distance_pairs`); write→read→operate parity is pinned in
+    * DedupSpec.
+    */
+  private[graft] val simhashEdgeDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def simhashEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = simhashEdgeDirs.get(s, dir) { (s2, d2) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_edges_sh")
+      Dedup.writePairGraph(Dedup.simhashPairsPortable(docs(s2, d2)),
+        tmp.resolve("edges").toString)
+      tmp
+    }
+    Dedup.readPairGraph(s, p.resolve("edges").toString)
+  }
+
+  private[graft] val neardupEdgeDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def neardupEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = neardupEdgeDirs.get(s, dir) { (s2, d2) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_edges_nd")
+      Dedup.writePairGraph(Dedup.nearDupPairs(docs(s2, d2)),
+        tmp.resolve("edges").toString)
+      tmp
+    }
+    Dedup.readPairGraph(s, p.resolve("edges").toString)
+  }
+
+  /** Memoized materialization of [[corpusProduction]] per (session, sf
+    * dir) — parquet in a temp dir, deleted on session eviction/JVM
+    * exit. `corpus_production` itself keeps pricing the LIVE chain
+    * (it IS the factory measurement); the memo exists so the CARD
+    * prices as what it is — a per-source aggregate over the produced
+    * corpus — instead of a second full factory execution (the chain ran
+    * 4× per bench under min-of-2; VERDICT r10 item 8). At cluster scale
+    * this is exactly the production posture: the factory writes the
+    * produced corpus once, every data sheet/report reads the table.
+    */
+  private[graft] val producedCorpus =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def corpusProductionMemo(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val p = producedCorpus.get(s, dir) { (s2, d2) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cprod_memo")
+      corpusProduction(docs(s2, d2))
+        .write.mode("overwrite").parquet(tmp.resolve("produced").toString)
+      tmp
+    }
+    s.read.parquet(p.resolve("produced").toString)
+  }
 
   /** Memoized JSONL landing-zone build for `jsonl_landing`: the document
     * corpus exported once per (session, sf dir) as JSON lines with the
@@ -443,6 +532,86 @@ private[graft] object EntryHelpers {
       timestampFor = ts(_))
     try q.processAllAvailable() finally q.stop()
     new graft.state.StateStore(s, s"$tmp/state")
+  }
+
+  private[graft] val jsonlIngestStates =
+    new SessionMemo[(graft.state.StateStore, java.nio.file.Path)](
+      { case (_, p) => deleteTree(p) })
+
+  private[graft] val csvIngestStates =
+    new SessionMemo[(graft.state.StateStore, java.nio.file.Path)](
+      { case (_, p) => deleteTree(p) })
+
+  /** Drives
+    * [[graft.streaming.StreamingPipeline.documentLandingStreamIdempotent]]
+    * end to end for the `audit_jsonl_idempotent` / `audit_csv_idempotent`
+    * oracles: the document corpus split into two single-file shards plus
+    * a BYTE-IDENTICAL copy of shard A under another name, through the
+    * content-digest gate with injected timestamps. The audit frame is
+    * the digest ledger (must list exactly shard_a + shard_b — the dup
+    * allocated NOTHING) unioned with per-source ingested counts (must
+    * equal the documents table exactly — a double-ingest would double
+    * every even doc_id), so the oracle re-checks the skip from the
+    * parquet inputs alone on every Verify run.
+    */
+  private[graft] def buildDocIngest(s: SparkSession, dir: String,
+                                    tmp: String, format: String)
+      : graft.state.StateStore = {
+    val ext = format
+    val landing = s"$tmp/landing"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(landing))
+    val d = docs(s, dir)
+    def render(df: DataFrame) =
+      if (format == "jsonl") graft.sources.Jsonl.renderLines(df)
+      else graft.sources.Csv.renderLines(df)
+    // one part file per shard, moved to a FIXED name so the ledger's
+    // filename column is deterministic
+    def shard(name: String, df: DataFrame): Unit = {
+      val rdir = java.nio.file.Paths.get(s"$tmp/render_$name")
+      render(df).coalesce(1).write.mode("overwrite").text(rdir.toString)
+      val stream = java.nio.file.Files.list(rdir)
+      val part =
+        try stream.filter(p =>
+            p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally stream.close()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$landing/$name"))
+    }
+    shard(s"shard_a.$ext", d.where(col("doc_id") % 2 === 0))
+    shard(s"shard_b.$ext", d.where(col("doc_id") % 2 === 1))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$landing/shard_a.$ext"),
+      java.nio.file.Paths.get(s"$landing/shard_a_dup.$ext"))
+    val ts = Map(
+      s"shard_a.$ext" -> "2026-02-01T00:00:00",
+      s"shard_a_dup.$ext" -> "2026-02-01T12:00:00",
+      s"shard_b.$ext" -> "2026-02-02T00:00:00")
+    val q = graft.streaming.StreamingPipeline
+      .documentLandingStreamIdempotent(s, landing, s"$tmp/good",
+        s"$tmp/quarantine", s"$tmp/ckpt", s"$tmp/ledger", format, ts(_))
+    try q.processAllAvailable() finally q.stop()
+    new graft.state.StateStore(s, s"$tmp/ledger")
+  }
+
+  private[graft] def docIngestAudit(s: SparkSession, dir: String,
+                                    format: String): DataFrame = {
+    val memo =
+      if (format == "jsonl") jsonlIngestStates else csvIngestStates
+    val (store, tmp) = memo.get(s, dir) { (s2, d2) =>
+      val t0 =
+        java.nio.file.Files.createTempDirectory(s"graft_${format}_ing")
+      (buildDocIngest(s2, d2, t0.toString, format), t0)
+    }
+    val ledger = store.uploadDigests
+      .select(lit("ledger").as("kind"), col("filename").as("name"),
+        lit(null).cast("long").as("n"))
+    val ingested = s.read.parquet(s"$tmp/good/batch_*")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .select(lit("ingested").as("kind"), col("source").as("name"),
+        col("n"))
+    ledger.unionByName(ingested).orderBy("kind", "name")
   }
 
   private[graft] def buildAuditState(s: SparkSession, dir: String, tmp: String)

@@ -501,6 +501,31 @@ private[graft] object EntryOracles {
         |    CAST(0 AS BIGINT))
         |ORDER BY "timestamp" DESC, id DESC""".stripMargin,
 
+    // Document-landing digest gates: the ledger must hold exactly the
+    // two distinct shards (the byte-identical dup allocated nothing)
+    // and the ingested per-source counts must equal the documents
+    // table — a double-ingest would double every even doc_id's source
+    // count.
+    "audit_jsonl_idempotent" ->
+      """SELECT kind, name, n FROM (
+        |  SELECT 'ingested' AS kind, source AS name, COUNT(*) AS n
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT 'ledger', 'shard_a.jsonl', CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'ledger', 'shard_b.jsonl', CAST(NULL AS BIGINT))
+        |ORDER BY kind, name""".stripMargin,
+
+    "audit_csv_idempotent" ->
+      """SELECT kind, name, n FROM (
+        |  SELECT 'ingested' AS kind, source AS name, COUNT(*) AS n
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT 'ledger', 'shard_a.csv', CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'ledger', 'shard_b.csv', CAST(NULL AS BIGINT))
+        |ORDER BY kind, name""".stripMargin,
+
     "audit_address_changes" ->
       """WITH ch AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS id,

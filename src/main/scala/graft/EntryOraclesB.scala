@@ -770,11 +770,15 @@ private[graft] object EntryOraclesB {
          |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS ra,
          |    row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rb
          |  FROM sp0)
-         |  WHERE ra <= 256 AND rb <= 256)
-         |SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
-         |FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
-         |JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
-         |ORDER BY 1, 2, 3""".stripMargin,
+         |  WHERE ra <= 256 AND rb <= 256),
+         |tri AS MATERIALIZED (
+         |  SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+         |  FROM sp ab JOIN sp bc ON ab.doc_b = bc.doc_a
+         |  JOIN sp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         |n AS (SELECT COUNT(*) AS n_triangles FROM tri)
+         |SELECT t.doc_a, t.doc_b, t.doc_c, n.n_triangles
+         |FROM tri t CROSS JOIN n
+         |ORDER BY 1, 2, 3 LIMIT 10000""".stripMargin,
 
     // Per-vertex twin: same capped wedge closure, 3-arm UNION ALL of the
     // triangle's member vertices, GROUP BY vertex — replays the

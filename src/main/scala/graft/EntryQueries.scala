@@ -578,36 +578,46 @@ private[graft] object EntryQueries {
         Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d)
     }),
 
+    // The wedge/graph family below reads the per-(session, sf)
+    // MATERIALIZED pair-graph tables (EntryHelpers.simhashEdges /
+    // neardupEdges — the Dedup.writePairGraph contract, VERDICT r10
+    // item 2): the pair search is paid once per corpus version, every
+    // graph operator prices edge-table-sized. Corpus-fed pair
+    // PRODUCTION stays oracle-checked by simhash_pairs_md5 /
+    // neardup_pairs*, and the LSH-graph consumers neardup_clusters /
+    // neardup_cluster_sizes / edit_distance_pairs remain deliberately
+    // corpus-fed as the composition variants.
+
     // PageRank over the MinHash-LSH near-dup pair graph: fixed-point
     // BIGINT arithmetic (floor divisions only — no float sums), so the
     // 4-round BSP scores are bit-identical across engines and
     // partitionings; ranks hub copies (connected boilerplate) above
     // leaves inside duplicate neighborhoods.
     "pagerank_neardup" -> ((s, dir) =>
-      Dedup.pageRank(
-        Dedup.nearDupPairs(docs(s, dir)).select("doc_a", "doc_b"))),
+      Dedup.pageRank(neardupEdges(s, dir))),
 
     // Triangle enumeration over the (dense) SimHash pair graph: 3-cliques
     // listed once as doc_a < doc_b < doc_c via the ordered wedge join —
     // the clustering-coefficient evidence that a duplicate neighborhood
     // is one mutual template rather than a chain of borderline pairs.
+    // BOUNDED terminal (VERDICT r10 item 3): first 10k triangles under
+    // the total order via TakeOrderedAndProject + the total count on
+    // every row — no output-sized global sort in the plan; the
+    // unbounded enumeration stays available as Dedup.triangles.
     "triangle_count" -> ((s, dir) =>
-      Dedup.triangles(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+      Dedup.trianglesBounded(simhashEdges(s, dir))),
 
     // Synchronous 4-round label propagation — communities over the same
     // pair graph (finer than connected components across bridge edges).
     "label_communities" -> ((s, dir) =>
-      Dedup.labelPropagation(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))
+      Dedup.labelPropagation(simhashEdges(s, dir))
         .orderBy("doc_id")),
 
     // 2-core of the SimHash pair graph: peel degree-<2 vertices to a
     // fixpoint — the dense-duplication-community detector. BSP peel loop
     // with per-round persists; driver sees only edge counts.
     "kcore_graph" -> ((s, dir) =>
-      Dedup.kCore(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))
+      Dedup.kCore(simhashEdges(s, dir))
         .orderBy("doc_id")),
 
     // Aggregate twin of triangle_count: per-vertex triangle participation
@@ -616,8 +626,7 @@ private[graft] object EntryQueries {
     // the form that survives a 100× edge-count scale-up (the enumerate
     // form's terminal sort is output-sized and grows superlinearly).
     "triangle_counts_by_vertex" -> ((s, dir) =>
-      Dedup.triangleCounts(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+      Dedup.triangleCounts(simhashEdges(s, dir))),
 
     // Near-dup clustering: connected components over the MinHash-LSH pair
     // graph — every doc labeled with its cluster's canonical (minimum)
@@ -1356,8 +1365,12 @@ private[graft] object EntryQueries {
 
     // Dataset card over the same chain: per-source totals of the
     // produced corpus -- what a training run's data sheet records.
+    // Reads the per-(session, sf) memoized production table
+    // (EntryHelpers.corpusProductionMemo) -- the factory writes the
+    // produced corpus once, the data sheet aggregates the table; only
+    // corpus_production itself re-prices the live chain.
     "corpus_production_card" -> ((s, dir) =>
-      corpusProduction(docs(s, dir))
+      corpusProductionMemo(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("n_tokens"),
@@ -1584,6 +1597,18 @@ private[graft] object EntryQueries {
     "audit_ingest_idempotent" -> ((s, dir) =>
       ingestState(s, dir).uploadsOrdered),
 
+    // Digest-gate audits for the document landings (VERDICT r10 item
+    // 5): corpus split into two shards + a byte-identical duplicate of
+    // shard A through documentLandingStreamIdempotent -> the ledger
+    // lists exactly two shards and the ingested per-source counts equal
+    // the documents table (a double-ingest would double every even
+    // doc_id).
+    "audit_jsonl_idempotent" -> ((s, dir) =>
+      docIngestAudit(s, dir, "jsonl")),
+
+    "audit_csv_idempotent" -> ((s, dir) =>
+      docIngestAudit(s, dir, "csv")),
+
     // ---- Data-mixing / curation additions (round 8, second wave) --------
 
     // Temperature-scaled (T=2) multinomial source-mixing weights —
@@ -1636,15 +1661,14 @@ private[graft] object EntryQueries {
       TextOps.mixManifest(docs(s, dir))),
 
     // Local clustering coefficient over the SimHash pair graph — the
-    // clique-vs-hub refinement on the k-core / triangle family.
+    // clique-vs-hub refinement on the k-core / triangle family. Reads
+    // the materialized edge table (see the wedge-family block comment).
     "clustering_coeff" -> ((s, dir) =>
-      Dedup.clusteringCoefficient(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b"))),
+      Dedup.clusteringCoefficient(simhashEdges(s, dir))),
 
     // Degree distribution of the (uncapped) pair graph — the skew
     // diagnostic that justifies/tunes the wedge family's degree cap.
     "degree_hist" -> ((s, dir) =>
-      Dedup.degreeHistogram(
-        Dedup.simhashPairsPortable(docs(s, dir)).select("doc_a", "doc_b")))
+      Dedup.degreeHistogram(simhashEdges(s, dir)))
   )
 }

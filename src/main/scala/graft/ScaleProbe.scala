@@ -132,6 +132,16 @@ object ScaleProbe {
               sb.addAndGet(sc.stageInfo.taskMetrics
                 .shuffleWriteMetrics.bytesWritten)
           })
+        // Sliced-stage scratch dirs, deleted after the final read —
+        // each sliced stage writes per-slice parquet manifests that
+        // would otherwise accumulate in /tmp across probe runs.
+        val scratchDirs =
+          scala.collection.mutable.Buffer[java.nio.file.Path]()
+        def scratch(prefix: String): String = {
+          val p = java.nio.file.Files.createTempDirectory(prefix)
+          scratchDirs += p
+          p.toString
+        }
         val out = new StringBuilder("{\"probe\":\"corpus_production\"")
         def stage(name: String)(f: => org.apache.spark.sql.DataFrame)
             : org.apache.spark.sql.DataFrame = {
@@ -179,9 +189,7 @@ object ScaleProbe {
           val cov =
             if (heavySlices > 1)
               Dedup.duplicateSpanCoverageSliced(d,
-                java.nio.file.Files
-                  .createTempDirectory("graft_cprod_ds").toString,
-                slices = heavySlices)
+                scratch("graft_cprod_ds"), slices = heavySlices)
             else Dedup.duplicateSpanCoverage(d)
           cov.where(col("dup_frac") <= 0.5).select("doc_id")
         }
@@ -189,9 +197,7 @@ object ScaleProbe {
           val lm =
             if (heavySlices > 1)
               TextOps.lmScoreSliced(d,
-                java.nio.file.Files
-                  .createTempDirectory("graft_cprod_lm").toString,
-                slices = heavySlices)
+                scratch("graft_cprod_lm"), slices = heavySlices)
             else TextOps.lmScore(d)
           lm.where(col("avg_prob").isNotNull).select("doc_id")
         }
@@ -218,9 +224,8 @@ object ScaleProbe {
             case Array("oneshot") =>
               Dedup.nearDupPairs(d).select("doc_a", "doc_b")
             case Array("sliced", k, b) =>
-              val work = java.nio.file.Files
-                .createTempDirectory("graft_cprod_pairs").toString
-              Dedup.nearDupPairsBandedSliced(d, work,
+              Dedup.nearDupPairsBandedSliced(d,
+                  scratch("graft_cprod_pairs"),
                   slices = k.toInt, buildSlices = b.toInt)
                 .select("doc_a", "doc_b")
             case other =>
@@ -236,14 +241,17 @@ object ScaleProbe {
           val surv =
             if (heavySlices > 1)
               Dedup.decontaminateSliced(d, col("doc_id") % 10 === 0,
-                java.nio.file.Files
-                  .createTempDirectory("graft_cprod_dc").toString,
-                slices = heavySlices)
+                scratch("graft_cprod_dc"), slices = heavySlices)
             else Dedup.decontaminate(d, col("doc_id") % 10 === 0)
           dd.join(surv.select("doc_id"), Seq("doc_id"))
         }
         val mixed = stage("s4_mix") {
-          TextOps.mixManifest(d.join(dec.select("doc_id"), Seq("doc_id")))
+          // Narrow-manifest feed (VERDICT r10 item 1): the stats
+          // manifest is one text pass, the survivor join carries
+          // 8-byte keys — text never enters s4's exchanges.
+          TextOps.mixManifestFromStats(
+              TextOps.docStatsManifest(d)
+                .join(dec.select("doc_id"), Seq("doc_id")))
             .select(col("doc_id"), col("source"), col("quality_score"))
         }
         val sh = stage("s5_shuffle") {
@@ -251,15 +259,21 @@ object ScaleProbe {
             .select(col("doc_id"), col("position"))
         }
         stage("s6_pack") {
-          val packed = TextOps.packSequences(
-              d.select(col("doc_id"), col("text"))
+          val packed = TextOps.packSequencesByLen(
+              d.select(col("doc_id"),
+                  size(split(col("text"), " ")).cast("long")
+                    .as("n_tokens"))
                 .join(sh, Seq("doc_id"))
-                .select(col("position").as("doc_id"), col("text")))
+                .select(col("position").as("doc_id"), col("n_tokens")))
             .select(col("doc_id").as("position"), col("n_tokens"),
               col("seq_id"), col("seq_offset"))
           mixed.join(sh, Seq("doc_id")).join(packed, Seq("position"))
         }
         println(out.append("}").toString)
+        scratchDirs.foreach { p =>
+          try graft.EntryHelpers.deleteTree(p)
+          catch { case _: Throwable => () }
+        }
         spark.stop()
         return
       case "wedge" =>

@@ -29,7 +29,8 @@ object TextOps {
     * All ratios are single IEEE divisions of integer counts —
     * bit-deterministic in any engine.
     */
-  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def tokenStats(docs: DataFrame, textCol: String = "text",
+                 keep: Seq[String] = Nil): DataFrame = {
     // One codegen'd pass per document ([[graft.functions.TokenSummary]])
     // replaces the three interpreted HOF passes (size / array_distinct /
     // stopword filter) AND the [[WordPiecePattern]] regexp_count — the
@@ -37,11 +38,13 @@ object TextOps {
     // measured 3.9 s of 5.3 s at sf10), so the word-piece count moved
     // into the same byte scan as a character-class run counter. Same
     // columns, same values, zero shuffle either way; measured decades
-    // in SCALING.md batch 18a.
-    docs.select(col("doc_id"), col(textCol),
+    // in SCALING.md batch 18a. `keep` passes narrow columns (e.g.
+    // `source`) through the same single text pass so callers building a
+    // per-doc manifest need no post-hoc doc_id join.
+    docs.select(Seq(col("doc_id"), col(textCol),
         graft.functions.TokenSummary(col(textCol), EnStopwords).as("_ts"))
-      .select(
-        col("doc_id"),
+        ++ keep.map(col): _*)
+      .select(Seq(col("doc_id")) ++ keep.map(col) ++ Seq(
         length(col(textCol)).as("n_chars"),
         col("_ts.n_tokens").cast("int").as("n_tokens"),
         col("_ts.n_word_pieces").cast("int").as("n_word_pieces"),
@@ -51,7 +54,7 @@ object TextOps {
         (col("_ts.stop_hits").cast("double") / col("_ts.n_tokens"))
           .as("stopword_ratio"),
         (col("_ts.n_distinct").cast("double") / col("_ts.n_tokens"))
-          .as("distinct_ratio"))
+          .as("distinct_ratio")): _*)
   }
 
   /** Equi-depth token-count histogram: rank every document into one of
@@ -505,10 +508,23 @@ object TextOps {
     */
   def packSequences(docs: DataFrame, seqLen: Int = 2048,
                     partitions: Int = 32,
-                    textCol: String = "text"): DataFrame = {
-    val withLen = docs.select(col("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-    val parts = withLen.repartitionByRange(partitions, asc("doc_id"))
+                    textCol: String = "text"): DataFrame =
+    packSequencesByLen(
+      docs.select(col("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens")),
+      seqLen, partitions)
+
+  /** [[packSequences]] from an already-computed (doc_id, n_tokens)
+    * frame — the form composed pipelines call so the length column is
+    * derived where the text lives and only 16-byte rows enter the
+    * prefix-sum machinery's exchanges (the pack stage's half of the
+    * VERDICT r10 item-1 narrow-join fix; the composed chain previously
+    * joined (doc_id, text) against the shuffle order).
+    */
+  def packSequencesByLen(withLen: DataFrame, seqLen: Int = 2048,
+                         partitions: Int = 32): DataFrame = {
+    val parts = withLen.select(col("doc_id"), col("n_tokens"))
+      .repartitionByRange(partitions, asc("doc_id"))
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = parts.withColumn("_lcum",
@@ -1733,6 +1749,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Narrow per-document stats manifest — (doc_id, source, n_tokens,
+    * quality_score) in ONE codegen'd text pass (zero shuffle, zero
+    * join): the frame every downstream mixing/quota/rank stage should
+    * consume instead of re-deriving quality from raw text. This is the
+    * repo's "text never crosses an exchange" rule made into an
+    * interface: compute the manifest where the text lives, join
+    * everything after it on 8-byte keys. Built after SCALING.md batch
+    * 18b measured the composed chain's mix stage re-joining raw text
+    * across a sort-merge exchange at sf1000 (×200 shuffle growth once
+    * the survivor set outgrew the broadcast threshold).
+    */
+  def docStatsManifest(docs: DataFrame, textCol: String = "text")
+      : DataFrame =
+    qualityScore(tokenStats(docs, textCol, keep = Seq("source")))
+      .select("doc_id", "source", "n_tokens", "quality_score")
+
   /** Training-epoch manifest: the end-to-end mixing endpoint that turns
     * [[sourceTemperature]]'s per-source expected document draws into an
     * actual document list — per source, the `expected_docs` BEST
@@ -1743,15 +1775,23 @@ object TextOps {
     * Scale: the quota frame is |sources| rows and broadcasts; the
     * ranking window is source-partitioned (never global); the quota cut
     * is a pushed filter on the ranked rows. One corpus-sized shuffle
-    * total (the window's partition-by-source).
+    * total (the window's partition-by-source) — and the shuffled rows
+    * are the NARROW manifest, never the text: the text column dies at
+    * the [[docStatsManifest]] scan.
     */
-  def mixManifest(docs: DataFrame): DataFrame = {
-    val quotas = sourceTemperature(docs).select("source", "expected_docs")
-    val scored = qualityScore(tokenStats(docs))
-      .select("doc_id", "quality_score")
+  def mixManifest(docs: DataFrame): DataFrame =
+    mixManifestFromStats(docStatsManifest(docs))
+
+  /** [[mixManifest]] from an already-computed [[docStatsManifest]]
+    * frame — the form composed pipelines call so the manifest is
+    * computed ONCE per corpus and every mixing join runs on narrow
+    * columns (the ×200-shuffle fix, VERDICT r10 item 1).
+    */
+  def mixManifestFromStats(stats: DataFrame): DataFrame = {
+    val quotas = sourceTemperature(stats).select("source", "expected_docs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(desc("quality_score"), asc("doc_id"))
-    docs.select("doc_id", "source").join(scored, Seq("doc_id"))
+    stats.select("doc_id", "source", "quality_score")
       .withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(quotas), Seq("source"))
       .where(col("rk") <= col("expected_docs"))

@@ -222,6 +222,29 @@ class DedupSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
   }
 
+  test("trianglesBounded: under cap = full enumeration + total-count " +
+       "column; over cap = first `cap` in total order, count still " +
+       "global; terminal is a bounded top-k, not a global sort") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (7L, 8L), (8L, 9L)).toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("doc_c"), r.getAs[Long]("n_triangles")))
+    // under cap: both triangles, each row stamped with the total (2)
+    assert(rows(Dedup.trianglesBounded(pairs, cap = 10)).toSeq ===
+      Seq((1L, 2L, 3L, 2L), (2L, 3L, 4L, 2L)))
+    // over cap: the FIRST triangle under (doc_a, doc_b, doc_c) order,
+    // but n_triangles still reports the uncapped total — no silent cap
+    assert(rows(Dedup.trianglesBounded(pairs, cap = 1)).toSeq ===
+      Seq((1L, 2L, 3L, 2L)))
+    // plan posture: the terminal is TakeOrderedAndProject (cap rows per
+    // partition), and no Sort node consumes the triangle set
+    val p = Dedup.trianglesBounded(pairs, cap = 1).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k terminal:\n$p")
+  }
+
   test("triangleCounts: per-vertex participation matches the enumeration, " +
        "plan has no sort over the triangle set") {
     // two triangles sharing edge (2,3): vertex 1 in one, 2 and 3 in both,

@@ -271,4 +271,50 @@ class PlanContractSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Every (Broadcast)Exchange node's Input column list in a formatted
+    * plan — the frames that actually cross the wire.
+    */
+  private def exchangeInputs(p: String): Seq[String] =
+    """\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+
+  test("mix_manifest: no exchange carries the text column (narrow " +
+       "manifest feed — VERDICT r10 item 1)") {
+    val p = fmt("mix_manifest")
+    val ins = exchangeInputs(p)
+    assert(ins.nonEmpty, s"expected at least the window exchange:\n$p")
+    ins.foreach(in => assert(!in.contains("text#"),
+      s"an exchange carries raw text: [$in]"))
+  }
+
+  test("composed mix feed (manifest ⋈ survivors) keeps text out of " +
+       "every exchange even when the survivor side is too big to " +
+       "broadcast") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val d = graft.model.Tables.load(spark, dir, "documents")
+    val surv = d.select("doc_id").where(col("doc_id") % 2 === 0)
+    val keep = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = TextOps.mixManifestFromStats(
+          TextOps.docStatsManifest(d).join(surv, Seq("doc_id")))
+        .queryExecution.explainString(FormattedMode)
+      val ins = exchangeInputs(p)
+      // sort-merge survivor join (both sides exchange) + the source-
+      // partitioned window + the terminal sort all present...
+      assert(ins.size >= 3, s"expected SMJ + window exchanges:\n$p")
+      // ...and none of them moves text: the widest shuffled row is the
+      // narrow manifest. This is the sf1000 ×200-shuffle regression pin
+      // (SCALING.md batch 18b s4).
+      ins.foreach(in => assert(!in.contains("text#"),
+        s"an exchange carries raw text: [$in]"))
+    } finally keep match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None =>
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -402,6 +402,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent document landing (jsonl + csv): same-bytes " +
+       "re-delivery skips (any name, any micro-batch); new content " +
+       "re-ingests") {
+    for (format <- Seq("jsonl", "csv")) {
+      val dir = Files.createTempDirectory(s"graft_docidem_$format")
+        .toString
+      val landing = s"$dir/landing"
+      Files.createDirectories(java.nio.file.Paths.get(landing))
+      def line(id: Long, text: String): String =
+        if (format == "jsonl")
+          s"""{"doc_id":$id,"lang":"en","n_chars":${text.length},""" +
+            s""""source":"web","text":"$text"}"""
+        else s"""$id,en,${text.length},web,$text"""
+      Files.writeString(
+        java.nio.file.Paths.get(s"$landing/shard_a.$format"),
+        line(1, "alpha doc") + "\n" + line(2, "beta doc") + "\n")
+      // byte-identical copy under another name, same micro-batch
+      Files.copy(java.nio.file.Paths.get(s"$landing/shard_a.$format"),
+        java.nio.file.Paths.get(s"$landing/shard_a_dup.$format"))
+      val q = StreamingPipeline.documentLandingStreamIdempotent(spark,
+        landing, s"$dir/good", s"$dir/quarantine", s"$dir/ckpt",
+        s"$dir/ledger", format)
+      val store = new graft.state.StateStore(spark, s"$dir/ledger")
+      try {
+        q.processAllAvailable()
+        assert(store.uploadDigests.count() === 1L, s"[$format] in-batch")
+        assert(spark.read.parquet(s"$dir/good/batch_*").count() === 2L,
+          s"[$format] first ingest")
+
+        // byte-identical re-delivery in a LATER micro-batch: the
+        // persistent ledger (not the in-batch set) must skip it
+        Files.copy(java.nio.file.Paths.get(s"$landing/shard_a.$format"),
+          java.nio.file.Paths.get(s"$landing/shard_a_again.$format"))
+        q.processAllAvailable()
+        assert(store.uploadDigests.count() === 1L,
+          s"[$format] cross-batch skip")
+        assert(spark.read.parquet(s"$dir/good/batch_*").count() === 2L,
+          s"[$format] no double ingest")
+
+        // genuinely new content passes the gate
+        Files.writeString(
+          java.nio.file.Paths.get(s"$landing/shard_b.$format"),
+          line(3, "gamma doc") + "\n")
+        q.processAllAvailable()
+        assert(store.uploadDigests.count() === 2L, s"[$format] new bytes")
+        assert(spark.read.parquet(s"$dir/good/batch_*").count() === 3L,
+          s"[$format] third doc landed")
+      } finally q.stop()
+    }
+  }
+
   test("workbook stream defaults to the sharded MergedData export past " +
        "the row threshold; mergeShards reassembles one deliverable") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
