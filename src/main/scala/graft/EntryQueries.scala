@@ -1332,6 +1332,21 @@ private[graft] object EntryQueries {
     "classifier_score" -> ((s, dir) =>
       TextOps.classifierScore(docs(s, dir)).orderBy("doc_id")),
 
+    // Classifier TRAINING (completes the CCNet slot, VERDICT r10 item
+    // 6): closed-form Naive-Bayes presence counts over the
+    // deterministic labeled slice (doc_id%5, quality>=0.5 label) ->
+    // add-one-smoothed integer ppm weight per hashed bucket. The
+    // oracle re-derives counts and weights from the documents table
+    // with the same hex-nibble hash — pure integer division, exact.
+    "classifier_train" -> ((s, dir) =>
+      TextOps.classifierTrain(docs(s, dir))),
+
+    // Inference with the TRAINED weights — the ≤4096-row model
+    // broadcasts onto the token stream; unseen buckets take the
+    // smoothed prior; keep = integer average evidence above neutral.
+    "classifier_score_trained" -> ((s, dir) =>
+      TextOps.classifierScoreTrained(docs(s, dir))),
+
     // Composed curation pass — the full cleaning pipeline as ONE plan:
     // corpus-quantile length band ∩ quality threshold ∩ language known ∩
     // exact-dedup representative. Proves the curation operators compose

@@ -968,14 +968,21 @@ object TextOps {
     * the shuffle carries one partial sum per document per task, not the
     * token stream. Scan-linear, the [[lmScore]] family.
     */
+  /** The shared hashed-feature bucket: 3 leading md5 hex nibbles →
+    * [0, 4096). One definition for the fixed-weight scorer, the
+    * trainer, and the trained scorer, so the feature space cannot
+    * drift between them.
+    */
+  private def featBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
+
   def classifierScore(docs: DataFrame,
                       textCol: String = "text"): DataFrame = {
     val scored = docs
       .select(col("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long") *
-          lit(37L) + lit(11L)).as("_wb"))
+        (featBucket(col("tok")) * lit(37L) + lit(11L)).as("_wb"))
       .select(col("doc_id"), (col("_wb") % 201L - 100L).as("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit_fp"))
@@ -988,6 +995,88 @@ object TextOps {
           .otherwise(col("logit_fp").cast("double") /
             col("n_tokens").cast("double")).as("avg_logit"),
         (coalesce(col("logit_fp"), lit(0L)) > 0L).as("keep"))
+  }
+
+  /** Closed-form Naive-Bayes classifier training over a deterministic
+    * labeled slice — the stage that completes the CCNet/fastText slot
+    * (VERDICT r10 item 6): [[classifierScore]] infers with fixed
+    * literal weights; this trains per-bucket weights from data and
+    * [[classifierScoreTrained]] applies them.
+    *
+    * Training set: every fifth document (doc_id % 5 == 0 — the
+    * deterministic labeled slice). Label: the [[qualityScore]] gate
+    * (>= 0.5) — the same "high-quality reference corpus vs the rest"
+    * supervision CCNet derives from Wikipedia membership. Features:
+    * binary PRESENCE of each hashed unigram bucket ([[featBucket]] — 3
+    * md5 hex nibbles, 4096 buckets, the [[classifierScore]] space).
+    * The trained weight is the add-one-smoothed class-conditional
+    * probability in ppm — `(n_pos + 1) * 1e6 DIV (n_pos + n_neg + 2)`
+    * — pure integer floor division, so training replays EXACTLY in any
+    * engine (no log, no float sum: the `bpe_merges` train-then-apply
+    * determinism rule).
+    *
+    * Output per observed bucket: (bucket, n_pos, n_neg, w_ppm). At most
+    * 4096 rows — the model always broadcasts.
+    *
+    * Scale: one slice-sized distinct (doc, bucket) shuffle + a
+    * ≤4096-group aggregate; the label derivation is one codegen'd text
+    * pass. Nothing grows with the full corpus — training reads the
+    * slice only.
+    */
+  def classifierTrain(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val slice = docs.where(col("doc_id") % 5 === 0)
+    val labeled = qualityScore(tokenStats(slice, textCol))
+      .where(col("quality_score").isNotNull)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).as("_pos"))
+    val feats = slice
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .select(col("doc_id"), featBucket(col("tok")).as("bucket"))
+      .distinct()
+    feats.join(labeled, Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("_pos"), 0L).otherwise(1L)).as("n_neg"))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        expr("(n_pos + 1) * 1000000L DIV (n_pos + n_neg + 2)")
+          .as("w_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** [[classifierScore]] with the [[classifierTrain]] weights instead
+    * of the fixed literals: per token, the trained bucket weight (or
+    * the smoothed prior 500000 ppm for a bucket never seen in
+    * training), summed per document; `keep` = the document's average
+    * evidence exceeds the neutral 0.5 — `score_fp > n_tokens * 500000`,
+    * all integer.
+    *
+    * Plan shape: the ≤4096-row model BROADCASTS onto the token stream
+    * (codegen'd hash join, no shuffle of the corpus), then the same
+    * one-(doc_id)-aggregate as [[classifierScore]]. Scan-linear at any
+    * corpus size; training cost is the slice, inference cost is the
+    * corpus.
+    */
+  def classifierScoreTrained(docs: DataFrame,
+                             textCol: String = "text"): DataFrame = {
+    val model = classifierTrain(docs, textCol).select("bucket", "w_ppm")
+    val scored = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .select(col("doc_id"), featBucket(col("tok")).as("bucket"))
+      .join(broadcast(model), Seq("bucket"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w_ppm"), lit(500000L)).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("score_fp"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"),
+        (coalesce(col("score_fp"), lit(0L)) >
+          coalesce(col("n_tokens"), lit(0L)) * lit(500000L)).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** Weighted mixture upsampling for data mixing: every stratum's docs

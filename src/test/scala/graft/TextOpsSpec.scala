@@ -391,6 +391,64 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2).getBoolean(4) === false)
   }
 
+  test("classifierTrain: hand-computed NB presence counts and smoothed " +
+       "integer weights over the labeled slice; trained scorer applies " +
+       "them with the prior for unseen buckets") {
+    import org.apache.spark.sql.functions.col
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 3), 16)
+    }
+    // toy corpus engineered so the quality label splits the slice:
+    // pos = distinct-rich 25+ tokens with stopwords, neg = "a a a a";
+    // doc 3 is OUTSIDE the doc_id%5 slice and must not train anything.
+    val pos1 = (1 to 25).map(i => s"w$i").mkString(" ") + " the of and"
+    val pos2 = (1 to 22).map(i => s"v$i").mkString(" ") + " the in is"
+    val neg1 = "a a a a"
+    val docs = Seq((0L, pos1), (5L, neg1), (10L, pos2),
+      (3L, "outside slice marker")).toDF("doc_id", "text")
+    // sanity: the operator's label derivation splits the toy as designed
+    val labels = TextOps.qualityScore(
+        TextOps.tokenStats(docs.where(col("doc_id") % 5 === 0)))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("quality_score") >= 0.5)).toMap
+    assert(labels === Map(0L -> true, 5L -> false, 10L -> true))
+    // independent expected model: distinct buckets per slice doc,
+    // add-one-smoothed ppm weights
+    val expected = Seq(0L -> pos1, 5L -> neg1, 10L -> pos2)
+      .flatMap { case (id, tx) =>
+        tx.toLowerCase.split(" ").map(bucket).distinct
+          .map(b => (b, labels(id)))
+      }
+      .groupBy(_._1).map { case (b, xs) =>
+        val np = xs.count(_._2).toLong
+        val nn = xs.size - np
+        (b, np, nn, (np + 1L) * 1000000L / (np + nn + 2L))
+      }.toSeq.sortBy(_._1)
+    val out = TextOps.classifierTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === expected)
+    val wMap = out.map(r => r._1 -> r._4).toMap
+    // trained scorer: per-token trained weight (or the 500000 prior),
+    // exact integer sums, keep = above-neutral average
+    val scored = TextOps.classifierScoreTrained(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    def exp(tx: String) = tx.toLowerCase.split(" ")
+      .map(t => wMap.getOrElse(bucket(t), 500000L)).sum
+    assert(scored(5L) === ((4L, 4L * wMap(bucket("a")),
+      4L * wMap(bucket("a")) > 4L * 500000L)))
+    assert(scored(0L) === ((28L, exp(pos1), exp(pos1) > 28L * 500000L)))
+    assert(scored(3L) === ((3L, exp("outside slice marker"),
+      exp("outside slice marker") > 3L * 500000L)))
+    // the all-neg bucket scores below neutral, the pos-only ones above
+    assert(wMap(bucket("a")) < 500000L)
+    assert(wMap(bucket("w1")) > 500000L)
+  }
+
   test("lmScoreSliced equals lmScore exactly (per-doc sums additive " +
        "over the gram-hash partition)") {
     val d = Seq(
