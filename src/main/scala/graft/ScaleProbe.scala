@@ -68,6 +68,45 @@ object ScaleProbe {
             EntryHelpers.plantedVecs(spark, sfDir), cb, threshold = 0.9),
           runs,
           s""""probe":"semantic_dedup","cells":$nCells""")
+      case "pairs-oneshot" =>
+        // <sfDir> pairs-oneshot <rowsPerBand> [runs] -- the one-shot
+        // banding modes for the mode-ladder sweep (VERDICT r10 item 4):
+        // rowsPerBand=1 is the r=1 recall-max form (nearDupPairs),
+        // rowsPerBand>=2 the classic b×r form (nearDupPairsBanded).
+        val rpb = args(2).toInt
+        val runs = if (args.length > 3) args(3).toInt else 1
+        val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+        (() => if (rpb == 1)
+            graft.operators.Dedup.nearDupPairs(docsDf)
+          else graft.operators.Dedup.nearDupPairsBanded(docsDf,
+            rowsPerBand = rpb),
+          runs,
+          s""""probe":"neardup_pairs_oneshot","rows_per_band":$rpb""")
+      case "mix" =>
+        // <sfDir> mix <narrow|text> [runs] -- the s4 isolation probe
+        // (VERDICT r10 item 1 re-measure): a 2/3-of-corpus survivor key
+        // set (the composed chain's shape at the decade where it
+        // outgrew the broadcast threshold) feeds the mix stage either
+        // through the narrow per-doc stats manifest (the fix) or
+        // through the legacy text-bearing join (manifest derived AFTER
+        // `docs ⋈ survivors`, so text crosses the survivor exchange).
+        import org.apache.spark.sql.functions._
+        import graft.operators.TextOps
+        val mode = args(2)
+        val runs = if (args.length > 3) args(3).toInt else 1
+        val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+        val surv = docsDf.select("doc_id")
+          .where(pmod(col("doc_id"), lit(3L)) =!= 0L)
+        (() => (mode match {
+            case "narrow" => TextOps.mixManifestFromStats(
+              TextOps.docStatsManifest(docsDf)
+                .join(surv, Seq("doc_id")))
+            case "text" => TextOps.mixManifestFromStats(
+              TextOps.docStatsManifest(docsDf.join(surv, Seq("doc_id"))))
+            case other => sys.error(s"bad mix mode: $other")
+          }).select("doc_id", "source", "quality_score"),
+          runs,
+          s""""probe":"mix_stage","mode":"$mode"""")
       case "pairs-sliced" =>
         // Bounded-scratch sliced banding at deployment slice counts —
         // the sixth-decade measurement mode for the pair family (the
@@ -223,6 +262,9 @@ object ScaleProbe {
           val pairs = s2Mode.split(":") match {
             case Array("oneshot") =>
               Dedup.nearDupPairs(d).select("doc_a", "doc_b")
+            case Array("banded", rpb) =>
+              Dedup.nearDupPairsBanded(d, rowsPerBand = rpb.toInt)
+                .select("doc_a", "doc_b")
             case Array("sliced", k, b) =>
               Dedup.nearDupPairsBandedSliced(d,
                   scratch("graft_cprod_pairs"),
