@@ -242,6 +242,37 @@ object Bench {
         jq.processAllAvailable()
         jq.stop()
         val secJsonl = (System.nanoTime() - tj) / 1e9
+        // The digest-gated landing over the same export: prices the
+        // idempotence gate's overhead (binaryFile digest scan +
+        // ledger anti-join + ledger append) against the plain landing
+        // stream above. The export dir's part files carry no .jsonl
+        // extension, so they are re-linked under one.
+        val gLanding = dir.resolve("jsonl_gated_landing")
+        java.nio.file.Files.createDirectories(gLanding)
+        val parts = java.nio.file.Files.list(
+          java.nio.file.Paths.get(jLanding))
+        try {
+          val it = parts.iterator()
+          var i = 0
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.startsWith("part-")) {
+              java.nio.file.Files.copy(p,
+                gLanding.resolve(s"shard_$i.jsonl"))
+              i += 1
+            }
+          }
+        } finally parts.close()
+        val tg = System.nanoTime()
+        val gq = graft.streaming.StreamingPipeline
+          .documentLandingStreamIdempotent(spark, gLanding.toString,
+            dir.resolve("jsonl_gated_good").toString,
+            dir.resolve("jsonl_gated_quarantine").toString,
+            dir.resolve("jsonl_gated_ckpt").toString,
+            dir.resolve("jsonl_gated_ledger").toString, "jsonl")
+        gq.processAllAvailable()
+        gq.stop()
+        val secGated = (System.nanoTime() - tg) / 1e9
         s""","stream":{"workbooks":$nWb,"tx_rows":$rows,"sec":$secSeq,""" +
           s""""rows_per_sec":${rows / secSeq}},""" +
           s""""stream_batched":{"workbooks":$nWb,"tx_rows":$rows,""" +
@@ -249,7 +280,9 @@ object Bench {
           s""""stream_set_based":{"workbooks":$nWb,"tx_rows":$rows,""" +
           s""""sec":$secSet,"rows_per_sec":${rows / secSet}},""" +
           s""""stream_jsonl":{"docs":$nDocs,"sec":$secJsonl,""" +
-          s""""docs_per_sec":${nDocs / secJsonl}}"""
+          s""""docs_per_sec":${nDocs / secJsonl}},""" +
+          s""""stream_jsonl_gated":{"docs":$nDocs,"sec":$secGated,""" +
+          s""""docs_per_sec":${nDocs / secGated}}"""
       } catch { case e: Throwable =>
         // Same failure-honesty contract as the queries: a broken
         // streaming pipeline must not silently vanish from the output
