@@ -251,12 +251,15 @@ object ScaleProbe {
             .join(s1g, Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("quality_score"))
         }
-        // s2 pair generation follows the pair family's documented mode
-        // contract: one-shot while the corpus fits the node's shuffle
-        // scratch, bounded-scratch sliced banding past it (args(3) =
-        // "sliced:K:B"). The registry row pins the oracle-checkable
-        // one-shot parameterization; the probe measures the
-        // deployment-scale mode (the parameterized-operator rule).
+        // s2 pair generation follows the pair family's mode contract
+        // (re-derived round 11, SCALING.md batch 19): one-shot classic
+        // b×r under ~1 M docs ("banded:2"), sliced classic from ~5 M
+        // docs up ("sliced:K:B" — it wins wall there outright, scratch
+        // ceiling or not); "oneshot" (r=1 recall-max) only matches the
+        // registry row's oracle parameterization at test SFs. The
+        // registry row pins the oracle-checkable parameterization; the
+        // probe measures the deployment-scale mode (the
+        // parameterized-operator rule).
         val s2Mode = if (args.length > 3) args(3) else "oneshot"
         val dd = stage("s2_dedup_apply") {
           val pairs = s2Mode.split(":") match {
