@@ -340,6 +340,15 @@ object ScaleProbe {
                 graft.operators.Dedup.kCore(edges, k = 2, maxRounds = 64)
               case "degree_histogram" =>
                 graft.operators.Dedup.degreeHistogram(edges)
+              case "triangles_bounded" =>
+                // the registry's bounded enumerate form (round 11):
+                // TakeOrdered cap + broadcast total count — the node
+                // that replaced the output-sized terminal sort,
+                // measured at the decade that flagged it
+                graft.operators.Dedup.trianglesBounded(edges)
+              case "triangles_unbounded" =>
+                // the retired full-sort form, for the before/after row
+                graft.operators.Dedup.triangles(edges)
               case other => sys.error(s"unknown wedge op: $other")
             }
           },
