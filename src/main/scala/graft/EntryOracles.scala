@@ -320,6 +320,44 @@ private[graft] object EntryOracles {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // Held-out confusion counts: the trained-weight keep decision
+    // (replayed as in classifier_score_trained) against the quality
+    // label, restricted to the docs outside the training slice.
+    "classifier_eval" -> {
+      def nib(k: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)
+         |  WHERE quality_score IS NOT NULL),
+         |t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |f0 AS (SELECT doc_id, md5(unnest(toks)) AS h FROM t0),
+         |b0 AS (SELECT DISTINCT doc_id,
+         |  ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS bucket FROM f0),
+         |l AS (SELECT b0.bucket, q.quality_score >= 0.5 AS pos
+         |  FROM b0 JOIN q ON b0.doc_id = q.doc_id),
+         |w AS (SELECT bucket,
+         |    (CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) + 1) * 1000000
+         |      // (CAST(COUNT(*) AS BIGINT) + 2) AS w_ppm
+         |  FROM l GROUP BY bucket),
+         |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id, md5(unnest(toks)) AS h FROM t),
+         |b AS (SELECT doc_id,
+         |  ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS bucket FROM f),
+         |s AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(COALESCE(w.w_ppm, 500000)) AS BIGINT) AS score_fp
+         |  FROM b LEFT JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id),
+         |pred AS (SELECT d.doc_id,
+         |    COALESCE(s.score_fp, 0) > COALESCE(s.n_tokens, 0) * 500000
+         |      AS keep
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |lab AS (SELECT doc_id, quality_score >= 0.5 AS label FROM q
+         |  WHERE doc_id % 5 <> 0)
+         |SELECT lab.label, pred.keep, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM lab JOIN pred ON lab.doc_id = pred.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     // Fixed-point bigram LM score: integer `(c2·10^8) // c1` per
     // transition, exact BIGINT per-doc sums, one final IEEE division —
     // replaying TextOps.lmScore's arithmetic step for step.

@@ -1347,6 +1347,14 @@ private[graft] object EntryQueries {
     "classifier_score_trained" -> ((s, dir) =>
       TextOps.classifierScoreTrained(docs(s, dir))),
 
+    // Held-out evaluation — confusion counts of the trained keep
+    // decision vs the quality label on the docs the trainer never saw
+    // (doc_id%5 != 0): the train/score/eval split a production gate
+    // reports before shipping. All integer; the oracle replays the
+    // full chain.
+    "classifier_eval" -> ((s, dir) =>
+      TextOps.classifierEval(docs(s, dir))),
+
     // Composed curation pass — the full cleaning pipeline as ONE plan:
     // corpus-quantile length band ∩ quality threshold ∩ language known ∩
     // exact-dedup representative. Proves the curation operators compose

@@ -1079,6 +1079,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Held-out evaluation of the trained classifier — the third leg of
+    * the CCNet slot's train → score → eval split: confusion counts of
+    * [[classifierScoreTrained]]'s keep decision against the quality
+    * label on the documents the trainer NEVER saw (doc_id % 5 != 0).
+    * One row per (label, prediction) cell plus per-cell document
+    * counts — all integers, so the oracle replays the whole
+    * train+score+eval chain exactly. The `n_docs`-weighted diagonal
+    * over the table is the held-out accuracy a pipeline reports before
+    * trusting the gate.
+    *
+    * Scale: inference cost (the corpus scan + broadcast model) plus a
+    * 4-row aggregate; the label derivation rides the same text pass
+    * contract as [[qualityScore]].
+    */
+  def classifierEval(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val holdout = docs.where(col("doc_id") % 5 =!= 0)
+    val labels = qualityScore(tokenStats(holdout, textCol))
+      .where(col("quality_score").isNotNull)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).as("label"))
+    classifierScoreTrained(docs, textCol)
+      .select(col("doc_id"), col("keep"))
+      .join(labels, Seq("doc_id"))
+      .groupBy("label", "keep")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "keep")
+  }
+
   /** Weighted mixture upsampling for data mixing: every stratum's docs
     * are repeated `epochs(stratum)` times (default `defaultEpochs`) —
     * the "high-quality sources get more epochs" step. One output row per

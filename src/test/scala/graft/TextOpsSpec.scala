@@ -447,6 +447,13 @@ class TextOpsSpec extends AnyFunSuite {
     // the all-neg bucket scores below neutral, the pos-only ones above
     assert(wMap(bucket("a")) < 500000L)
     assert(wMap(bucket("w1")) > 500000L)
+    // held-out eval: doc 3 is the only non-slice doc; its quality
+    // label is false (3 tokens, no stopwords) and the confusion table
+    // is exactly that one cell, keyed by whatever the scorer predicted
+    val eval = TextOps.classifierEval(docs).collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1)), r.getLong(2)))
+      .toMap
+    assert(eval === Map((false, scored(3L)._3) -> 1L))
   }
 
   test("lmScoreSliced equals lmScore exactly (per-doc sums additive " +
