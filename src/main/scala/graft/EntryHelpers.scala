@@ -375,10 +375,11 @@ private[graft] object EntryHelpers {
     * the table (batch 18c measured the family at 1.6–8.2 s from the
     * persisted sixth-decade table vs ~800 s corpus-fed per operator).
     * Corpus-fed pair PRODUCTION stays oracle-checked by its own rows
-    * (`simhash_pairs_md5`, `neardup_pairs*`) and by the LSH-graph
-    * consumers left deliberately corpus-fed (`neardup_clusters`,
-    * `edit_distance_pairs`); write→read→operate parity is pinned in
-    * DedupSpec.
+    * (`simhash_pairs_md5`, `neardup_pairs*`, `minhash_signatures`) and
+    * by the composed `corpus_production` chain, which recomputes its
+    * pairs live by contract; every pure CONSUMER (wedge family,
+    * clustering family, dedup-apply family) reads the table.
+    * write→read→operate parity is pinned in DedupSpec.
     */
   private[graft] val simhashEdgeDirs =
     new SessionMemo[java.nio.file.Path](deleteTree)

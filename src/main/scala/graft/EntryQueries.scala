@@ -572,21 +572,20 @@ private[graft] object EntryQueries {
 
     // Exact Levenshtein verify over the LSH-blocked candidate pairs —
     // the O(len²) last step of fuzzy matching, never run all-pairs.
-    "edit_distance_pairs" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.editDistancePairs(
-        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d)
-    }),
+    "edit_distance_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(neardupEdges(s, dir), docs(s, dir))),
 
-    // The wedge/graph family below reads the per-(session, sf)
+    // EVERY pair-graph CONSUMER below (the wedge family AND the
+    // clustering/dedup-apply family) reads the per-(session, sf)
     // MATERIALIZED pair-graph tables (EntryHelpers.simhashEdges /
     // neardupEdges — the Dedup.writePairGraph contract, VERDICT r10
     // item 2): the pair search is paid once per corpus version, every
-    // graph operator prices edge-table-sized. Corpus-fed pair
-    // PRODUCTION stays oracle-checked by simhash_pairs_md5 /
-    // neardup_pairs*, and the LSH-graph consumers neardup_clusters /
-    // neardup_cluster_sizes / edit_distance_pairs remain deliberately
-    // corpus-fed as the composition variants.
+    // consumer prices edge-table-sized. Corpus-fed pair PRODUCTION
+    // stays oracle-checked by its own rows (neardup_pairs,
+    // neardup_pairs_banded, neardup_pairs_banded_sliced,
+    // simhash_pairs_md5, minhash_signatures) and by the composed
+    // corpus_production chain, which deliberately recomputes its pairs
+    // live.
 
     // PageRank over the MinHash-LSH near-dup pair graph: fixed-point
     // BIGINT arithmetic (floor divisions only — no float sums), so the
@@ -632,13 +631,10 @@ private[graft] object EntryQueries {
     // graph — every doc labeled with its cluster's canonical (minimum)
     // doc_id, singletons labeling themselves. The post-pair step an LLM
     // dedup pipeline actually acts on ("keep one per cluster").
-    "neardup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
+    "neardup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
-          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
-          d.select("doc_id"))
-        .orderBy("doc_id")
-    }),
+          neardupEdges(s, dir), docs(s, dir).select("doc_id"))
+        .orderBy("doc_id")),
 
     // Cluster-size histogram over the near-dup clustering — the
     // duplicate-group shape diagnostic (is duplication pairwise or
@@ -646,8 +642,7 @@ private[graft] object EntryQueries {
     "neardup_cluster_sizes" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.connectedComponents(
-          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
-          d.select("doc_id"))
+          neardupEdges(s, dir), d.select("doc_id"))
         .groupBy("cluster").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .orderBy("sz")
@@ -658,7 +653,7 @@ private[graft] object EntryQueries {
     "neardup_rate_by_source" -> ((s, dir) => {
       val d = docs(s, dir)
       val cc = Dedup.connectedComponents(
-        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+        neardupEdges(s, dir), d.select("doc_id"))
       d.select("doc_id", "source").join(cc, Seq("doc_id"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -674,13 +669,10 @@ private[graft] object EntryQueries {
     // neardup_clusters' transitive-closure oracle, so both algorithms
     // must produce the identical relation (the flagship_rank two-form
     // pattern).
-    "neardup_clusters_star" -> ((s, dir) => {
-      val d = docs(s, dir)
+    "neardup_clusters_star" -> ((s, dir) =>
       Dedup.connectedComponentsStar(
-          Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
-          d.select("doc_id"))
-        .orderBy("doc_id")
-    }),
+          neardupEdges(s, dir), docs(s, dir).select("doc_id"))
+        .orderBy("doc_id")),
 
     // The dedup endpoint: cluster the pair graph, then keep one
     // representative per cluster (longest text, doc_id tiebreak) — the
@@ -688,7 +680,7 @@ private[graft] object EntryQueries {
     "dedup_apply" -> ((s, dir) => {
       val d = docs(s, dir)
       val clusters = Dedup.connectedComponents(
-        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+        neardupEdges(s, dir), d.select("doc_id"))
       Dedup.keepClusterRepresentatives(d, clusters)
         .select(col("cluster"), col("doc_id"),
           col("n_chars").cast("long").as("n_chars"))
@@ -879,14 +871,11 @@ private[graft] object EntryQueries {
     // the cluster label — no near-duplicate pair can straddle train and
     // test, the eval-contamination guarantee split_assign's per-doc
     // hashing cannot make.
-    "cluster_split" -> ((s, dir) => {
-      val d = docs(s, dir)
+    "cluster_split" -> ((s, dir) =>
       TextOps.clusterSplit(
           Dedup.connectedComponents(
-            Dedup.nearDupPairs(d).select("doc_a", "doc_b"),
-            d.select("doc_id")))
-        .orderBy("doc_id")
-    }),
+            neardupEdges(s, dir), docs(s, dir).select("doc_id")))
+        .orderBy("doc_id")),
 
     // ---- Similarity search ----------------------------------------------
 
@@ -1657,7 +1646,7 @@ private[graft] object EntryQueries {
     "dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
       val clusters = Dedup.connectedComponents(
-        Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+        neardupEdges(s, dir), d.select("doc_id"))
       Dedup.keepByScore(
           TextOps.qualityScore(TextOps.tokenStats(d))
             .select("doc_id", "quality_score"),
