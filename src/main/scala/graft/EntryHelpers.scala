@@ -566,8 +566,11 @@ private[graft] object EntryHelpers {
     def render(df: DataFrame) =
       if (format == "jsonl") graft.sources.Jsonl.renderLines(df)
       else graft.sources.Csv.renderLines(df)
-    // one part file per shard, moved to a FIXED name so the ledger's
-    // filename column is deterministic
+    // One part file per shard, moved to a FIXED name so the ledger's
+    // filename column is deterministic. The coalesce(1) is the FIXTURE
+    // BUILDER's envelope (a deterministic 3-file landing zone), not the
+    // landing contract — production shards arrive pre-sharded and the
+    // gate digests each file independently.
     def shard(name: String, df: DataFrame): Unit = {
       val rdir = java.nio.file.Paths.get(s"$tmp/render_$name")
       render(df).coalesce(1).write.mode("overwrite").text(rdir.toString)
