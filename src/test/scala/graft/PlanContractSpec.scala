@@ -279,6 +279,18 @@ class PlanContractSpec extends AnyFunSuite {
     """\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]""".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
 
+  test("pair-graph consumers read the persisted edge table: degree_hist " +
+       "plans a parquet edge scan with NO signature machinery " +
+       "(the writePairGraph contract, wired round 11)") {
+    val p = fmt("degree_hist")
+    assert(p.contains("graft_edges_sh"),
+      s"expected the memoized simhash edge-table scan:\n$p")
+    // none of the pair-SEARCH stages may appear: shingling, hashing,
+    // signature aggregation all happened once at table build time
+    for (node <- Seq("token_ngrams", "xxhash64", "md5(", "collect_set"))
+      assert(!p.contains(node), s"pair-search node '$node' in plan:\n$p")
+  }
+
   test("mix_manifest: no exchange carries the text column (narrow " +
        "manifest feed — VERDICT r10 item 1)") {
     val p = fmt("mix_manifest")
