@@ -125,6 +125,70 @@ object ScaleProbe {
           runs,
           s""""probe":"neardup_pairs_banded_sliced","slices":$slices,""" +
             s""""build_slices":$buildSlices""")
+      case "landing" =>
+        // <sfDir> landing [format] [shards] -- the digest-gated
+        // document landing at ladder scale: the corpus exports as N
+        // shards (outside the clock), the gated stream ingests them in
+        // one micro-batch, then a byte-identical shard re-delivery in
+        // a SECOND micro-batch must no-op against the persistent
+        // ledger. Prints ingest docs/s, the re-delivery cost, and the
+        // ledger/good counts that prove the skip.
+        import graft.sources.Jsonl
+        val format = if (args.length > 2) args(2) else "jsonl"
+        val shards = if (args.length > 3) args(3).toInt else 32
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_landing_probe")
+        val landing = tmp.resolve("landing")
+        java.nio.file.Files.createDirectories(landing)
+        val render = tmp.resolve("render").toString
+        val lines =
+          if (format == "jsonl") Jsonl.renderLines(d)
+          else graft.sources.Csv.renderLines(d)
+        Jsonl.writeLines(lines.repartition(shards), render)
+        var i = 0
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(render))
+        try {
+          val it = ls.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.startsWith("part-")) {
+              java.nio.file.Files.move(p,
+                landing.resolve(f"shard_$i%04d.$format"))
+              i += 1
+            }
+          }
+        } finally ls.close()
+        val nDocs = d.count()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamingPipeline
+          .documentLandingStreamIdempotent(spark, landing.toString,
+            tmp.resolve("good").toString, tmp.resolve("qr").toString,
+            tmp.resolve("ckpt").toString, tmp.resolve("ledger").toString,
+            format)
+        q.processAllAvailable()
+        val ingestSec = (System.nanoTime() - t0) / 1e9
+        // byte-identical re-delivery, later micro-batch, new name
+        java.nio.file.Files.copy(
+          landing.resolve(f"shard_0000.$format"),
+          landing.resolve(s"shard_again.$format"))
+        val t1 = System.nanoTime()
+        q.processAllAvailable()
+        val redeliverSec = (System.nanoTime() - t1) / 1e9
+        q.stop()
+        val store =
+          new graft.state.StateStore(spark, tmp.resolve("ledger").toString)
+        val ledgerN = store.uploadDigests.count()
+        val goodN = spark.read
+          .parquet(tmp.resolve("good").toString + "/batch_*").count()
+        println(s"""{"probe":"gated_landing","format":"$format",""" +
+          s""""shards":$i,"docs":$nDocs,"ingest_sec":$ingestSec,""" +
+          s""""docs_per_sec":${nDocs / ingestSec},""" +
+          s""""redeliver_sec":$redeliverSec,"ledger":$ledgerN,""" +
+          s""""good_rows":$goodN}""")
+        graft.EntryHelpers.deleteTree(tmp)
+        spark.stop()
+        return
       case "edges-build" =>
         // <sfDir> edges-build <outPath> <slices> <buildSlices> -- the
         // once-per-corpus-version materialization step of the wedge
