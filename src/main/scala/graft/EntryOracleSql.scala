@@ -10,10 +10,11 @@ import graft.operators._
 private[graft] object EntryOracleSql {
 
   // ---- DuckDB oracle SQL ----------------------------------------------
-  // Omitted (rows-only check) for the three SKETCH rows only:
-  // approx_users_per_type / approx_event_quantiles (error bounds vs the
-  // exact twins asserted in PropertySpec) and column_stats_approx (HLL
-  // NDV; error bound vs the exact column_stats twin in ScaleSpec).
+  // Every registry query carries an oracle (the rows-only set is empty
+  // since round 12): the three sketch rows (approx_users_per_type,
+  // approx_event_quantiles, column_stats_approx) output their exact
+  // twin's columns + an in-plan within_bound verdict, and their oracles
+  // replay the exact twin + TRUE.
   // The xxhash64 simhash pair search ships as Dedup.simhashPairs + a
   // DedupSpec equivalence pin, with the md5-sliced simhash_pairs_md5
   // registry row carrying the oracle. multimodal_features is oracle-checked via

@@ -46,6 +46,14 @@ private[graft] object EntryOracles {
         |  COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Verdict twin of users_per_type (VERDICT r11 item 2): exact count +
+    // TRUE — Spark computes within_bound (|HLL − exact|/exact ≤ 0.05)
+    // in-plan, so the hash matches iff the sketch held the bound.
+    "approx_users_per_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ann_topk_lsh" -> annLshSql,
 
     "ann_topk_join" -> annJoinSql,
@@ -838,6 +846,19 @@ private[graft] object EntryOracles {
         |  roundbankers(quantile_cont(value, 0.5), 4) AS p50,
         |  roundbankers(quantile_cont(value, 0.95), 4) AS p95,
         |  roundbankers(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Verdict twin of event_quantiles (VERDICT r11 item 2): exact
+    // percentiles + TRUE — Spark recomputes each approx quantile's
+    // achieved RANK in-plan and checks PropertySpec's tolerance
+    // (max(0.01, 2/n), +1/n upper step); the hash matches iff every
+    // quantile's rank bound held.
+    "approx_event_quantiles" ->
+      """SELECT event_type,
+        |  roundbankers(quantile_cont(value, 0.5), 4) AS p50,
+        |  roundbankers(quantile_cont(value, 0.95), 4) AS p95,
+        |  roundbankers(quantile_cont(value, 0.99), 4) AS p99,
+        |  TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_pivot" ->

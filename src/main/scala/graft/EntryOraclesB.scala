@@ -27,6 +27,102 @@ private[graft] object EntryOraclesB {
       |SELECT s.tok AS term, s.df, s.total_tf, p.postings
       |FROM s JOIN p ON s.tok = p.tok ORDER BY term""".stripMargin
 
+  // Shared by column_stats and the column_stats_approx verdict twin
+  // (exact per-column stats arms, no terminal order).
+  private val columnStatsBareSql: String = {
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val arms =
+      numeric.map(c =>
+        s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, " +
+          s"COUNT(DISTINCT $c) AS ndv, CAST(MIN($c) AS DOUBLE) AS " +
+          s"min_num, CAST(MAX($c) AS DOUBLE) AS max_num FROM lineitem") ++
+      strings.map(c =>
+        s"SELECT '$c', COUNT(*) - COUNT($c), COUNT(DISTINCT $c), " +
+          "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem") ++
+      Seq("SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), " +
+        "COUNT(DISTINCT l_shipdate), " +
+        "CAST(epoch_ms(MIN(l_shipdate)) AS DOUBLE), " +
+        "CAST(epoch_ms(MAX(l_shipdate)) AS DOUBLE) FROM lineitem")
+    arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)")
+  }
+
+  // The composed corpus-production chain (curate v3 gates -> cluster
+  // representatives -> decontamination -> temperature mix -> shuffle ->
+  // pack), shared by corpus_production, corpus_production_card and
+  // export_manifest: every stage is the SAME SQL its standalone oracle
+  // row uses, so the three composite oracles stay definitionally in sync
+  // with each component AND each other. Ends at CTE `fin`
+  // (doc_id, source, quality_score, position, n_tokens, seq_id,
+  // seq_offset).
+  private val corpusProductionChainSql: String =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
+       |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
+       |band AS (SELECT doc_id FROM ($lengthFilterSql)),
+       |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(lower(trim(text)))),
+       |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
+       |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql)),
+       |clf AS (SELECT doc_id FROM (SELECT doc_id,
+       |    SUM(((b * 37 + 11) % 201) - 100) AS logit FROM (
+       |      SELECT doc_id,
+       |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+       |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+       |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS b
+       |      FROM (SELECT doc_id,
+       |          md5(unnest(string_split(lower(text), ' '))) AS h
+       |        FROM documents))
+       |    GROUP BY doc_id) WHERE logit > 0),
+       |cur AS (SELECT d.doc_id, d.source, q.quality_score
+       |  FROM documents d
+       |  JOIN band USING (doc_id) JOIN q USING (doc_id)
+       |  JOIN l USING (doc_id) JOIN reps USING (doc_id)
+       |  JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
+       |  JOIN clf USING (doc_id)
+       |  WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
+       |    AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL),
+       |cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
+       |ddw AS (SELECT cur.doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY cl.cluster
+       |    ORDER BY cur.quality_score DESC, cur.doc_id ASC) AS rn
+       |  FROM cur JOIN cl ON cur.doc_id = cl.doc_id),
+       |dd AS (SELECT cur.* FROM cur
+       |  JOIN ddw ON cur.doc_id = ddw.doc_id WHERE ddw.rn = 1),
+       |$contamGramsSql,
+       |flag AS (SELECT DISTINCT c.doc_id FROM c JOIN hh ON c.g = hh.g),
+       |dec AS (SELECT dd.* FROM dd WHERE dd.doc_id % 10 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = dd.doc_id)),
+       |ps AS (SELECT source, COUNT(*) AS n_docs FROM dec GROUP BY 1),
+       |w AS (SELECT source, n_docs,
+       |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS weight_fp FROM ps),
+       |tt AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n FROM w),
+       |expd AS (SELECT source,
+       |  CAST((weight_fp * 1000000 // tot) * n // 1000000 AS BIGINT)
+       |    AS expected_docs FROM w CROSS JOIN tt),
+       |r AS (SELECT dec.source, dec.doc_id, dec.quality_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY dec.source
+       |      ORDER BY dec.quality_score DESC, dec.doc_id) AS BIGINT) AS rk
+       |  FROM dec),
+       |mix AS (SELECT r.doc_id, r.source, r.quality_score
+       |  FROM r JOIN expd USING (source) WHERE r.rk <= expd.expected_docs),
+       |sh AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |    AS BIGINT) AS position FROM mix),
+       |tok AS (SELECT m.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM mix m JOIN documents d ON m.doc_id = d.doc_id),
+       |pk AS (SELECT sh.doc_id, sh.position, tok.n_tokens,
+       |    CAST(SUM(tok.n_tokens) OVER (ORDER BY sh.position)
+       |      - tok.n_tokens AS BIGINT) AS st
+       |  FROM sh JOIN tok ON sh.doc_id = tok.doc_id),
+       |fin AS (SELECT m.doc_id, m.source, m.quality_score, pk.position,
+       |    pk.n_tokens, pk.st // 2048 AS seq_id, pk.st % 2048 AS seq_offset
+       |  FROM mix m JOIN pk ON m.doc_id = pk.doc_id)""".stripMargin
+
   val all: Map[String, String] = Map(
     "events_cube" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
@@ -680,26 +776,16 @@ private[graft] object EntryOraclesB {
          |FROM sc WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "column_stats" -> {
-      val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-        "l_tax")
-      val strings = Seq("l_returnflag", "l_linestatus")
-      val arms =
-        numeric.map(c =>
-          s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, " +
-            s"COUNT(DISTINCT $c) AS ndv, CAST(MIN($c) AS DOUBLE) AS " +
-            s"min_num, CAST(MAX($c) AS DOUBLE) AS max_num FROM lineitem") ++
-        strings.map(c =>
-          s"SELECT '$c', COUNT(*) - COUNT($c), COUNT(DISTINCT $c), " +
-            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem") ++
-        Seq("SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), " +
-          "COUNT(DISTINCT l_shipdate), " +
-          "CAST(epoch_ms(MIN(l_shipdate)) AS DOUBLE), " +
-          "CAST(epoch_ms(MAX(l_shipdate)) AS DOUBLE) FROM lineitem")
-      arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-        "\n) ORDER BY column_name")
-    },
+    "column_stats" ->
+      s"SELECT * FROM ($columnStatsBareSql) ORDER BY column_name",
+
+    // Verdict twin (VERDICT r11 item 2): the exact stats + TRUE — the
+    // Spark side computes within_bound in-plan (|ndv_approx − ndv| ≤
+    // max(1, 6·rsd·ndv), ScaleSpec's determinism bound), so the hash
+    // matches iff the HLL estimate held the bound for every column.
+    "column_stats_approx" ->
+      (s"SELECT *, TRUE AS within_bound FROM ($columnStatsBareSql) " +
+        "ORDER BY column_name"),
 
     // Transitive closure over the semantic pair graph, per-cluster
     // membership counts (pvecs is the planted vertex set).
@@ -1111,143 +1197,46 @@ private[graft] object EntryOraclesB {
     // the SURVIVING corpus -> md5 shuffle order -> prefix-sum packing in
     // training order). Shared by the per-document row and the card.
     "corpus_production" ->
-      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
-       |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
-       |band AS (SELECT doc_id FROM ($lengthFilterSql)),
-       |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
-       |  GROUP BY md5(lower(trim(text)))),
-       |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
-       |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql)),
-       |clf AS (SELECT doc_id FROM (SELECT doc_id,
-       |    SUM(((b * 37 + 11) % 201) - 100) AS logit FROM (
-       |      SELECT doc_id,
-       |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
-       |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-       |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS b
-       |      FROM (SELECT doc_id,
-       |          md5(unnest(string_split(lower(text), ' '))) AS h
-       |        FROM documents))
-       |    GROUP BY doc_id) WHERE logit > 0),
-       |cur AS (SELECT d.doc_id, d.source, q.quality_score
-       |  FROM documents d
-       |  JOIN band USING (doc_id) JOIN q USING (doc_id)
-       |  JOIN l USING (doc_id) JOIN reps USING (doc_id)
-       |  JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
-       |  JOIN clf USING (doc_id)
-       |  WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
-       |    AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL),
-       |cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
-       |ddw AS (SELECT cur.doc_id, ROW_NUMBER() OVER (
-       |    PARTITION BY cl.cluster
-       |    ORDER BY cur.quality_score DESC, cur.doc_id ASC) AS rn
-       |  FROM cur JOIN cl ON cur.doc_id = cl.doc_id),
-       |dd AS (SELECT cur.* FROM cur
-       |  JOIN ddw ON cur.doc_id = ddw.doc_id WHERE ddw.rn = 1),
-       |$contamGramsSql,
-       |flag AS (SELECT DISTINCT c.doc_id FROM c JOIN hh ON c.g = hh.g),
-       |dec AS (SELECT dd.* FROM dd WHERE dd.doc_id % 10 <> 0
-       |  AND NOT EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = dd.doc_id)),
-       |ps AS (SELECT source, COUNT(*) AS n_docs FROM dec GROUP BY 1),
-       |w AS (SELECT source, n_docs,
-       |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
-       |    AS weight_fp FROM ps),
-       |tt AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot,
-       |  CAST(SUM(n_docs) AS BIGINT) AS n FROM w),
-       |expd AS (SELECT source,
-       |  CAST((weight_fp * 1000000 // tot) * n // 1000000 AS BIGINT)
-       |    AS expected_docs FROM w CROSS JOIN tt),
-       |r AS (SELECT dec.source, dec.doc_id, dec.quality_score,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY dec.source
-       |      ORDER BY dec.quality_score DESC, dec.doc_id) AS BIGINT) AS rk
-       |  FROM dec),
-       |mix AS (SELECT r.doc_id, r.source, r.quality_score
-       |  FROM r JOIN expd USING (source) WHERE r.rk <= expd.expected_docs),
-       |sh AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
-       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
-       |    AS BIGINT) AS position FROM mix),
-       |tok AS (SELECT m.doc_id,
-       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM mix m JOIN documents d ON m.doc_id = d.doc_id),
-       |pk AS (SELECT sh.doc_id, sh.position, tok.n_tokens,
-       |    CAST(SUM(tok.n_tokens) OVER (ORDER BY sh.position)
-       |      - tok.n_tokens AS BIGINT) AS st
-       |  FROM sh JOIN tok ON sh.doc_id = tok.doc_id),
-       |fin AS (SELECT m.doc_id, m.source, m.quality_score, pk.position,
-       |    pk.n_tokens, pk.st // 2048 AS seq_id, pk.st % 2048 AS seq_offset
-       |  FROM mix m JOIN pk ON m.doc_id = pk.doc_id)
+      s"""$corpusProductionChainSql
        |SELECT doc_id, source, quality_score, position, n_tokens,
        |  seq_id, seq_offset
        |FROM fin ORDER BY position""".stripMargin,
 
     "corpus_production_card" ->
-      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
-       |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
-       |band AS (SELECT doc_id FROM ($lengthFilterSql)),
-       |reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
-       |  GROUP BY md5(lower(trim(text)))),
-       |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
-       |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql)),
-       |clf AS (SELECT doc_id FROM (SELECT doc_id,
-       |    SUM(((b * 37 + 11) % 201) - 100) AS logit FROM (
-       |      SELECT doc_id,
-       |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
-       |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-       |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS b
-       |      FROM (SELECT doc_id,
-       |          md5(unnest(string_split(lower(text), ' '))) AS h
-       |        FROM documents))
-       |    GROUP BY doc_id) WHERE logit > 0),
-       |cur AS (SELECT d.doc_id, d.source, q.quality_score
-       |  FROM documents d
-       |  JOIN band USING (doc_id) JOIN q USING (doc_id)
-       |  JOIN l USING (doc_id) JOIN reps USING (doc_id)
-       |  JOIN dsc USING (doc_id) JOIN lm USING (doc_id)
-       |  JOIN clf USING (doc_id)
-       |  WHERE q.quality_score >= 0.5 AND l.pred_lang <> 'unknown'
-       |    AND dsc.dup_frac <= 0.5 AND lm.avg_prob IS NOT NULL),
-       |cl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
-       |ddw AS (SELECT cur.doc_id, ROW_NUMBER() OVER (
-       |    PARTITION BY cl.cluster
-       |    ORDER BY cur.quality_score DESC, cur.doc_id ASC) AS rn
-       |  FROM cur JOIN cl ON cur.doc_id = cl.doc_id),
-       |dd AS (SELECT cur.* FROM cur
-       |  JOIN ddw ON cur.doc_id = ddw.doc_id WHERE ddw.rn = 1),
-       |$contamGramsSql,
-       |flag AS (SELECT DISTINCT c.doc_id FROM c JOIN hh ON c.g = hh.g),
-       |dec AS (SELECT dd.* FROM dd WHERE dd.doc_id % 10 <> 0
-       |  AND NOT EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = dd.doc_id)),
-       |ps AS (SELECT source, COUNT(*) AS n_docs FROM dec GROUP BY 1),
-       |w AS (SELECT source, n_docs,
-       |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
-       |    AS weight_fp FROM ps),
-       |tt AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot,
-       |  CAST(SUM(n_docs) AS BIGINT) AS n FROM w),
-       |expd AS (SELECT source,
-       |  CAST((weight_fp * 1000000 // tot) * n // 1000000 AS BIGINT)
-       |    AS expected_docs FROM w CROSS JOIN tt),
-       |r AS (SELECT dec.source, dec.doc_id, dec.quality_score,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY dec.source
-       |      ORDER BY dec.quality_score DESC, dec.doc_id) AS BIGINT) AS rk
-       |  FROM dec),
-       |mix AS (SELECT r.doc_id, r.source, r.quality_score
-       |  FROM r JOIN expd USING (source) WHERE r.rk <= expd.expected_docs),
-       |sh AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
-       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
-       |    AS BIGINT) AS position FROM mix),
-       |tok AS (SELECT m.doc_id,
-       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM mix m JOIN documents d ON m.doc_id = d.doc_id),
-       |pk AS (SELECT sh.doc_id, sh.position, tok.n_tokens,
-       |    CAST(SUM(tok.n_tokens) OVER (ORDER BY sh.position)
-       |      - tok.n_tokens AS BIGINT) AS st
-       |  FROM sh JOIN tok ON sh.doc_id = tok.doc_id),
-       |fin AS (SELECT m.doc_id, m.source, m.quality_score, pk.position,
-       |    pk.n_tokens, pk.st // 2048 AS seq_id, pk.st % 2048 AS seq_offset
-       |  FROM mix m JOIN pk ON m.doc_id = pk.doc_id)
+      s"""$corpusProductionChainSql
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        |  MIN(position) AS first_position, MAX(position) AS last_position
        |FROM fin GROUP BY source ORDER BY source""".stripMargin,
+
+    // Training-shard export manifest (VERDICT r11 item 3): the shard
+    // assignment is pure arithmetic on the training order
+    // (shard = (position-1)*8 // total), the digest is the
+    // table_checksum md5-fold XOR over the long/string columns -- both
+    // replayed here from the SAME chain SQL the corpus_production row
+    // hashes, so the manifest the factory ships is checked end to end.
+    "export_manifest" -> {
+      val fold = (0 until 15).map { k =>
+        val w = BigInt(16).pow(14 - k)
+        s"(CAST(strpos('0123456789abcdef', substr(m, ${k + 1}, 1)) - 1 " +
+          s"AS BIGINT) * $w)"
+      }.mkString(" +\n        |    ")
+      s"""$corpusProductionChainSql,
+       |asg AS (SELECT fin.*,
+       |    CAST(((position - 1) * 8) // tot.n AS BIGINT) AS shard_id
+       |  FROM fin CROSS JOIN (SELECT COUNT(*) AS n FROM fin) tot),
+       |h AS (SELECT shard_id, n_tokens, position,
+       |    $fold AS hh
+       |  FROM (SELECT shard_id, n_tokens, position,
+       |      md5(concat_ws('|', doc_id, source, position, n_tokens,
+       |        seq_id, seq_offset)) AS m
+       |    FROM asg))
+       |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(position) AS first_position, MAX(position) AS last_position,
+       |  CAST(bit_xor(hh) AS BIGINT) AS checksum
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "curation_pipeline_v2" ->
       s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),

@@ -434,25 +434,65 @@ private[graft] object EntryQueries {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
-    // HLL sketch: approximate distinct users per event type (rows-only —
-    // sketch internals are engine-specific; accuracy asserted vs the
-    // exact count in PropertySpec).
+    // HLL sketch as an ORACLE-CHECKABLE verdict row (VERDICT r11 item 2):
+    // the sketch estimate itself is engine-specific, so the hashed row
+    // carries the exact twin's columns plus `within_bound` — the 5%
+    // relative-error bound PropertySpec asserts — computed IN-PLAN from
+    // sketch vs exact in ONE aggregate. The DuckDB oracle replays the
+    // exact twin and literal TRUE: the hash matches iff the bound held.
+    // The raw estimate stays available code-level (approx_count_distinct
+    // in any agg; the plain-sketch plan is [[Scale.columnStatsApprox]]'s
+    // family).
     "approx_users_per_type" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id").as("_approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_approx").cast("double") -
+              col("exact_users").cast("double")) /
+            col("exact_users").cast("double") <= 0.05)
+            .as("within_bound"))
         .orderBy("event_type")),
 
-    // KLL-style quantile sketch (rows-only — sketch, engine-specific;
-    // rank-error bound vs the exact percentiles asserted in PropertySpec).
-    "approx_event_quantiles" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
+    // Quantile sketch verdict row: exact percentiles (the event_quantiles
+    // twin's columns) plus within_bound — the sketch guarantees RANK
+    // error, so the verdict recomputes each approximate quantile's
+    // achieved rank (count(value <= a)/n via one broadcast join of the
+    // 5-row sketch frame back onto events) and checks it against the
+    // PropertySpec tolerance max(0.01, 2/n) (+1/n above, the discrete
+    // upper step). Oracle replays the exact twin + TRUE.
+    "approx_event_quantiles" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val ap = ev.groupBy("event_type")
         .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
-          .as("quantiles"))
+            .as("q"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("event_type"), col("n"),
+          element_at(col("q"), 1).as("a50"),
+          element_at(col("q"), 2).as("a95"),
+          element_at(col("q"), 3).as("a99"))
+      def rankOf(a: String): Column =
+        (sum(when(col("value") <= col(a), 1L).otherwise(0L))
+          .cast("double") / first("n"))
+      def ok(rank: Column, n: Column, p: Double): Column = {
+        val tol = greatest(lit(0.01), lit(2.0) / n)
+        rank >= lit(p) - tol && rank <= lit(p) + tol + lit(1.0) / n
+      }
+      val verdict = ev.join(broadcast(ap), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(rankOf("a50").as("r50"), rankOf("a95").as("r95"),
+          rankOf("a99").as("r99"), first("n").as("n"))
         .select(col("event_type"),
-          bround(element_at(col("quantiles"), 1), 4).as("p50"),
-          bround(element_at(col("quantiles"), 2), 4).as("p95"),
-          bround(element_at(col("quantiles"), 3), 4).as("p99"))
-        .orderBy("event_type")),
+          (ok(col("r50"), col("n"), 0.5) &&
+            ok(col("r95"), col("n"), 0.95) &&
+            ok(col("r99"), col("n"), 0.99)).as("within_bound"))
+      ev.groupBy("event_type")
+        .agg(bround(expr("percentile(value, 0.5)"), 4).as("p50"),
+          bround(expr("percentile(value, 0.95)"), 4).as("p95"),
+          bround(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .join(verdict, Seq("event_type"))
+        .orderBy("event_type")
+    }),
 
     // Pivot: per-user event-type counts as columns.
     "events_pivot" -> ((s, dir) =>
@@ -753,13 +793,29 @@ private[graft] object EntryQueries {
       Scale.columnStats(t(s, dir, "lineitem"))
         .orderBy("column_name")),
 
-    // The 100-TB default: HLL NDV, no expand node (rows-only — sketch
-    // internals are engine-specific; error bound vs the exact twin
-    // asserted in ScaleSpec, expand-free plan pinned in
-    // PlanContractSpec).
-    "column_stats_approx" -> ((s, dir) =>
-      Scale.columnStatsApprox(t(s, dir, "lineitem"))
-        .orderBy("column_name")),
+    // The 100-TB default (HLL NDV, no expand node) as a verdict row:
+    // exact twin's columns + within_bound = |ndv_approx − ndv| inside
+    // the 6·rsd·ndv determinism bound ScaleSpec asserts, computed
+    // in-plan by joining the sketch frame to the exact twin on
+    // column_name. The expand-free plan contract lives on the OPERATOR
+    // ([[Scale.columnStatsApprox]], pinned in ScaleSpec) — this registry
+    // row deliberately pays the exact twin's expand to referee the
+    // sketch; production calls the operator alone.
+    "column_stats_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val rsd = 0.02
+      val est = Scale.columnStatsApprox(li, rsd)
+        .select(col("column_name"), col("ndv_approx"))
+      Scale.columnStats(li)
+        .join(est, Seq("column_name"))
+        .select(col("column_name"), col("n_nulls"), col("ndv"),
+          col("min_num"), col("max_num"),
+          (abs(col("ndv_approx").cast("double") -
+              col("ndv").cast("double")) <=
+            greatest(lit(1.0), lit(6 * rsd) * col("ndv").cast("double")))
+            .as("within_bound"))
+        .orderBy("column_name")
+    }),
 
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardNgramPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
@@ -1389,6 +1445,20 @@ private[graft] object EntryQueries {
           min("position").as("first_position"),
           max("position").as("last_position"))
         .orderBy("source")),
+
+    // Training-shard export manifest (VERDICT r11 item 3): the produced
+    // corpus cut into 8 deterministic contiguous-position shards, one
+    // manifest row each — counts, token totals, position range, and the
+    // order-insensitive md5-fold XOR digest a receiving training job
+    // verifies shards against. Reads the memoized production table (the
+    // export posture: the factory writes once, the export leg reads the
+    // table); the oracle replays assignment arithmetic + digest from the
+    // same chain SQL corpus_production hashes. The full write path
+    // (parquet + JSONL shards + manifest) is Export.writeShards,
+    // round-trip-pinned in ExportSpec and ladder-measured via
+    // ScaleProbe's `export` kind.
+    "export_manifest" -> ((s, dir) =>
+      Export.exportManifest(corpusProductionMemo(s, dir), nShards = 8)),
 
     // Curation drop-reason attribution — the observability twin of
     // curation_pipeline_v2: every document labeled with the FIRST gate

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-shard export: the factory-to-artifact leg (VERDICT r11
+  * item 3). [[graft.EntryHelpers.corpusProduction]] ends at a produced
+  * corpus FRAME (curated, deduplicated, decontaminated, mixed, shuffled,
+  * packed); a real pipeline then ships that corpus as N deterministic
+  * shards plus a manifest a downstream training job can verify receipt
+  * against — per-shard row counts, token counts, and an order-insensitive
+  * content digest. This is the reference's export leg
+  * (/root/reference/app.py:155-167 — the processed-result materialization)
+  * at corpus scale and training-artifact shape.
+  *
+  * Shard assignment is ARITHMETIC on the training order, not a hash:
+  * `shard_id = (position − 1) · nShards div totalRows` — contiguous
+  * `position` ranges, so (a) a training run streaming shards 0..N−1 in
+  * order reads the corpus exactly in its deterministic shuffle order,
+  * (b) shard sizes differ by at most one document, and (c) any engine
+  * can replay the assignment from the produced table alone (the DuckDB
+  * oracle does — `export_manifest` is hash-checked end to end).
+  *
+  * The digest is the [[Relational.tableChecksum]] fold (md5 → first 15
+  * hex nibbles → BIGINT → commutative XOR per shard): portable across
+  * engines, row-order free, so the receiving side can validate a shard
+  * after any repartitioning. `quality_score` stays OUT of the digest —
+  * IEEE double-to-string rendering is not engine-portable; the digest
+  * covers the long/string columns (doc_id, source, position, n_tokens,
+  * seq_id, seq_offset), which pin the corpus content and its training
+  * order exactly.
+  *
+  * Scale: assignment is one broadcast of a one-row total + a codegen'd
+  * projection; the manifest is ONE map-side-combined aggregate over the
+  * produced table (≤ nShards narrow rows per mapper); the shard write is
+  * a range-repartition on (shard_id, position) so each shard lands as
+  * one position-sorted file run — no global sort, no driver collect.
+  */
+object Export {
+
+  /** Produced-corpus rows tagged with their deterministic shard id.
+    * `produced` must carry the dense 1-based `position` column
+    * ([[TextOps.shuffleOrder]]'s contract).
+    */
+  def shardAssign(produced: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val total = produced.agg(count(lit(1)).as("_total"))
+    produced.crossJoin(broadcast(total))
+      .withColumn("shard_id",
+        expr(s"CAST(((position - 1) * $nShards) DIV _total AS BIGINT)"))
+      .drop("_total")
+  }
+
+  /** The export manifest: one row per shard — (shard_id, n_rows,
+    * n_tokens, first_position, last_position, checksum). Row count and
+    * the position range let a receiver check completeness; the XOR-fold
+    * digest checks content. Order-insensitive by construction, so it
+    * validates a shard in any physical row order.
+    */
+  def exportManifest(produced: DataFrame, nShards: Int): DataFrame =
+    manifestFrom(shardAssign(produced, nShards))
+
+  /** The manifest aggregate over an already shard-tagged frame —
+    * factored out so [[writeShards]] reuses its persisted assignment
+    * instead of re-deriving it.
+    */
+  private def manifestFrom(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("shard_id"), col("n_tokens"), col("position"),
+        conv(substring(md5(concat_ws("|",
+            col("doc_id"), col("source"), col("position"),
+            col("n_tokens"), col("seq_id"), col("seq_offset"))),
+          1, 15), 16, 10).cast("long").as("_h"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_tokens").as("n_tokens"),
+        min("position").as("first_position"),
+        max("position").as("last_position"),
+        expr("bit_xor(_h)").as("checksum"))
+      .orderBy("shard_id")
+
+  /** Write the produced corpus as N deterministic shards + manifest:
+    * `outDir/shards` (parquet, partitioned by shard_id, each shard one
+    * position-sorted run), `outDir/shards_jsonl` (the same rows as JSON
+    * lines per shard — the [[graft.sources.Jsonl]] landing format, so a
+    * re-ingest drill can replay the export through the landing stream),
+    * and `outDir/manifest` (parquet). Returns the manifest as read back
+    * from its written form — what a receiver would see.
+    *
+    * The assignment is computed once and persisted for the two shard
+    * writes + the manifest aggregate; unpersisted before return.
+    */
+  def writeShards(produced: DataFrame, nShards: Int,
+                  outDir: String): DataFrame = {
+    val spark = produced.sparkSession
+    val assigned = shardAssign(produced, nShards)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clustered = assigned
+        .repartitionByRange(nShards, col("shard_id"), col("position"))
+        .sortWithinPartitions("shard_id", "position")
+      clustered.write.mode("overwrite")
+        .partitionBy("shard_id").parquet(s"$outDir/shards")
+      clustered.select(col("shard_id"),
+          to_json(struct(col("doc_id"), col("source"),
+            col("quality_score"), col("position"), col("n_tokens"),
+            col("seq_id"), col("seq_offset"))).as("value"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id").text(s"$outDir/shards_jsonl")
+      manifestFrom(assigned)
+        .write.mode("overwrite").parquet(s"$outDir/manifest")
+    } finally assigned.unpersist(blocking = false)
+    spark.read.parquet(s"$outDir/manifest")
+  }
+}

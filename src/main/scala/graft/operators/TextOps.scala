@@ -941,6 +941,14 @@ object TextOps {
           .as("avg_importance"))
   }
 
+  /** The shared hashed-feature bucket: 3 leading md5 hex nibbles →
+    * [0, 4096). One definition for the fixed-weight scorer, the
+    * trainer, and the trained scorer, so the feature space cannot
+    * drift between them.
+    */
+  private def featBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
+
   /** Quality-classifier inference — the CCNet/fastText slot in a real
     * curation stack: a hashed-feature LINEAR model scores every document,
     * and the curation gate thresholds the logit. Features are bag-of-
@@ -968,14 +976,6 @@ object TextOps {
     * the shuffle carries one partial sum per document per task, not the
     * token stream. Scan-linear, the [[lmScore]] family.
     */
-  /** The shared hashed-feature bucket: 3 leading md5 hex nibbles →
-    * [0, 4096). One definition for the fixed-weight scorer, the
-    * trainer, and the trained scorer, so the feature space cannot
-    * drift between them.
-    */
-  private def featBucket(tok: Column): Column =
-    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
-
   def classifierScore(docs: DataFrame,
                       textCol: String = "text"): DataFrame = {
     val scored = docs

@@ -40,6 +40,67 @@ object Jsonl {
     StructField("text", StringType),
     StructField(CorruptCol, StringType)))
 
+  /** Generation-2 landing schema — the base document columns plus the
+    * ADDITIVE `quality_tier` string. This is the superset schema the
+    * evolution contract reads EVERY generation under: JSON records
+    * self-describe field absence, so a gen-1 line (no `quality_tier`
+    * key) parses CLEAN with the column null — additive evolution costs
+    * nothing and quarantines nothing (pinned by JsonlCsvSpec and the
+    * `jsonl_landing_evolved` oracle). A TYPE change is not additive:
+    * a line whose existing field violates the superset type quarantines
+    * whole-row, the JSON rule — evolution never silently coerces.
+    */
+  val docSchemaV2: StructType = StructType(
+    docSchema.fields.patch(5,
+      Seq(StructField("quality_tier", StringType)), 0))
+
+  /** Render documents as generation-2 JSON lines: the base fields plus
+    * `quality_tier` derived deterministically from doc_id
+    * (0→high, 1→medium, 2→low), so a DuckDB oracle replays the evolved
+    * generation exactly. Same `corruptMod` truncation plant as
+    * [[renderLines]].
+    */
+  def renderLinesV2(docs: DataFrame, corruptMod: Int = 0): DataFrame = {
+    val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+      col("source"), col("text"),
+      elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+        lit("high"), lit("medium"), lit("low")).as("quality_tier")))
+    val rendered =
+      if (corruptMod > 0)
+        when(col("doc_id") % corruptMod === 0,
+          line.substr(lit(1), floor(length(line) / 2).cast("int")))
+          .otherwise(line)
+      else line
+    docs.select(rendered.as("value"))
+  }
+
+  /** Scan a MIXED-generation JSONL landing (any number of paths) under
+    * the superset schema [[docSchemaV2]]: gen-1 rows parse clean with
+    * `quality_tier` null, gen-2 rows carry it, malformed lines
+    * quarantine whole-row exactly as in [[read]].
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read
+      .schema(docSchemaV2)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(paths: _*)
+
+  /** [[landingStats]] extended with the evolution signal: how many rows
+    * of each source carry the generation-2 column. One aggregate answers
+    * "did the new generation land, and did the old one survive the
+    * superset read".
+    */
+  def landingStatsEvolved(landed: DataFrame): DataFrame =
+    landed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_parsed"),
+        count(col("quality_tier")).as("n_with_tier"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(asc_nulls_first("source"))
+
   /** Render documents as JSON lines. With `corruptMod > 0`, rows with
     * `doc_id % corruptMod == 0` are truncated to half length — a strict
     * prefix of a JSON object is never valid JSON (the closing brace is

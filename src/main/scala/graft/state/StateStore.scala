@@ -107,6 +107,27 @@ class StateStore(spark: SparkSession, dir: String,
       java.util.List.of(Row(digest, uploadId, filename, timestamp)),
       Tables.uploadDigestsSchema))
 
+  /** Batched [[recordUploadDigest]]: ONE backend append for a whole
+    * micro-batch's survivor digests. The single write is what makes the
+    * digest-gated landing's at-least-once claim hold: the landing sink
+    * overwrites its per-batch dir on replay, so a per-file digest loop
+    * that crashes midway would anti-join out the recorded files on
+    * replay and rewrite the batch dir WITHOUT their documents. With one
+    * append the ledger update is all-or-nothing relative to the batch
+    * replay — either no digest committed (full reprocess) or all (full
+    * skip).
+    *
+    * @param entries (digest, uploadId, filename, timestamp) per file
+    */
+  def recordUploadDigests(
+      entries: Seq[(String, Long, String, String)]): Unit = {
+    if (entries.isEmpty) return
+    val rows = entries.map { case (dg, id, fn, ts) => Row(dg, id, fn, ts) }
+    backend.append("upload_digests", spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      Tables.uploadDigestsSchema))
+  }
+
   /** J3 + S7 + S8 (app.py:110-123): CDC against *mutating intra-batch
     * state* plus last-writer-wins upsert, set-based.
     *

@@ -719,8 +719,12 @@ object StreamingPipeline {
     * order; survivors are parsed with the explicit document schema and
     * split good/quarantine into per-batch dirs (overwrite — a replayed
     * batch rewrites only itself); digests are recorded AFTER the sink
-    * writes commit, so a crash between the two replays the shard into
-    * the idempotent gate rather than dropping it.
+    * writes commit, in ONE atomic ledger append for the whole batch
+    * ([[graft.state.StateStore.recordUploadDigests]]), so a crash at
+    * any point either replays the full shard set into the idempotent
+    * gate (no digest committed) or skips it whole (all committed) —
+    * never a partial record that would let the replayed overwrite drop
+    * recorded files' documents.
     *
     * The driver collects only (path, digest) for one micro-batch's
     * surviving files — the bounded listing envelope; shard bytes stay
@@ -782,12 +786,16 @@ object StreamingPipeline {
               .write.mode("overwrite")
               .text(s"$quarantineDir/batch_$batchId")
           } finally landed.unpersist(blocking = false)
-          survivors.foreach { r =>
+          // ONE atomic ledger append for the whole batch (not a
+          // per-file loop): the good sink above overwrites
+          // good/batch_<id> on replay, so a partially-recorded digest
+          // set would skip the recorded files and rewrite the batch dir
+          // without their documents. All-or-nothing keeps at-least-once.
+          store.recordUploadDigests(survivors.toSeq.map { r =>
             val fn = java.nio.file.Paths.get(
               r.getString(0).stripPrefix("file:")).getFileName.toString
-            store.recordUploadDigest(r.getString(1), batchId, fn,
-              timestampFor(fn))
-          }
+            (r.getString(1), batchId, fn, timestampFor(fn))
+          })
         }
       }
       .start()

@@ -34,17 +34,17 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("rows-only queries are exactly the documented engine-specific set") {
-    // Every new query must ship with a DuckDB oracle unless it joins this
-    // explicitly-documented list (sketches whose internals are
-    // engine-specific by construction, each error-bound-tested in
-    // ScalaTest against its oracle-checked exact twin instead).
-    // (multimodal_features graduated to a full oracle in round 8 via the
-    // Q40 fixed-point entropy replay; the xxhash64 simhash_pairs row was
-    // folded into the oracle-checked simhash_pairs_md5 twin in round 9 —
-    // the operator + DedupSpec pin remain.)
+  test("every query has a DuckDB oracle — the rows-only set is EMPTY") {
+    // Every query must ship with a DuckDB oracle. The last three
+    // rows-only sketches (approx_users_per_type, approx_event_quantiles,
+    // column_stats_approx) graduated in round 12: each now outputs its
+    // exact twin's columns plus an in-plan `within_bound` verdict (the
+    // same error bounds PropertySpec/ScaleSpec assert), and the oracle
+    // replays the exact twin + TRUE — the hash matches iff the bound
+    // held. (multimodal_features graduated in round 8 via the Q40
+    // fixed-point entropy replay; the xxhash64 simhash_pairs row folded
+    // into the oracle-checked simhash_pairs_md5 twin in round 9.)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("approx_event_quantiles",
-      "approx_users_per_type", "column_stats_approx"))
+    assert(rowsOnly === Set.empty[String])
   }
 }
