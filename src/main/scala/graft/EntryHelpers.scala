@@ -467,6 +467,50 @@ private[graft] object EntryHelpers {
       tmp
     }.resolve("docs").toString
 
+  /** Memoized TWO-GENERATION landing builds for the schema-evolution
+    * contract (VERDICT r11 item 5): gen1 = even doc_ids rendered under
+    * the base schema, gen2 = odd doc_ids rendered under the evolved
+    * schema (additive `quality_tier`) WITH each format's deterministic
+    * corruption plant — so the evolved read is audited over old shards,
+    * new shards, and damage at once. Layout is `<tmp>/gen1`, `<tmp>/gen2`
+    * (the explicit generation key CSV's positional records require).
+    */
+  private[graft] val jsonlEvolvedDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def jsonlEvolvedLanding(s: SparkSession,
+                                         dir: String): java.nio.file.Path =
+    jsonlEvolvedDirs.get(s, dir) { (s2, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_ev")
+      val dd = docs(s2, d)
+      graft.sources.Jsonl.writeLines(
+        graft.sources.Jsonl.renderLines(dd.where(col("doc_id") % 2 === 0)),
+        tmp.resolve("gen1").toString)
+      graft.sources.Jsonl.writeLines(
+        graft.sources.Jsonl.renderLinesV2(
+          dd.where(col("doc_id") % 2 === 1), corruptMod = 53),
+        tmp.resolve("gen2").toString)
+      tmp
+    }
+
+  private[graft] val csvEvolvedDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def csvEvolvedLanding(s: SparkSession,
+                                       dir: String): java.nio.file.Path =
+    csvEvolvedDirs.get(s, dir) { (s2, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_ev")
+      val dd = docs(s2, d)
+      graft.sources.Csv.writeLines(
+        graft.sources.Csv.renderLines(dd.where(col("doc_id") % 2 === 0)),
+        tmp.resolve("gen1").toString)
+      graft.sources.Csv.writeLines(
+        graft.sources.Csv.renderLinesV2(
+          dd.where(col("doc_id") % 2 === 1), corruptMod = 59),
+        tmp.resolve("gen2").toString)
+      tmp
+    }
+
   private[graft] def auditState(s: SparkSession, dir: String)
       : graft.state.StateStore =
     auditStates.get(s, dir) { (s2, d) =>

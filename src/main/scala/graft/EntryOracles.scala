@@ -80,6 +80,14 @@ private[graft] object EntryOracles {
 
     "incremental_neardup" -> incNearDupSql,
 
+    // The incremental edge table must equal the FULL REBUILD on the
+    // union snapshot — the oracle IS the rebuild (the neardup_pairs
+    // relation, edges only).
+    "incremental_edges" ->
+      s"""SELECT doc_a, doc_b FROM (
+         |$nearDupPairsSql
+         |) ORDER BY doc_a, doc_b""".stripMargin,
+
     "incremental_dedup" -> incDedupSql,
 
     // Same relation by construction: the bloom pre-screen is exact-

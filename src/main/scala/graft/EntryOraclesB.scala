@@ -302,6 +302,53 @@ private[graft] object EntryOraclesB {
         |FROM documents GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,
 
+    // Replays the two-generation JSONL evolution contract: gen1 = even
+    // doc_ids under the base schema (tier absent -> null, parses clean
+    // under the superset read), gen2 = odd doc_ids with the
+    // deterministic tier and the %53 truncation plant (quarantined
+    // whole-row, NULL bucket).
+    "jsonl_landing_evolved" ->
+      """WITH landed AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 2 = 1 AND doc_id % 53 = 0 THEN NULL
+        |      ELSE source END AS src,
+        |    CASE WHEN doc_id % 2 = 1 AND doc_id % 53 = 0 THEN NULL
+        |      ELSE doc_id END AS did,
+        |    CASE WHEN doc_id % 2 = 1 AND doc_id % 53 = 0 THEN NULL
+        |      ELSE text END AS txt,
+        |    CASE WHEN doc_id % 2 = 1 AND doc_id % 53 <> 0 THEN
+        |      CASE doc_id % 3 WHEN 0 THEN 'high' WHEN 1 THEN 'medium'
+        |        ELSE 'low' END
+        |      ELSE NULL END AS tier
+        |  FROM documents)
+        |SELECT src AS source, COUNT(*) AS n_rows, COUNT(txt) AS n_parsed,
+        |  COUNT(tier) AS n_with_tier,
+        |  CAST(SUM(LENGTH(txt)) AS BIGINT) AS sum_chars,
+        |  MIN(did) AS min_doc, MAX(did) AS max_doc
+        |FROM landed GROUP BY src ORDER BY source NULLS FIRST""".stripMargin,
+
+    // Replays the two-generation CSV evolution contract: gen1 = even
+    // doc_ids (per-generation schema, tier null-filled by the union),
+    // gen2 = odd doc_ids with tier and the %59 type plant — quarantined
+    // field-locally, so the damaged rows KEEP source and tier.
+    "csv_landing_evolved" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 AND doc_id % 59 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_tier,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 AND doc_id % 59 = 0 THEN NULL
+        |    ELSE LENGTH(COALESCE(text, '')) END) AS BIGINT)
+        |    AS sum_chars_clean,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 AND doc_id % 59 = 0 THEN NULL
+        |    ELSE n_chars END) AS BIGINT) AS sum_n_chars_clean,
+        |  MIN(CASE WHEN doc_id % 2 = 1 AND doc_id % 59 = 0 THEN NULL
+        |    ELSE doc_id END) AS min_doc,
+        |  MAX(CASE WHEN doc_id % 2 = 1 AND doc_id % 59 = 0 THEN NULL
+        |    ELSE doc_id END) AS max_doc
+        |FROM documents GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
     "stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0

@@ -760,6 +760,23 @@ private[graft] object EntryQueries {
         .orderBy("inc_id", "ex_id")
     }),
 
+    // Incremental edge-table maintenance (VERDICT r11 item 6): the
+    // even-id corpus' edge table + signature index absorb the odd-id
+    // batch as a DELTA (batch-internal pairs + batch-vs-index pairs) —
+    // and the oracle is the FULL REBUILD's pair relation on the union
+    // snapshot, so the hash check proves delta maintenance loses or
+    // invents nothing. Cost ∝ batch (ScaleProbe `edges-delta` measures
+    // the ladder); relabel parity is pinned in DedupSpec.
+    "incremental_edges" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ex = d.where(col("doc_id") % 2 === 0)
+      val inc = d.where(col("doc_id") % 2 === 1)
+      Dedup.updatePairGraph(
+          Dedup.nearDupPairs(ex).select("doc_a", "doc_b"),
+          inc, Dedup.buildSignatureIndex(ex))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every
     // doc sharing an 8-gram with the holdout slice — what a training run
     // reads after the contamination_overlap scan above.
@@ -1141,6 +1158,33 @@ private[graft] object EntryQueries {
     "csv_landing" -> ((s, dir) =>
       graft.sources.Csv.landingStats(
         graft.sources.Csv.read(s, csvLanding(s, dir)))),
+
+    // Schema-evolution contract, JSONL (VERDICT r11 item 5): a landing
+    // with an OLD generation (base schema) and a NEW one (additive
+    // quality_tier + the truncation plant), read in ONE scan under the
+    // superset schema — old rows parse clean with the new column null
+    // (JSON self-describes field absence), damaged new rows quarantine
+    // whole-row. The audit proves all three populations landed where
+    // the contract says.
+    "jsonl_landing_evolved" -> ((s, dir) => {
+      val root = jsonlEvolvedLanding(s, dir)
+      graft.sources.Jsonl.landingStatsEvolved(
+        graft.sources.Jsonl.readEvolved(s,
+          root.resolve("gen1").toString, root.resolve("gen2").toString))
+    }),
+
+    // Schema-evolution contract, CSV: positional records cannot
+    // self-describe field absence, so each generation reads under ITS
+    // OWN schema (explicit generation subdirs) and unions by name with
+    // null-fill. The type-violation plant pins the field-local rule
+    // UNDER evolution: a quarantined gen-2 row still carries its parsed
+    // quality_tier (n_with_tier counts it).
+    "csv_landing_evolved" -> ((s, dir) => {
+      val root = csvEvolvedLanding(s, dir)
+      graft.sources.Csv.landingStatsEvolved(
+        graft.sources.Csv.readEvolved(s,
+          root.resolve("gen1").toString, root.resolve("gen2").toString))
+    }),
 
     // Order-insensitive md5-fold XOR checksum per source — the
     // cross-system reconciliation digest (any engine, any row order,

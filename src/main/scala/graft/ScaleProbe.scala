@@ -189,6 +189,81 @@ object ScaleProbe {
         graft.EntryHelpers.deleteTree(tmp)
         spark.stop()
         return
+      case "edges-delta" =>
+        // <sfDir> edges-delta [batchMod] [runs] -- incremental edge
+        // maintenance at ladder scale (VERDICT r11 item 6): corpus =
+        // doc_id % batchMod != 0, batch = the rest (default 10 -> a 10%
+        // append). The corpus signature index is materialized OUTSIDE
+        // the clock (the once-per-corpus-version step,
+        // Dedup.buildSignatureIndex); the timed span is the DELTA -
+        // batch band build + index equi-join + Jaccard verify. The
+        // claim under test: delta cost tracks the BATCH, not the
+        // corpus (vs the full rebuild's corpus-sized pair search,
+        // batch-19 numbers).
+        import org.apache.spark.sql.functions.col
+        val mod = if (args.length > 2) args(2).toInt else 10
+        val runsD = if (args.length > 3) args(3).toInt else 2
+        val dd = spark.read.parquet(s"$sfDir/documents.parquet")
+        val exD = dd.where(col("doc_id") % mod =!= 0)
+        val incD = dd.where(col("doc_id") % mod === 0)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_edges_delta")
+        // index scratch outlives the timed runs (the common tail re-runs
+        // the plan for the pair count) — reclaim at JVM exit
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try graft.EntryHelpers.deleteTree(idxDir)
+          catch { case _: Throwable => () }))
+        val tIdx = System.nanoTime()
+        graft.operators.Dedup.buildSignatureIndex(exD)
+          .write.mode("overwrite")
+          .parquet(idxDir.resolve("index").toString)
+        val idxSec = (System.nanoTime() - tIdx) / 1e9
+        val exIdx = spark.read.parquet(idxDir.resolve("index").toString)
+        val nBatch = incD.count()
+        (() => graft.operators.Dedup.updatePairGraphDelta(incD, exIdx),
+          runsD,
+          s""""probe":"edges_delta","batch_mod":$mod,""" +
+            s""""batch_docs":$nBatch,"index_build_sec":$idxSec""")
+
+      case "export" =>
+        // <sfDir> export [nShards] -- the factory-to-artifact write
+        // path at ladder scale (VERDICT r11 item 3): a produced-corpus-
+        // shaped frame (real shuffle-order positions + token counts over
+        // the sf corpus) is materialized OUTSIDE the clock; the timed
+        // span is Export.writeShards end to end — shard assignment,
+        // the position-clustered parquet shard write, the JSONL shard
+        // write, and the manifest aggregate + write.
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Export, TextOps}
+        val nSh = if (args.length > 2) args(2).toInt else 64
+        val dE = spark.read.parquet(s"$sfDir/documents.parquet")
+        val tmpE = java.nio.file.Files.createTempDirectory("graft_export_p")
+        val prodPath = tmpE.resolve("produced").toString
+        dE.select(col("doc_id"), col("source"),
+            lit(0.5).as("quality_score"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(TextOps.shuffleOrder(dE.select("doc_id"))
+            .select(col("doc_id"), col("position")), Seq("doc_id"))
+          .withColumn("seq_id", expr("CAST(position DIV 4 AS BIGINT)"))
+          .withColumn("seq_offset", expr("CAST(position % 4 AS BIGINT)"))
+          .write.mode("overwrite").parquet(prodPath)
+        val prod = spark.read.parquet(prodPath)
+        val nDocsE = prod.count()
+        val t0E = System.nanoTime()
+        val manifest = Export.writeShards(prod, nSh,
+          tmpE.resolve("out").toString)
+        val mRows = manifest.count()
+        val secE = (System.nanoTime() - t0E) / 1e9
+        val mAgg = manifest.agg(sum("n_rows"), sum("n_tokens")).head()
+        println(s"""{"probe":"export","shards":$nSh,"docs":$nDocsE,""" +
+          s""""sec":$secE,"docs_per_sec":${nDocsE / secE},""" +
+          s""""manifest_rows":$mRows,""" +
+          s""""manifest_docs":${mAgg.getLong(0)},""" +
+          s""""manifest_tokens":${mAgg.getLong(1)}}""")
+        graft.EntryHelpers.deleteTree(tmpE)
+        spark.stop()
+        return
+
       case "edges-build" =>
         // <sfDir> edges-build <outPath> <slices> <buildSlices> -- the
         // once-per-corpus-version materialization step of the wedge

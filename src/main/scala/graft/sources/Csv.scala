@@ -42,6 +42,81 @@ object Csv {
     StructField("text", StringType),
     StructField(CorruptCol, StringType)))
 
+  /** Generation-2 landing schema: base columns plus the additive
+    * `quality_tier` string. CSV records are POSITIONAL — they cannot
+    * self-describe field absence the way JSON lines can, so the
+    * evolution contract for CSV reads each GENERATION under its own
+    * schema (the generation boundary is explicit: per-generation landing
+    * subdirectories) and unions under the superset with null-fill
+    * ([[readEvolved]]). Reading a gen-1 shard under the superset schema
+    * would be WRONG by this format's own rule: a 5-field row under a
+    * 6-field schema is a short row, which is null-filled AND flagged
+    * corrupt — additive evolution would quarantine every old shard.
+    * That behavior is pinned (CsvSpec) as part of the contract:
+    * it is why the generation key must be explicit for CSV.
+    */
+  val docSchemaV2: StructType = StructType(
+    docSchema.fields.patch(5,
+      Seq(StructField("quality_tier", StringType)), 0))
+
+  /** Render documents as generation-2 CSV lines: base fields plus the
+    * deterministic `quality_tier` (doc_id%3: 0→high, 1→medium, 2→low).
+    * Same `corruptMod` type-violation plant as [[renderLines]] (`xx` in
+    * the BIGINT `n_chars` slot) — under CSV's field-local recovery the
+    * violating row's OTHER fields, including the new quality_tier,
+    * still parse.
+    */
+  def renderLinesV2(docs: DataFrame, corruptMod: Int = 0): DataFrame = {
+    val tier = elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+      lit("high"), lit("medium"), lit("low")).as("quality_tier")
+    val good = to_csv(struct(col("doc_id"), col("lang"), col("n_chars"),
+      col("source"), col("text"), tier))
+    val rendered =
+      if (corruptMod > 0)
+        when(col("doc_id") % corruptMod === 0,
+          to_csv(struct(col("doc_id"), col("lang"),
+            lit("xx").as("n_chars"), col("source"), col("text"), tier)))
+          .otherwise(good)
+      else good
+    docs.select(rendered.as("value"))
+  }
+
+  /** Two-generation CSV landing scan: gen-1 under [[docSchema]], gen-2
+    * under [[docSchemaV2]], unioned by name with null-fill (gen-1 rows
+    * read `quality_tier` null). Quarantine semantics within each
+    * generation are [[read]]'s unchanged — field-local recovery, short
+    * rows flagged.
+    */
+  def readEvolved(spark: SparkSession, gen1Path: String,
+                  gen2Path: String): DataFrame =
+    read(spark, gen1Path).unionByName(
+      spark.read
+        .schema(docSchemaV2)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .csv(gen2Path),
+      allowMissingColumns = true)
+
+  /** [[landingStats]] extended with the evolution signal (n_with_tier).
+    * Note the field-local consequence the `csv_landing_evolved` oracle
+    * replays: a gen-2 row quarantined by the n_chars type violation
+    * still counts in n_with_tier — its quality_tier field parsed.
+    */
+  def landingStatsEvolved(landed: DataFrame): DataFrame = {
+    val clean = col(CorruptCol).isNull
+    landed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col(CorruptCol)).as("n_quarantined"),
+        count(col("quality_tier")).as("n_with_tier"),
+        sum(when(clean, length(coalesce(col("text"), lit("")))))
+          .cast("long").as("sum_chars_clean"),
+        sum(when(clean, col("n_chars"))).cast("long")
+          .as("sum_n_chars_clean"),
+        min(when(clean, col("doc_id"))).as("min_doc"),
+        max(when(clean, col("doc_id"))).as("max_doc"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
   /** Render documents as CSV lines. With `corruptMod > 0`, rows with
     * `doc_id % corruptMod == 0` carry the non-numeric token `xx` in the
     * BIGINT `n_chars` slot — a deterministic type violation (truncation,

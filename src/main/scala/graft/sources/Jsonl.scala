@@ -45,10 +45,12 @@ object Jsonl {
     * evolution contract reads EVERY generation under: JSON records
     * self-describe field absence, so a gen-1 line (no `quality_tier`
     * key) parses CLEAN with the column null — additive evolution costs
-    * nothing and quarantines nothing (pinned by JsonlCsvSpec and the
-    * `jsonl_landing_evolved` oracle). A TYPE change is not additive:
-    * a line whose existing field violates the superset type quarantines
-    * whole-row, the JSON rule — evolution never silently coerces.
+    * nothing and quarantines nothing (pinned by JsonlSpec and the
+    * `jsonl_landing_evolved` oracle). A TYPE change is not additive: a
+    * line whose field violates the schema type flags corrupt with the
+    * violating field null and well-formed fields retained (PERMISSIVE
+    * partial results) — visible damage, never a silent coercion; a
+    * MALFORMED line still nulls whole-row. Both pinned in JsonlSpec.
     */
   val docSchemaV2: StructType = StructType(
     docSchema.fields.patch(5,

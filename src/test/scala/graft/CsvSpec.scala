@@ -113,4 +113,63 @@ class CsvSpec extends AnyFunSuite {
     assert(stats("empty_src") === ((false, 0L)))
     assert(stats("mixed") === ((false, 5L)))
   }
+
+  test("schema evolution: per-generation read + null-fill union lands " +
+       "gen1 clean with tier null; a quarantined gen2 row KEEPS its " +
+       "parsed tier (field-local recovery under evolution)") {
+    val root = Files.createTempDirectory("graft_csv_ev").toString
+    val g1 = docs.where(col("doc_id") % 2 === 0)
+    val g2 = docs.where(col("doc_id") % 2 === 1)
+    Csv.writeLines(Csv.renderLines(g1), s"$root/gen1")
+    Csv.writeLines(Csv.renderLinesV2(g2, corruptMod = 7), s"$root/gen2")
+    val landed = Csv.readEvolved(spark, s"$root/gen1", s"$root/gen2")
+      .cache()
+    try {
+      val nBad = g2.where(col("doc_id") % 7 === 0).count()
+      assert(landed.count() === docs.count())
+      assert(landed.where(col(Csv.CorruptCol).isNotNull).count() === nBad)
+      // gen1 rows: clean, tier null-filled by the union
+      assert(landed.where(col("doc_id") % 2 === 0 &&
+        col("quality_tier").isNotNull).count() === 0)
+      // EVERY gen2 row carries its tier - including the quarantined
+      // ones, whose n_chars field failed but whose later fields parsed
+      val g2n = g2.count()
+      assert(landed.where(col("quality_tier").isNotNull).count() === g2n)
+      assert(landed.where(col(Csv.CorruptCol).isNotNull &&
+        col("quality_tier").isNotNull &&
+        col("n_chars").isNull).count() === nBad)
+    } finally landed.unpersist(blocking = false)
+  }
+
+  test("schema evolution: the pinned REASON the generation key must be " +
+       "explicit - a gen1 (5-field) shard under the superset schema is " +
+       "all short rows, null-filled AND flagged corrupt") {
+    val root = Files.createTempDirectory("graft_csv_short").toString
+    val g1 = docs.where(col("doc_id") % 2 === 0).limit(50)
+    Csv.writeLines(Csv.renderLines(g1), s"$root/gen1")
+    val wrong = spark.read
+      .schema(Csv.docSchemaV2)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Csv.CorruptCol)
+      .csv(s"$root/gen1")
+      .cache()
+    try {
+      assert(wrong.count() === g1.count())
+      assert(wrong.where(col(Csv.CorruptCol).isNotNull).count() ===
+        g1.count())
+    } finally wrong.unpersist(blocking = false)
+  }
+
+  test("schema evolution: a gen2 (6-field) row under the V1 schema is " +
+       "flagged corrupt (extra tokens), not silently truncated") {
+    val root = Files.createTempDirectory("graft_csv_extra").toString
+    val g2 = docs.where(col("doc_id") % 2 === 1).limit(50)
+    Csv.writeLines(Csv.renderLinesV2(g2), s"$root/gen2")
+    val v1 = Csv.read(spark, s"$root/gen2").cache()
+    try {
+      assert(v1.count() === g2.count())
+      assert(v1.where(col(Csv.CorruptCol).isNotNull).count() ===
+        g2.count())
+    } finally v1.unpersist(blocking = false)
+  }
 }

@@ -741,4 +741,45 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("cartesian"))
   }
+
+  test("updatePairGraph: existing edges + batch delta EQUALS the full " +
+       "rebuild on the union snapshot; relabelTouched EQUALS full " +
+       "connectedComponents") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ex = d.where(col("doc_id") % 2 === 0)
+    val inc = d.where(col("doc_id") % 2 === 1)
+    val exIdx = Dedup.buildSignatureIndex(ex)
+    val exEdges = Dedup.nearDupPairs(ex).select("doc_a", "doc_b")
+      .persist()
+    try {
+      val delta = Dedup.updatePairGraphDelta(inc, exIdx).persist()
+      try {
+        // the split must be non-trivial: batch-internal AND cross edges
+        assert(delta.where(col("doc_a") % 2 === col("doc_b") % 2)
+          .count() > 0)
+        assert(delta.where(col("doc_a") % 2 =!= col("doc_b") % 2)
+          .count() > 0)
+
+        val updated = exEdges.unionAll(delta)
+        val full = Dedup.nearDupPairs(d).select("doc_a", "doc_b")
+        assert(updated.exceptAll(full).count() === 0)
+        assert(full.exceptAll(updated).count() === 0)
+        // and no edge is produced twice across the three arms
+        assert(updated.count() === updated.distinct().count())
+
+        val oldLabels = Dedup.connectedComponents(
+          exEdges, ex.select("doc_id"))
+        val relabeled = Dedup.relabelTouched(oldLabels, exEdges, delta,
+            inc.select("doc_id"))
+          .orderBy("doc_id").collect().map(r =>
+            (r.getLong(0), r.getLong(1))).toSeq
+        val fullCC = Dedup.connectedComponents(full, d.select("doc_id"))
+          .orderBy("doc_id").collect().map(r =>
+            (r.getLong(0), r.getLong(1))).toSeq
+        assert(relabeled === fullCC)
+      } finally delta.unpersist(blocking = false)
+    } finally exEdges.unpersist(blocking = false)
+  }
 }

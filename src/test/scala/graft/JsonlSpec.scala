@@ -99,4 +99,70 @@ class JsonlSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_chars") === chars)
     }
   }
+
+  test("schema evolution: superset read lands gen1 clean with tier null, " +
+       "gen2 with its tier, damaged gen2 in whole-row quarantine; a gen2 " +
+       "shard under the V1 schema parses clean (additive forward-compat)") {
+    val root = Files.createTempDirectory("graft_jsonl_ev").toString
+    val g1 = docs.where(col("doc_id") % 2 === 0)
+    val g2 = docs.where(col("doc_id") % 2 === 1)
+    Jsonl.writeLines(Jsonl.renderLines(g1), s"$root/gen1")
+    Jsonl.writeLines(Jsonl.renderLinesV2(g2, corruptMod = 7), s"$root/gen2")
+    val landed = Jsonl.readEvolved(spark, s"$root/gen1", s"$root/gen2")
+      .cache()
+    try {
+      val nBad = g2.where(col("doc_id") % 7 === 0).count()
+      assert(landed.count() === docs.count())
+      assert(landed.where(col(Jsonl.CorruptCol).isNotNull).count() === nBad)
+      // gen1: every row clean, tier null
+      assert(landed.where(col("doc_id") % 2 === 0 &&
+        col("quality_tier").isNotNull).count() === 0)
+      assert(landed.where(col("doc_id") % 2 === 0).count() === g1.count())
+      // gen2 clean rows carry the deterministic tier
+      val tierOk = landed.where(col("doc_id") % 2 === 1)
+        .where(col("quality_tier") ===
+          elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+            lit("high"), lit("medium"), lit("low")))
+        .count()
+      assert(tierOk === g2.count() - nBad)
+
+      // Forward-compat: the OLD (V1) reader over the gen2 shard — the
+      // streaming landing's posture — ignores the unknown key and
+      // quarantines exactly the planted damage. Additive evolution
+      // never breaks a deployed v1 consumer.
+      val v1 = Jsonl.read(spark, s"$root/gen2").cache()
+      try {
+        assert(v1.where(col(Jsonl.CorruptCol).isNotNull).count() === nBad)
+        assert(v1.where(col(Jsonl.CorruptCol).isNull).count() ===
+          g2.count() - nBad)
+      } finally v1.unpersist(blocking = false)
+    } finally landed.unpersist(blocking = false)
+  }
+
+  test("schema evolution: a TYPE change (string in the BIGINT n_chars) " +
+       "flags the row corrupt and nulls the violating field - never " +
+       "silently coerces; well-formed fields are retained (partial " +
+       "results), unlike a MALFORMED line which nulls whole-row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl_ty").toString + "/d"
+    Seq(
+      """{"doc_id":1,"lang":"en","n_chars":"xx","source":"s","text":"t","quality_tier":"high"}""",
+      """{"doc_id":2,"lang":"en","n_chars":5,"source":"s","text":"ok","quality_tier":"low"}""")
+      .toDF("value").coalesce(1).write.text(dir)
+    val landed = Jsonl.readEvolved(spark, dir).cache()
+    try {
+      val bad = landed.where(col(Jsonl.CorruptCol).isNotNull).collect()
+      assert(bad.length === 1)
+      // the violating field is null - the value was never coerced
+      assert(bad.head.isNullAt(bad.head.fieldIndex("n_chars")))
+      // but the row is still VISIBLE as damaged (corrupt col set) with
+      // its well-formed fields retained - Spark's PERMISSIVE partial
+      // results; the audit counts it via COUNT(_corrupt)
+      assert(bad.head.getLong(bad.head.fieldIndex("doc_id")) === 1L)
+      assert(bad.head.getString(
+        bad.head.fieldIndex("quality_tier")) === "high")
+      assert(landed.where(col(Jsonl.CorruptCol).isNull)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    } finally landed.unpersist(blocking = false)
+  }
 }
