@@ -467,6 +467,36 @@ private[graft] object EntryHelpers {
       tmp
     }.resolve("docs").toString
 
+  /** Materialized per-(session, sf) artifacts of the incremental
+    * maintenance contract's EXISTING side (the even-id corpus version):
+    * its signature index, its edge table, and its cluster labels — the
+    * three tables a production pipeline persists once per corpus
+    * version so that appends pay only the delta
+    * ([[graft.operators.Dedup.updatePairGraphDelta]]'s scaladoc). The
+    * `incremental_edges`/`incremental_relabel` rows READ these tables
+    * and pay the live delta work per run — pricing the maintenance
+    * operation, not a re-derivation of the corpus version it maintains.
+    */
+  private[graft] val incrementalBaseDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def incrementalBase(s: SparkSession,
+                                     dir: String): java.nio.file.Path =
+    incrementalBaseDirs.get(s, dir) { (s2, d2) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incbase")
+      val ex = docs(s2, d2).where(col("doc_id") % 2 === 0)
+      Dedup.writePairGraph(
+        Dedup.nearDupPairs(ex).select(col("doc_a"), col("doc_b")),
+        tmp.resolve("edges").toString)
+      Dedup.buildSignatureIndex(ex)
+        .write.mode("overwrite").parquet(tmp.resolve("index").toString)
+      Dedup.connectedComponents(
+          Dedup.readPairGraph(s2, tmp.resolve("edges").toString),
+          ex.select("doc_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("labels").toString)
+      tmp
+    }
+
   /** Memoized TWO-GENERATION landing builds for the schema-evolution
     * contract (VERDICT r11 item 5): gen1 = even doc_ids rendered under
     * the base schema, gen2 = odd doc_ids rendered under the evolved

@@ -1013,6 +1013,10 @@ private[graft] object EntryOraclesB {
 
     "neardup_clusters" -> nearDupClustersSql,
 
+    // Incremental touched-cluster relabel == the full clustering of the
+    // union snapshot, by construction — same oracle relation.
+    "incremental_relabel" -> nearDupClustersSql,
+
     "neardup_clusters_star" -> nearDupClustersSql,
 
     // Leakage-safe split twin: the transitive-closure clustering wrapped

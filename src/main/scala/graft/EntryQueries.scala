@@ -436,17 +436,20 @@ private[graft] object EntryQueries {
 
     // HLL sketch as an ORACLE-CHECKABLE verdict row (VERDICT r11 item 2):
     // the sketch estimate itself is engine-specific, so the hashed row
-    // carries the exact twin's columns plus `within_bound` — the 5%
-    // relative-error bound PropertySpec asserts — computed IN-PLAN from
+    // carries the exact twin's columns plus `within_bound` — a 5%
+    // relative bound at rsd=0.01, i.e. FIVE standard errors (the
+    // ScaleSpec 6σ determinism-bound style) — computed IN-PLAN from
     // sketch vs exact in ONE aggregate. The DuckDB oracle replays the
     // exact twin and literal TRUE: the hash matches iff the bound held.
-    // The raw estimate stays available code-level (approx_count_distinct
-    // in any agg; the plain-sketch plan is [[Scale.columnStatsApprox]]'s
-    // family).
+    // The rsd is explicit because the default (0.05) makes 5% a ~1σ
+    // bound — the sf0.1 sweep caught exactly that flake on the `click`
+    // group before it could reach the driver gate. The raw estimate
+    // stays available code-level (approx_count_distinct in any agg; the
+    // plain-sketch plan is [[Scale.columnStatsApprox]]'s family).
     "approx_users_per_type" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
         .agg(countDistinct("user_id").as("exact_users"),
-          approx_count_distinct("user_id").as("_approx"))
+          approx_count_distinct(col("user_id"), rsd = 0.01).as("_approx"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("_approx").cast("double") -
               col("exact_users").cast("double")) /
@@ -768,13 +771,33 @@ private[graft] object EntryQueries {
     // invents nothing. Cost ∝ batch (ScaleProbe `edges-delta` measures
     // the ladder); relabel parity is pinned in DedupSpec.
     "incremental_edges" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val ex = d.where(col("doc_id") % 2 === 0)
-      val inc = d.where(col("doc_id") % 2 === 1)
+      val base = incrementalBase(s, dir)
       Dedup.updatePairGraph(
-          Dedup.nearDupPairs(ex).select("doc_a", "doc_b"),
-          inc, Dedup.buildSignatureIndex(ex))
+          Dedup.readPairGraph(s, base.resolve("edges").toString),
+          docs(s, dir).where(col("doc_id") % 2 === 1),
+          s.read.parquet(base.resolve("index").toString))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Touched-cluster relabel under the same split: recompute labels
+    // ONLY for clusters the batch connects to (everything else keeps its
+    // label row). The result is definitionally the FULL clustering of
+    // the union snapshot, so the oracle is the neardup_clusters relation
+    // verbatim — the strongest possible check that incremental label
+    // maintenance drifts from nothing. Reads the corpus version's
+    // persisted labels/edges/index (EntryHelpers.incrementalBase) and
+    // pays the delta + touched-subgraph CC live.
+    "incremental_relabel" -> ((s, dir) => {
+      val base = incrementalBase(s, dir)
+      val inc = docs(s, dir).where(col("doc_id") % 2 === 1)
+      val exEdges = Dedup.readPairGraph(s, base.resolve("edges").toString)
+      Dedup.relabelTouched(
+          s.read.parquet(base.resolve("labels").toString),
+          exEdges,
+          Dedup.updatePairGraphDelta(inc,
+            s.read.parquet(base.resolve("index").toString)),
+          inc.select("doc_id"))
+        .orderBy("doc_id")
     }),
 
     // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every

@@ -453,6 +453,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("gated landing under schema evolution: a generation-2 JSONL " +
+       "shard (extra quality_tier field) lands CLEAN through the v1 " +
+       "stream - additive evolution never breaks the deployed landing - " +
+       "and its re-delivery still no-ops; a gen-2 CSV shard quarantines " +
+       "whole (positional format, the documented generation-key rule)") {
+    val dir = Files.createTempDirectory("graft_docev").toString
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    // gen1 + gen2 JSONL shards
+    Files.writeString(java.nio.file.Paths.get(s"$landing/g1.jsonl"),
+      """{"doc_id":1,"lang":"en","n_chars":9,"source":"web","text":"alpha doc"}""" + "\n")
+    Files.writeString(java.nio.file.Paths.get(s"$landing/g2.jsonl"),
+      """{"doc_id":2,"lang":"en","n_chars":8,"source":"web","text":"beta doc","quality_tier":"high"}""" + "\n")
+    val q = StreamingPipeline.documentLandingStreamIdempotent(spark,
+      landing, s"$dir/good", s"$dir/quarantine", s"$dir/ckpt",
+      s"$dir/ledger", "jsonl")
+    val store = new graft.state.StateStore(spark, s"$dir/ledger")
+    try {
+      q.processAllAvailable()
+      // both shards ingested clean: the v1 schema ignores the unknown
+      // key (JSON self-describes fields), nothing quarantines
+      assert(store.uploadDigests.count() === 2L)
+      assert(spark.read.parquet(s"$dir/good/batch_*").count() === 2L)
+      assert(!Files.exists(java.nio.file.Paths.get(s"$dir/quarantine"))
+        || spark.read.text(s"$dir/quarantine/batch_*").count() === 0L)
+      // the digest gate is byte-level, so the evolved shard's
+      // re-delivery no-ops exactly like a v1 shard's
+      Files.copy(java.nio.file.Paths.get(s"$landing/g2.jsonl"),
+        java.nio.file.Paths.get(s"$landing/g2_again.jsonl"))
+      q.processAllAvailable()
+      assert(store.uploadDigests.count() === 2L)
+      assert(spark.read.parquet(s"$dir/good/batch_*").count() === 2L)
+    } finally q.stop()
+
+    // CSV: a 6-field gen-2 row under the 5-field v1 schema is extra
+    // tokens -> quarantined, visibly - the stream never silently drops
+    // or mis-parses an evolved positional shard; evolved CSV landings
+    // must go through their own generation directory (Csv.readEvolved).
+    val dirC = Files.createTempDirectory("graft_docev_csv").toString
+    val landingC = s"$dirC/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landingC))
+    Files.writeString(java.nio.file.Paths.get(s"$landingC/g2.csv"),
+      "2,en,8,web,beta doc,high\n")
+    val qc = StreamingPipeline.documentLandingStreamIdempotent(spark,
+      landingC, s"$dirC/good", s"$dirC/quarantine", s"$dirC/ckpt",
+      s"$dirC/ledger", "csv")
+    try {
+      qc.processAllAvailable()
+      assert(spark.read.text(s"$dirC/quarantine/batch_*").count() === 1L)
+    } finally qc.stop()
+  }
+
   test("workbook stream defaults to the sharded MergedData export past " +
        "the row threshold; mergeShards reassembles one deliverable") {
     val sample = "/root/reference/uploads/Txn_Details.xlsx"
