@@ -123,9 +123,16 @@ class StateStore(spark: SparkSession, dir: String,
       entries: Seq[(String, Long, String, String)]): Unit = {
     if (entries.isEmpty) return
     val rows = entries.map { case (dg, id, fn, ts) => Row(dg, id, fn, ts) }
+    // coalesce(1): the append must land as ONE part-file so the batch's
+    // ledger update is a single rename at job commit — a multi-part
+    // LocalRelation write commits file-by-file, and a crash mid-commit
+    // would surface a PARTIAL digest set, reopening the replay window
+    // this method exists to close (round-12 ADVICE). The frame is a
+    // micro-batch's worth of 4-column rows; one partition is its
+    // natural shape.
     backend.append("upload_digests", spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
-      Tables.uploadDigestsSchema))
+      Tables.uploadDigestsSchema).coalesce(1))
   }
 
   /** J3 + S7 + S8 (app.py:110-123): CDC against *mutating intra-batch
