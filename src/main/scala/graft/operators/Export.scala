@@ -80,24 +80,41 @@ object Export {
       .orderBy("shard_id")
 
   /** Write the produced corpus as N deterministic shards + manifest:
-    * `outDir/shards` (parquet, partitioned by shard_id, each shard one
-    * position-sorted run), `outDir/shards_jsonl` (the same rows as JSON
+    * `outDir/shards` (parquet, partitioned by shard_id, each shard
+    * `runsPerShard` position-contiguous sorted file runs),
+    * `outDir/shards_jsonl` (the same rows as JSON
     * lines per shard — the [[graft.sources.Jsonl]] landing format, so a
     * re-ingest drill can replay the export through the landing stream),
     * and `outDir/manifest` (parquet). Returns the manifest as read back
     * from its written form — what a receiver would see.
     *
+    * `runsPerShard` is the writer-parallelism knob (VERDICT r12
+    * item 4): the range repartition runs on `runsPerShard · nShards`
+    * ranges of (shard_id, position), so each shard's rows land as that
+    * many position-CONTIGUOUS file runs written by independent tasks —
+    * at 64 shards over 100 TB the one-task-per-shard form was a
+    * ~1.5 TB write task, the single serial stage left in the export
+    * leg. Range boundaries are sampled, so a task may straddle a shard
+    * boundary (the `partitionBy` splits it at write); runs per shard
+    * are therefore ±1, and every file is still a sorted contiguous
+    * position run. The manifest, the shard assignment, and the
+    * training-order contract are IDENTICAL at any `runsPerShard`
+    * (positions are explicit in the rows; nothing reads file order) —
+    * ExportSpec pins the read-back equality.
+    *
     * The assignment is computed once and persisted for the two shard
     * writes + the manifest aggregate; unpersisted before return.
     */
   def writeShards(produced: DataFrame, nShards: Int,
-                  outDir: String): DataFrame = {
+                  outDir: String, runsPerShard: Int = 1): DataFrame = {
+    require(runsPerShard > 0, s"runsPerShard must be positive: $runsPerShard")
     val spark = produced.sparkSession
     val assigned = shardAssign(produced, nShards)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val clustered = assigned
-        .repartitionByRange(nShards, col("shard_id"), col("position"))
+        .repartitionByRange(nShards * runsPerShard,
+          col("shard_id"), col("position"))
         .sortWithinPartitions("shard_id", "position")
       clustered.write.mode("overwrite")
         .partitionBy("shard_id").parquet(s"$outDir/shards")

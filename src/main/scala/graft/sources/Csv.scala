@@ -97,6 +97,99 @@ object Csv {
         .csv(gen2Path),
       allowMissingColumns = true)
 
+  /** Generation-3 landing schema: [[docSchemaV2]] with `n_chars`
+    * WIDENED BIGINT → DOUBLE (the type-CHANGE leg of the evolution
+    * contract, VERDICT r12 item 5). CSV generations read under their
+    * own schemas ([[docSchemaV2]]'s positional-records rationale), so a
+    * type change is a UNION-CAST rule, not a read-schema rule:
+    * [[readRetyped]] casts every older generation's column UP to the
+    * widest type any generation declares — BIGINT → DOUBLE is lossless
+    * for every value a BIGINT generation can hold (documents' n_chars
+    * is far below 2^53). The NARROWING direction is a pinned REFUSAL:
+    * the union never casts down (a DOUBLE → BIGINT cast would silently
+    * truncate the fractional generation), and reading a
+    * fractional-valued shard under a BIGINT schema is a field-local
+    * type violation — quarantined exactly like the `xx` plant, with
+    * the other fields recovered (CsvSpec pins both).
+    */
+  val docSchemaV3: StructType = StructType(docSchemaV2.fields.map {
+    case f if f.name == "n_chars" => f.copy(dataType = DoubleType)
+    case f => f
+  })
+
+  /** Render documents as generation-3 CSV lines: `quality_tier` as in
+    * [[renderLinesV2]], `n_chars` carrying the widened DOUBLE payload
+    * (`n_chars + 0.5` — deterministic, dyadic-exact, observable). Same
+    * `corruptMod` type-violation plant (`xx` in the now-DOUBLE
+    * `n_chars` slot — still non-numeric, still field-locally
+    * quarantined).
+    */
+  def renderLinesV3(docs: DataFrame, corruptMod: Int = 0): DataFrame = {
+    val tier = elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+      lit("high"), lit("medium"), lit("low")).as("quality_tier")
+    val frac = (col("n_chars").cast("double") + lit(0.5)).as("n_chars")
+    val good = to_csv(struct(col("doc_id"), col("lang"), frac,
+      col("source"), col("text"), tier))
+    val rendered =
+      if (corruptMod > 0)
+        when(col("doc_id") % corruptMod === 0,
+          to_csv(struct(col("doc_id"), col("lang"),
+            lit("xx").as("n_chars"), col("source"), col("text"), tier)))
+          .otherwise(good)
+      else good
+    docs.select(rendered.as("value"))
+  }
+
+  /** Three-generation CSV landing scan with the widening union-cast:
+    * gen-1 under [[docSchema]], gen-2 under [[docSchemaV2]], gen-3
+    * under [[docSchemaV3]]; older generations' `n_chars` is cast UP to
+    * DOUBLE before the name-union (lossless), `quality_tier` null-fills
+    * for gen-1. Quarantine semantics within each generation are
+    * [[read]]'s unchanged.
+    */
+  def readRetyped(spark: SparkSession, gen1Path: String, gen2Path: String,
+                  gen3Path: String): DataFrame = {
+    def widen(df: DataFrame): DataFrame =
+      df.withColumn("n_chars", col("n_chars").cast("double"))
+    widen(read(spark, gen1Path))
+      .unionByName(
+        widen(spark.read
+          .schema(docSchemaV2)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .csv(gen2Path)),
+        allowMissingColumns = true)
+      .unionByName(
+        spark.read
+          .schema(docSchemaV3)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .csv(gen3Path),
+        allowMissingColumns = true)
+  }
+
+  /** [[landingStatsEvolved]] extended with the widening signal —
+    * `n_frac` (clean rows with fractional n_chars: only the widened
+    * generation can produce them) and the double-typed clean sum
+    * (dyadic-exact, order-portable). The field-local rule carries
+    * through: a quarantined gen-2/gen-3 row still counts in
+    * n_with_tier.
+    */
+  def landingStatsRetyped(landed: DataFrame): DataFrame = {
+    val clean = col(CorruptCol).isNull
+    landed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col(CorruptCol)).as("n_quarantined"),
+        count(col("quality_tier")).as("n_with_tier"),
+        count(when(clean && col("n_chars") =!= floor(col("n_chars")),
+          lit(1))).as("n_frac"),
+        sum(when(clean, col("n_chars"))).cast("double")
+          .as("sum_n_chars_clean"),
+        min(when(clean, col("doc_id"))).as("min_doc"),
+        max(when(clean, col("doc_id"))).as("max_doc"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
   /** [[landingStats]] extended with the evolution signal (n_with_tier).
     * Note the field-local consequence the `csv_landing_evolved` oracle
     * replays: a gen-2 row quarantined by the n_chars type violation

@@ -88,6 +88,79 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(paths: _*)
 
+  /** Generation-3 landing schema — [[docSchemaV2]] with `n_chars`
+    * WIDENED BIGINT → DOUBLE (VERDICT r12 item 5: the type-CHANGE leg
+    * of the evolution contract). The widening rule for JSONL: read
+    * every generation under the WIDEST type any generation wrote — a
+    * JSON integer parses losslessly as a double, so gen-1/gen-2 lines
+    * stay clean under this schema while gen-3 lines may carry the
+    * fractional values the widening exists for. The NARROWING rule is
+    * the mirror image and is pinned as a refusal: reading a
+    * fractional-valued generation under the old BIGINT schema flags
+    * those rows corrupt (JsonlSpec pins the exact quarantine shape) —
+    * narrowing is never a silent truncation, so a landing zone that
+    * widened a column can only be read correctly by widening the read
+    * schema with it.
+    */
+  val docSchemaV3: StructType = StructType(docSchemaV2.fields.map {
+    case f if f.name == "n_chars" => f.copy(dataType = DoubleType)
+    case f => f
+  })
+
+  /** Render documents as generation-3 JSON lines: `quality_tier` as in
+    * [[renderLinesV2]], and `n_chars` carrying the widened DOUBLE
+    * payload — the deterministic fractional value `n_chars + 0.5`, so
+    * (a) the widening is observable (an integral-valued double would be
+    * indistinguishable in JSON), and (b) a DuckDB oracle replays it
+    * exactly (dyadic fractions are exact in IEEE doubles). Same
+    * `corruptMod` truncation plant as [[renderLines]].
+    */
+  def renderLinesV3(docs: DataFrame, corruptMod: Int = 0): DataFrame = {
+    val line = to_json(struct(col("doc_id"), col("lang"),
+      (col("n_chars").cast("double") + lit(0.5)).as("n_chars"),
+      col("source"), col("text"),
+      elt((pmod(col("doc_id"), lit(3)) + 1).cast("int"),
+        lit("high"), lit("medium"), lit("low")).as("quality_tier")))
+    val rendered =
+      if (corruptMod > 0)
+        when(col("doc_id") % corruptMod === 0,
+          line.substr(lit(1), floor(length(line) / 2).cast("int")))
+          .otherwise(line)
+      else line
+    docs.select(rendered.as("value"))
+  }
+
+  /** Scan a THREE-generation JSONL landing under the widened superset
+    * schema [[docSchemaV3]]: gen-1 (no tier, integer n_chars) and gen-2
+    * (tier, integer n_chars) parse clean — JSON integers widen
+    * losslessly to double — and gen-3 carries the fractional values.
+    * Malformed lines quarantine whole-row exactly as in [[read]].
+    */
+  def readRetyped(spark: SparkSession, paths: String*): DataFrame =
+    spark.read
+      .schema(docSchemaV3)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(paths: _*)
+
+  /** [[landingStatsEvolved]] extended with the widening signal: how
+    * many clean rows carry a FRACTIONAL `n_chars` (only the widened
+    * generation can) and the double-typed sum — exact, because every
+    * landed value is a dyadic rational far below 2^53, so the hash
+    * compare is engine- and order-portable.
+    */
+  def landingStatsRetyped(landed: DataFrame): DataFrame =
+    landed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_parsed"),
+        count(col("quality_tier")).as("n_with_tier"),
+        count(when(col("n_chars") =!= floor(col("n_chars")), lit(1)))
+          .as("n_frac"),
+        sum(col("n_chars")).cast("double").as("sum_n_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(asc_nulls_first("source"))
+
   /** [[landingStats]] extended with the evolution signal: how many rows
     * of each source carry the generation-2 column. One aggregate answers
     * "did the new generation land, and did the old one survive the

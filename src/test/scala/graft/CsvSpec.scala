@@ -172,4 +172,65 @@ class CsvSpec extends AnyFunSuite {
         g2.count())
     } finally v1.unpersist(blocking = false)
   }
+
+  test("type-change widening: per-generation schemas + union-cast UP " +
+       "land three generations; only gen3 rows are fractional, plants " +
+       "stay field-local in both planted generations") {
+    val root = Files.createTempDirectory("graft_csv_w").toString
+    val g1 = docs.where(col("doc_id") % 5 < 2)
+    val g2 = docs.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
+    val g3 = docs.where(col("doc_id") % 5 === 4)
+    Csv.writeLines(Csv.renderLines(g1), s"$root/gen1")
+    Csv.writeLines(Csv.renderLinesV2(g2, corruptMod = 7), s"$root/gen2")
+    Csv.writeLines(Csv.renderLinesV3(g3, corruptMod = 7), s"$root/gen3")
+    val landed = Csv.readRetyped(spark,
+      s"$root/gen1", s"$root/gen2", s"$root/gen3").cache()
+    try {
+      val nBad = g2.unionAll(g3).where(col("doc_id") % 7 === 0).count()
+      assert(landed.count() === docs.count())
+      assert(landed.where(col(Csv.CorruptCol).isNotNull).count() === nBad)
+      // field-local recovery carries through the widened union: every
+      // quarantined row keeps its parsed tier, n_chars null
+      assert(landed.where(col(Csv.CorruptCol).isNotNull &&
+        col("quality_tier").isNotNull && col("n_chars").isNull)
+        .count() === nBad)
+      // the union-cast is lossless: no fractional values outside gen3
+      assert(landed.where(col("n_chars") =!= floor(col("n_chars")) &&
+        col("doc_id") % 5 =!= 4).count() === 0)
+      // gen3 clean rows carry exactly n_chars + 0.5
+      val mismatch = landed
+        .where(col("doc_id") % 5 === 4 && col(Csv.CorruptCol).isNull)
+        .select(col("doc_id"), col("n_chars"))
+        .join(docs.select(col("doc_id"),
+          (col("n_chars").cast("double") + lit(0.5)).as("_want")),
+          Seq("doc_id"))
+        .where(col("n_chars") =!= col("_want"))
+      assert(mismatch.count() === 0)
+    } finally landed.unpersist(blocking = false)
+  }
+
+  test("type-change narrowing is a pinned REFUSAL: a fractional gen-3 " +
+       "shard under the BIGINT schema quarantines field-locally — the " +
+       "value is never truncated into the narrow column") {
+    val root = Files.createTempDirectory("graft_csv_n").toString
+    val g3 = docs.where(col("doc_id") % 5 === 4).limit(50)
+    Csv.writeLines(Csv.renderLinesV3(g3), s"$root/gen3")
+    // the NARROW read: V2 schema still types n_chars BIGINT
+    val narrow = spark.read
+      .schema(Csv.docSchemaV2)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Csv.CorruptCol)
+      .csv(s"$root/gen3")
+      .cache()
+    try {
+      assert(narrow.count() === g3.count())
+      // every fractional row flags corrupt with n_chars null and the
+      // OTHER fields recovered (source/tier parse field-locally)
+      assert(narrow.where(col(Csv.CorruptCol).isNotNull).count() ===
+        g3.count())
+      assert(narrow.where(col("n_chars").isNotNull).count() === 0)
+      assert(narrow.where(col("quality_tier").isNotNull).count() ===
+        g3.count())
+    } finally narrow.unpersist(blocking = false)
+  }
 }

@@ -126,4 +126,40 @@ class ExportSpec extends AnyFunSuite {
       assert(oneShard === oneShard.sorted)
     } finally EntryHelpers.deleteTree(dir)
   }
+
+  test("runsPerShard > 1: manifest and read-back rows are IDENTICAL to " +
+       "the single-run form; each file is a contiguous position run") {
+    val p = produced(120)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_export_r1")
+    val dirK = java.nio.file.Files.createTempDirectory("graft_export_rk")
+    try {
+      val m1 = Export.writeShards(p, 4, dir1.toString)
+        .collect().map(_.toSeq).toSeq
+      val mK = Export.writeShards(p, 4, dirK.toString, runsPerShard = 3)
+        .collect().map(_.toSeq).toSeq
+      assert(mK === m1)
+      val want = p.orderBy("position").collect().map(_.toSeq).toSeq
+      val backK = spark.read.parquet(s"$dirK/shards")
+        .select("doc_id", "source", "quality_score", "position",
+          "n_tokens", "seq_id", "seq_offset")
+        .orderBy("position").collect().map(_.toSeq).toSeq
+      assert(backK === want)
+      // per-FILE contract: every written file is a sorted contiguous
+      // position run (the receiver can stream file runs in order)
+      import org.apache.spark.sql.functions.input_file_name
+      val files = spark.read.parquet(s"$dirK/shards")
+        .select(input_file_name().as("f"), col("position"))
+        .collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+      files.foreach { case (f, ps) =>
+        assert(ps.last - ps.head + 1 === ps.length,
+          s"file $f is not a contiguous run")
+      }
+      // and the parallelism is real: more files than shards
+      assert(files.size > 4, s"expected >4 files, got ${files.size}")
+    } finally {
+      EntryHelpers.deleteTree(dir1)
+      EntryHelpers.deleteTree(dirK)
+    }
+  }
 }

@@ -165,4 +165,63 @@ class JsonlSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
     } finally landed.unpersist(blocking = false)
   }
+
+  test("type-change widening: three generations under the widened " +
+       "schema — old integers parse clean as doubles, only gen3 rows " +
+       "are fractional, plants still quarantine whole-row") {
+    val root = Files.createTempDirectory("graft_jsonl_w").toString
+    val g1 = docs.where(col("doc_id") % 5 < 2)
+    val g2 = docs.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
+    val g3 = docs.where(col("doc_id") % 5 === 4)
+    Jsonl.writeLines(Jsonl.renderLines(g1), s"$root/gen1")
+    Jsonl.writeLines(Jsonl.renderLinesV2(g2, corruptMod = 7), s"$root/gen2")
+    Jsonl.writeLines(Jsonl.renderLinesV3(g3, corruptMod = 7), s"$root/gen3")
+    val landed = Jsonl.readRetyped(spark,
+      s"$root/gen1", s"$root/gen2", s"$root/gen3").cache()
+    try {
+      val nBad = (g2.unionAll(g3)).where(col("doc_id") % 7 === 0).count()
+      assert(landed.count() === docs.count())
+      assert(landed.where(col(Jsonl.CorruptCol).isNotNull).count() === nBad)
+      // widening is lossless for the old generations: integral doubles
+      val frac = landed.where(col("n_chars") =!= floor(col("n_chars")))
+      assert(frac.where(col("doc_id") % 5 =!= 4).count() === 0)
+      // and observable for gen3: every clean gen-3 row is fractional,
+      // carrying exactly n_chars + 0.5
+      val g3Clean = landed.where(col("doc_id") % 5 === 4 &&
+        col(Jsonl.CorruptCol).isNull)
+      assert(g3Clean.count() === g3.count() - g3.where(col("doc_id") % 7 === 0).count())
+      val mismatch = g3Clean.select(col("doc_id"), col("n_chars"))
+        .join(docs.select(col("doc_id"),
+          (col("n_chars").cast("double") + lit(0.5)).as("_want")),
+          Seq("doc_id"))
+        .where(col("n_chars") =!= col("_want"))
+      assert(mismatch.count() === 0)
+    } finally landed.unpersist(blocking = false)
+  }
+
+  test("type-change narrowing is a pinned REFUSAL: a fractional gen-3 " +
+       "line under the old BIGINT schema quarantines field-locally — " +
+       "never a silent truncation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl_n").toString + "/d"
+    Seq(
+      """{"doc_id":1,"lang":"en","n_chars":123.5,"source":"s","text":"t","quality_tier":"high"}""",
+      """{"doc_id":2,"lang":"en","n_chars":5,"source":"s","text":"ok","quality_tier":"low"}""")
+      .toDF("value").coalesce(1).write.text(dir)
+    // readEvolved = the NARROW (BIGINT n_chars) superset schema
+    val landed = Jsonl.readEvolved(spark, dir).cache()
+    try {
+      val bad = landed.where(col(Jsonl.CorruptCol).isNotNull).collect()
+      assert(bad.length === 1)
+      // the fractional value was never truncated into the BIGINT column
+      assert(bad.head.isNullAt(bad.head.fieldIndex("n_chars")))
+      // partial results: the row is visible with its well-formed fields
+      assert(bad.head.getLong(bad.head.fieldIndex("doc_id")) === 1L)
+      assert(bad.head.getString(
+        bad.head.fieldIndex("quality_tier")) === "high")
+      // the integral row is untouched by the narrow read
+      assert(landed.where(col(Jsonl.CorruptCol).isNull)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    } finally landed.unpersist(blocking = false)
+  }
 }
