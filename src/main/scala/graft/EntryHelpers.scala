@@ -269,7 +269,17 @@ private[graft] object EntryHelpers {
     * composition adds is cache/spill interaction, measured as SCALING.md
     * batch 18b (per-stage wall/shuffle at sf100 and sf1000).
     */
-  private[graft] def corpusProduction(d: DataFrame): DataFrame = {
+  private[graft] def corpusProduction(d: DataFrame): DataFrame =
+    corpusProductionStages(d)._2
+
+  /** [[corpusProduction]] with its DECONTAMINATED-SURVIVOR stage
+    * exposed: `(dec, fin)` — the epoch-advance contract
+    * ([[graft.operators.Epoch]]) persists dec's per-source counts as a
+    * corpus-version artifact (quota top-ups re-derive temperature
+    * quotas from union counts without re-running the factory).
+    */
+  private[graft] def corpusProductionStages(d: DataFrame)
+      : (DataFrame, DataFrame) = {
     val cur = curationBase(d)
       .join(Dedup.duplicateSpanCoverage(d)
         .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
@@ -307,10 +317,11 @@ private[graft] object EntryHelpers {
           .select(col("position").as("doc_id"), col("n_tokens")))
       .select(col("doc_id").as("position"), col("n_tokens"),
         col("seq_id"), col("seq_offset"))
-    mixed.join(sh, Seq("doc_id")).join(packed, Seq("position"))
-      .select(col("doc_id"), col("source"), col("quality_score"),
-        col("position"), col("n_tokens"), col("seq_id"),
-        col("seq_offset"))
+    (dec,
+      mixed.join(sh, Seq("doc_id")).join(packed, Seq("position"))
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("position"), col("n_tokens"), col("seq_id"),
+          col("seq_offset")))
   }
 
   /** Deterministic two-batch state build for the S10/S11 audit scans: the
@@ -346,6 +357,24 @@ private[graft] object EntryHelpers {
       try deleteTree(p) catch { case _: Throwable => () }
     }
     csvDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    jsonlRetypedDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    csvRetypedDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    jsonlEvolvedDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    csvEvolvedDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    incrementalBaseDirs.values.forEach { p =>
+      try deleteTree(p) catch { case _: Throwable => () }
+    }
+    epochBaseDirs.values.forEach { p =>
       try deleteTree(p) catch { case _: Throwable => () }
     }
     producedCorpus.values.forEach { p =>
@@ -497,6 +526,70 @@ private[graft] object EntryHelpers {
       tmp
     }
 
+  /** Materialized per-(session, sf) CORPUS-VERSION artifacts for the
+    * epoch-advance contract ([[graft.operators.Epoch]]) on the even-id
+    * corpus version: the produced corpus itself, its per-source
+    * decontaminated counts, and every batch-gating index (exact
+    * fingerprints, window hashes, holdout grams, LM ratio table,
+    * frozen length band). The near-dup trio (signature index, edge
+    * table, labels) is SHARED with [[incrementalBase]] — same corpus
+    * version, same tables; building them twice would misprice the
+    * maintenance contract. The `incremental_production` row READS
+    * these tables and pays the live epoch advance per run.
+    */
+  private[graft] val epochBaseDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def epochBase(s: SparkSession,
+                               dir: String): java.nio.file.Path =
+    epochBaseDirs.get(s, dir) { (s2, d2) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_epoch")
+      val ex = docs(s2, d2).where(col("doc_id") % 2 === 0)
+      val (dec, fin) = corpusProductionStages(ex)
+      fin.write.mode("overwrite")
+        .parquet(tmp.resolve("produced").toString)
+      dec.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("dec_counts").toString)
+      ex.select(graft.operators.TextOps.fingerprint(col("text"))
+          .as("fingerprint")).distinct()
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("fingerprints").toString)
+      Dedup.windowHashIndex(ex)
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("windows").toString)
+      Dedup.holdoutGramIndex(ex, col("doc_id") % 10 === 0)
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("holdout_grams").toString)
+      graft.operators.TextOps.lmRatioTable(ex)
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("lm_ratio").toString)
+      graft.operators.TextOps.lengthBandBounds(ex)
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("length_bounds").toString)
+      s2.catalog.clearCache()
+      tmp
+    }
+
+  private[graft] def epochVersion(s: SparkSession, dir: String)
+      : graft.operators.Epoch.EpochVersion = {
+    val inc = incrementalBase(s, dir)
+    val ep = epochBase(s, dir)
+    def rd(p: java.nio.file.Path, name: String) =
+      s.read.parquet(p.resolve(name).toString)
+    graft.operators.Epoch.EpochVersion(
+      produced = rd(ep, "produced"),
+      decCounts = rd(ep, "dec_counts"),
+      fingerprints = rd(ep, "fingerprints"),
+      sigIndex = rd(inc, "index"),
+      edges = Dedup.readPairGraph(s, inc.resolve("edges").toString),
+      labels = rd(inc, "labels"),
+      windowIndex = rd(ep, "windows"),
+      holdoutGrams = rd(ep, "holdout_grams"),
+      lmRatio = rd(ep, "lm_ratio"),
+      lengthBounds = rd(ep, "length_bounds"))
+  }
+
   /** Memoized TWO-GENERATION landing builds for the schema-evolution
     * contract (VERDICT r11 item 5): gen1 = even doc_ids rendered under
     * the base schema, gen2 = odd doc_ids rendered under the evolved
@@ -538,6 +631,61 @@ private[graft] object EntryHelpers {
         graft.sources.Csv.renderLinesV2(
           dd.where(col("doc_id") % 2 === 1), corruptMod = 59),
         tmp.resolve("gen2").toString)
+      tmp
+    }
+
+  /** Memoized THREE-GENERATION landing builds for the type-change leg
+    * of the schema-evolution contract (VERDICT r12 item 5): gen1 =
+    * doc_id%5 ∈ {0,1} under the base schema, gen2 = %5 ∈ {2,3} under
+    * the additive V2 schema with the format's corruption plant, gen3 =
+    * %5 = 4 under the V3 schema that WIDENS n_chars BIGINT → DOUBLE
+    * (fractional payload +0.5) with the same plant. The 5-way split is
+    * coprime to the tier derivation (doc_id%3), so every generation
+    * carries all three tier values.
+    */
+  private[graft] val jsonlRetypedDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def jsonlRetypedLanding(s: SparkSession,
+                                         dir: String): java.nio.file.Path =
+    jsonlRetypedDirs.get(s, dir) { (s2, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
+      val dd = docs(s2, d)
+      graft.sources.Jsonl.writeLines(
+        graft.sources.Jsonl.renderLines(dd.where(col("doc_id") % 5 < 2)),
+        tmp.resolve("gen1").toString)
+      graft.sources.Jsonl.writeLines(
+        graft.sources.Jsonl.renderLinesV2(
+          dd.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3),
+          corruptMod = 53),
+        tmp.resolve("gen2").toString)
+      graft.sources.Jsonl.writeLines(
+        graft.sources.Jsonl.renderLinesV3(
+          dd.where(col("doc_id") % 5 === 4), corruptMod = 53),
+        tmp.resolve("gen3").toString)
+      tmp
+    }
+
+  private[graft] val csvRetypedDirs =
+    new SessionMemo[java.nio.file.Path](deleteTree)
+
+  private[graft] def csvRetypedLanding(s: SparkSession,
+                                       dir: String): java.nio.file.Path =
+    csvRetypedDirs.get(s, dir) { (s2, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+      val dd = docs(s2, d)
+      graft.sources.Csv.writeLines(
+        graft.sources.Csv.renderLines(dd.where(col("doc_id") % 5 < 2)),
+        tmp.resolve("gen1").toString)
+      graft.sources.Csv.writeLines(
+        graft.sources.Csv.renderLinesV2(
+          dd.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3),
+          corruptMod = 59),
+        tmp.resolve("gen2").toString)
+      graft.sources.Csv.writeLines(
+        graft.sources.Csv.renderLinesV3(
+          dd.where(col("doc_id") % 5 === 4), corruptMod = 59),
+        tmp.resolve("gen3").toString)
       tmp
     }
 

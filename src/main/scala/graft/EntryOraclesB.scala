@@ -57,6 +57,22 @@ private[graft] object EntryOraclesB {
   // with each component AND each other. Ends at CTE `fin`
   // (doc_id, source, quality_score, position, n_tokens, seq_id,
   // seq_offset).
+  /** The hashed-feature classifier keep-gate as SQL over `rel` — shared
+    * by the chain's `clf` CTE and the epoch oracle's batch-side gate
+    * (identical arithmetic over a different document relation).
+    */
+  private def clfKeepSql(rel: String): String =
+    s"""SELECT doc_id FROM (SELECT doc_id,
+       |    SUM(((b * 37 + 11) % 201) - 100) AS logit FROM (
+       |      SELECT doc_id,
+       |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+       |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+       |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS b
+       |      FROM (SELECT doc_id,
+       |          md5(unnest(string_split(lower(text), ' '))) AS h
+       |        FROM $rel))
+       |    GROUP BY doc_id) WHERE logit > 0""".stripMargin
+
   private val corpusProductionChainSql: String =
     s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
        |l AS (SELECT doc_id, pred_lang FROM ($langIdSql)),
@@ -65,16 +81,7 @@ private[graft] object EntryOraclesB {
        |  GROUP BY md5(lower(trim(text)))),
        |dsc AS (SELECT doc_id, dup_frac FROM ($dupSpanCoverageSql)),
        |lm AS (SELECT doc_id, avg_prob FROM ($lmScoreSql)),
-       |clf AS (SELECT doc_id FROM (SELECT doc_id,
-       |    SUM(((b * 37 + 11) % 201) - 100) AS logit FROM (
-       |      SELECT doc_id,
-       |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
-       |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-       |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS b
-       |      FROM (SELECT doc_id,
-       |          md5(unnest(string_split(lower(text), ' '))) AS h
-       |        FROM documents))
-       |    GROUP BY doc_id) WHERE logit > 0),
+       |clf AS (${clfKeepSql("documents")}),
        |cur AS (SELECT d.doc_id, d.source, q.quality_score
        |  FROM documents d
        |  JOIN band USING (doc_id) JOIN q USING (doc_id)
@@ -122,6 +129,157 @@ private[graft] object EntryOraclesB {
        |fin AS (SELECT m.doc_id, m.source, m.quality_score, pk.position,
        |    pk.n_tokens, pk.st // 2048 AS seq_id, pk.st % 2048 AS seq_offset
        |  FROM mix m JOIN pk ON m.doc_id = pk.doc_id)""".stripMargin
+
+  /** The epoch-advance oracle (see the `incremental_production` entry
+    * below). Epoch 1 is [[corpusProductionChainSql]] VERBATIM with its
+    * document relation shadowed to the even-id slice — definitionally
+    * in sync with `corpus_production`'s oracle; the batch stages are
+    * independent SQL re-derivations of each Epoch.advance step.
+    */
+  private lazy val epochAdvanceSql: String = {
+    val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
+    val evenChain = corpusProductionChainSql
+      .replace("documents", "docs_even").stripPrefix("WITH ")
+    s"""WITH docs_even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |docs_odd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |$evenChain,
+       |bq AS (SELECT doc_id, quality_score FROM
+       |  (${qualityScoreSql.replace("documents", "docs_odd")})),
+       |blg AS (SELECT doc_id, pred_lang FROM
+       |  (${langIdSql.replace("documents", "docs_odd")})),
+       |bclf AS (${clfKeepSql("docs_odd")}),
+       |bbnd AS (SELECT t.doc_id FROM
+       |  (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |     AS n_tokens FROM docs_odd) t,
+       |  (SELECT
+       |     percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+       |     percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi
+       |   FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+       |     AS n_tokens FROM docs_even)) b
+       |  WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi),
+       |befp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+       |  FROM docs_even),
+       |bex AS (SELECT r.doc_id FROM
+       |  (SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS doc_id
+       |   FROM docs_odd GROUP BY 1) r
+       |  WHERE NOT EXISTS (SELECT 1 FROM befp WHERE befp.fp = r.fp)),
+       |wt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |wp AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+       |  FROM wt WHERE len(toks) >= 8),
+       |wg AS (SELECT doc_id, i - 1 AS pos,
+       |  md5(concat_ws(' ', $gram8)) AS gh FROM wp),
+       |wdup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nd
+       |  FROM wg GROUP BY gh) WHERE nd >= 2),
+       |whits AS (SELECT doc_id, pos FROM wg JOIN wdup USING (gh)
+       |  WHERE doc_id % 2 = 1),
+       |wisl AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (
+       |    PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS nw
+       |  FROM whits),
+       |wisl2 AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS island FROM wisl),
+       |wspans AS (SELECT doc_id, island,
+       |    CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+       |  FROM wisl2 GROUP BY doc_id, island),
+       |bdsc AS (SELECT t.doc_id,
+       |    CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+       |      AS dup_frac
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |    FROM docs_odd) t
+       |  LEFT JOIN (SELECT doc_id, SUM(span_len) AS dup_tokens
+       |    FROM wspans GROUP BY doc_id) c ON t.doc_id = c.doc_id),
+       |ebt AS (SELECT string_split(lower(text), ' ') AS toks
+       |  FROM docs_even),
+       |ebi AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] AS bg FROM
+       |  (SELECT unnest(range(1, len(toks))) AS i, toks FROM ebt
+       |   WHERE len(toks) >= 2)),
+       |obi AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+       |  FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+       |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |      FROM docs_odd) WHERE len(toks) >= 2)),
+       |blm AS (SELECT DISTINCT doc_id FROM obi JOIN ebi USING (bg)),
+       |bcur AS (SELECT o.doc_id, o.source, bq.quality_score
+       |  FROM docs_odd o
+       |  JOIN bbnd ON o.doc_id = bbnd.doc_id
+       |  JOIN bq ON o.doc_id = bq.doc_id
+       |  JOIN blg ON o.doc_id = blg.doc_id
+       |  JOIN bex ON o.doc_id = bex.doc_id
+       |  JOIN bdsc ON o.doc_id = bdsc.doc_id
+       |  JOIN bclf ON o.doc_id = bclf.doc_id
+       |  JOIN blm ON o.doc_id = blm.doc_id
+       |  WHERE bq.quality_score >= 0.5 AND blg.pred_lang <> 'unknown'
+       |    AND bdsc.dup_frac <= 0.5),
+       |ucl AS (SELECT doc_id, cluster FROM ($nearDupClustersSql)),
+       |basecl AS (SELECT DISTINCT cluster FROM ucl WHERE doc_id % 2 = 0),
+       |bfree AS (SELECT u.doc_id, u.cluster FROM ucl u
+       |  WHERE u.doc_id % 2 = 1 AND NOT EXISTS
+       |    (SELECT 1 FROM basecl b WHERE b.cluster = u.cluster)),
+       |brepw AS (SELECT c.doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY f.cluster
+       |    ORDER BY c.quality_score DESC, c.doc_id ASC) AS rn
+       |  FROM bcur c JOIN bfree f ON c.doc_id = f.doc_id),
+       |bdd AS (SELECT bcur.* FROM bcur
+       |  JOIN brepw ON bcur.doc_id = brepw.doc_id WHERE brepw.rn = 1),
+       |ddt AS (SELECT doc_id, doc_id % 10 = 0 AS h,
+       |  string_split(lower(text), ' ') AS toks FROM documents),
+       |ddg AS (SELECT doc_id, h, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= 8 THEN
+       |      list_transform(range(1, len(toks) - 6),
+       |        i -> md5(concat_ws(' ', $gram8)))
+       |    ELSE [] END)) AS g FROM ddt),
+       |dflag AS (SELECT DISTINCT dc.doc_id FROM
+       |  (SELECT doc_id, g FROM ddg WHERE NOT h) dc
+       |  JOIN (SELECT g FROM ddg WHERE h) dh ON dc.g = dh.g),
+       |bdec AS (SELECT bdd.* FROM bdd WHERE bdd.doc_id % 10 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM dflag f
+       |    WHERE f.doc_id = bdd.doc_id)),
+       |bps AS (SELECT source, COUNT(*) AS n_docs FROM bdec GROUP BY 1),
+       |ups AS (SELECT COALESCE(p.source, b.source) AS source,
+       |    COALESCE(p.n_docs, 0) + COALESCE(b.n_docs, 0) AS n_docs
+       |  FROM ps p FULL OUTER JOIN bps b ON p.source = b.source),
+       |uw AS (SELECT source, n_docs,
+       |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS weight_fp FROM ups),
+       |utt AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n FROM uw),
+       |uexpd AS (SELECT source,
+       |  CAST((weight_fp * 1000000 // tot) * n // 1000000 AS BIGINT)
+       |    AS expected_docs FROM uw CROSS JOIN utt),
+       |sel1 AS (SELECT source, COUNT(*) AS n1 FROM mix GROUP BY 1),
+       |room AS (SELECT e.source,
+       |    GREATEST(e.expected_docs - COALESCE(s.n1, 0), 0) AS r
+       |  FROM uexpd e LEFT JOIN sel1 s ON e.source = s.source),
+       |br AS (SELECT d.doc_id, d.source, d.quality_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+       |      ORDER BY d.quality_score DESC, d.doc_id) AS BIGINT) AS rk
+       |  FROM bdec d),
+       |badm AS (SELECT br.doc_id, br.source, br.quality_score
+       |  FROM br JOIN room ON br.source = room.source
+       |  WHERE br.rk <= room.r),
+       |n1t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+       |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t1 FROM fin),
+       |bsh AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |    AS BIGINT) AS bpos FROM badm),
+       |btok AS (SELECT m.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM badm m JOIN docs_odd d ON m.doc_id = d.doc_id),
+       |bpk AS (SELECT bsh.doc_id, bsh.bpos, btok.n_tokens,
+       |    CAST(SUM(btok.n_tokens) OVER (ORDER BY bsh.bpos)
+       |      - btok.n_tokens AS BIGINT) AS st0
+       |  FROM bsh JOIN btok ON bsh.doc_id = btok.doc_id),
+       |bfin AS (SELECT m.doc_id, m.source, m.quality_score,
+       |    n1t.n1 + p.bpos AS position, p.n_tokens,
+       |    (n1t.t1 + p.st0) // 2048 AS seq_id,
+       |    (n1t.t1 + p.st0) % 2048 AS seq_offset
+       |  FROM badm m JOIN bpk p ON m.doc_id = p.doc_id CROSS JOIN n1t)
+       |SELECT doc_id, source, quality_score, position, n_tokens,
+       |  seq_id, seq_offset, CAST(1 AS BIGINT) AS epoch FROM fin
+       |UNION ALL
+       |SELECT doc_id, source, quality_score, position, n_tokens,
+       |  seq_id, seq_offset, CAST(2 AS BIGINT) AS epoch FROM bfin
+       |ORDER BY position""".stripMargin
+  }
 
   val all: Map[String, String] = Map(
     "events_cube" ->
@@ -348,6 +506,76 @@ private[graft] object EntryOraclesB {
         |    ELSE doc_id END) AS max_doc
         |FROM documents GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // Replays the three-generation type-change contract, JSONL: gen1 =
+    // doc_id%5<2 (base schema), gen2 = %5 in (2,3) (additive tier, %53
+    // truncation plant — whole-row quarantine), gen3 = %5=4 (n_chars
+    // widened to DOUBLE with the +0.5 fractional payload, same plant).
+    // Read under the widened superset schema: integers parse losslessly
+    // as doubles, so only gen-3 clean rows count in n_frac.
+    "jsonl_landing_retyped" ->
+      """WITH landed AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 5 >= 2 AND doc_id % 53 = 0 THEN NULL
+        |      ELSE source END AS src,
+        |    CASE WHEN doc_id % 5 >= 2 AND doc_id % 53 = 0 THEN NULL
+        |      ELSE doc_id END AS did,
+        |    CASE WHEN doc_id % 5 >= 2 AND doc_id % 53 = 0 THEN NULL
+        |      ELSE text END AS txt,
+        |    CASE WHEN doc_id % 5 >= 2 AND doc_id % 53 <> 0 THEN
+        |      CASE doc_id % 3 WHEN 0 THEN 'high' WHEN 1 THEN 'medium'
+        |        ELSE 'low' END
+        |      ELSE NULL END AS tier,
+        |    CASE WHEN doc_id % 5 >= 2 AND doc_id % 53 = 0 THEN NULL
+        |      WHEN doc_id % 5 = 4 THEN CAST(n_chars AS DOUBLE) + 0.5
+        |      ELSE CAST(n_chars AS DOUBLE) END AS nch
+        |  FROM documents)
+        |SELECT src AS source, COUNT(*) AS n_rows, COUNT(txt) AS n_parsed,
+        |  COUNT(tier) AS n_with_tier,
+        |  COUNT(CASE WHEN nch <> FLOOR(nch) THEN 1 END) AS n_frac,
+        |  CAST(SUM(nch) AS DOUBLE) AS sum_n_chars,
+        |  MIN(did) AS min_doc, MAX(did) AS max_doc
+        |FROM landed GROUP BY src ORDER BY source NULLS FIRST""".stripMargin,
+
+    // Replays the three-generation type-change contract, CSV: same
+    // generation split, %59 'xx' type plant in gen2 AND gen3 —
+    // field-locally quarantined (source/tier/doc_id recovered, n_chars
+    // null), older generations' n_chars union-cast UP to DOUBLE.
+    "csv_landing_retyped" ->
+      """WITH landed AS (
+        |  SELECT source, doc_id,
+        |    (doc_id % 5 >= 2 AND doc_id % 59 = 0) AS bad,
+        |    CASE WHEN doc_id % 5 >= 2 THEN
+        |      CASE doc_id % 3 WHEN 0 THEN 'high' WHEN 1 THEN 'medium'
+        |        ELSE 'low' END
+        |      ELSE NULL END AS tier,
+        |    CASE WHEN doc_id % 5 >= 2 AND doc_id % 59 = 0 THEN NULL
+        |      WHEN doc_id % 5 = 4 THEN CAST(n_chars AS DOUBLE) + 0.5
+        |      ELSE CAST(n_chars AS DOUBLE) END AS nch
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN bad THEN 1 END) AS n_quarantined,
+        |  COUNT(tier) AS n_with_tier,
+        |  COUNT(CASE WHEN NOT bad AND nch <> FLOOR(nch) THEN 1 END)
+        |    AS n_frac,
+        |  CAST(SUM(CASE WHEN NOT bad THEN nch END) AS DOUBLE)
+        |    AS sum_n_chars_clean,
+        |  MIN(CASE WHEN NOT bad THEN doc_id END) AS min_doc,
+        |  MAX(CASE WHEN NOT bad THEN doc_id END) AS max_doc
+        |FROM landed GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // Replays the ENTIRE epoch-advance contract (graft.operators.Epoch)
+    // from raw parquet: the full factory chain over the even-id corpus
+    // version (epoch 1, verbatim chain SQL over a shadowed document
+    // relation) PLUS every batch stage — doc-local gates, the frozen
+    // even-corpus length band, exact-fingerprint anti-join,
+    // union-window dup-span coverage, even-trained LM scoreability,
+    // existing-wins near-dup via the union cluster relation,
+    // union-holdout decontamination, quota top-up from union dec
+    // counts against epoch-1 selections, epoch-append shuffle
+    // positions, and packing extended from the epoch-1 token boundary.
+    "incremental_production" -> epochAdvanceSql,
 
     "stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -800,6 +800,27 @@ private[graft] object EntryQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental CORPUS PRODUCTION — the epoch-advance contract
+    // (VERDICT r12 item 2): the even-id corpus version's persisted
+    // artifacts (produced corpus, dec counts, fingerprint/window/
+    // holdout-gram indexes, LM ratio table, frozen length band, plus
+    // the incrementalBase near-dup trio) absorb the odd-id batch as an
+    // EPOCH — batch-side curation gates, existing-wins dedup via delta
+    // edges + touched relabel, union-holdout decontamination, quota
+    // top-up from union counts, epoch-append shuffle positions, and
+    // sequence packing extended from the epoch-1 token boundary.
+    // Epoch-1 rows ship verbatim (immutable); the oracle replays the
+    // WHOLE contract from raw parquet (the even chain + every batch
+    // stage), so the hash proves the composition. Scale: cost ∝ batch
+    // + narrow index scans — corpus text is never re-read (ScaleProbe
+    // `epoch-advance` measures the ladder).
+    "incremental_production" -> ((s, dir) => {
+      val base = epochVersion(s, dir)
+      graft.operators.Epoch.advance(
+          docs(s, dir).where(col("doc_id") % 2 === 1), base)
+        .orderBy("position")
+    }),
+
     // Decontamination endpoint: the corpus (doc_id % 10 != 0) minus every
     // doc sharing an 8-gram with the holdout slice — what a training run
     // reads after the contamination_overlap scan above.
@@ -1207,6 +1228,35 @@ private[graft] object EntryQueries {
       graft.sources.Csv.landingStatsEvolved(
         graft.sources.Csv.readEvolved(s,
           root.resolve("gen1").toString, root.resolve("gen2").toString))
+    }),
+
+    // Type-CHANGE evolution, JSONL (VERDICT r12 item 5): three
+    // generations — base, additive V2, and V3 widening n_chars
+    // BIGINT→DOUBLE with a fractional payload — read under the WIDENED
+    // superset schema. Old generations' JSON integers parse losslessly
+    // as doubles; only gen-3 rows show fractional n_chars (n_frac);
+    // the %53 truncation plants still quarantine whole-row. The
+    // narrowing refusal (fractional rows under the BIGINT schema
+    // quarantine, never truncate) is pinned in JsonlSpec.
+    "jsonl_landing_retyped" -> ((s, dir) => {
+      val root = jsonlRetypedLanding(s, dir)
+      graft.sources.Jsonl.landingStatsRetyped(
+        graft.sources.Jsonl.readRetyped(s,
+          root.resolve("gen1").toString, root.resolve("gen2").toString,
+          root.resolve("gen3").toString))
+    }),
+
+    // Type-CHANGE evolution, CSV: per-generation schemas + the widening
+    // union-cast (older generations' n_chars cast UP to DOUBLE before
+    // the name-union — lossless; the union never casts down). The %59
+    // type plants stay field-locally quarantined in both planted
+    // generations; the narrowing refusal is pinned in CsvSpec.
+    "csv_landing_retyped" -> ((s, dir) => {
+      val root = csvRetypedLanding(s, dir)
+      graft.sources.Csv.landingStatsRetyped(
+        graft.sources.Csv.readRetyped(s,
+          root.resolve("gen1").toString, root.resolve("gen2").toString,
+          root.resolve("gen3").toString))
     }),
 
     // Order-insensitive md5-fold XOR checksum per source — the

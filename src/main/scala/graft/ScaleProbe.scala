@@ -226,16 +226,19 @@ object ScaleProbe {
             s""""batch_docs":$nBatch,"index_build_sec":$idxSec""")
 
       case "export" =>
-        // <sfDir> export [nShards] -- the factory-to-artifact write
-        // path at ladder scale (VERDICT r11 item 3): a produced-corpus-
-        // shaped frame (real shuffle-order positions + token counts over
-        // the sf corpus) is materialized OUTSIDE the clock; the timed
-        // span is Export.writeShards end to end — shard assignment,
-        // the position-clustered parquet shard write, the JSONL shard
-        // write, and the manifest aggregate + write.
+        // <sfDir> export [nShards] [runsPerShard] -- the factory-to-
+        // artifact write path at ladder scale (VERDICT r11 item 3): a
+        // produced-corpus-shaped frame (real shuffle-order positions +
+        // token counts over the sf corpus) is materialized OUTSIDE the
+        // clock; the timed span is Export.writeShards end to end —
+        // shard assignment, the position-clustered parquet shard write,
+        // the JSONL shard write, and the manifest aggregate + write.
+        // runsPerShard > 1 measures the writer-parallelism knob
+        // (VERDICT r12 item 4).
         import org.apache.spark.sql.functions._
         import graft.operators.{Export, TextOps}
         val nSh = if (args.length > 2) args(2).toInt else 64
+        val rps = if (args.length > 3) args(3).toInt else 1
         val dE = spark.read.parquet(s"$sfDir/documents.parquet")
         val tmpE = java.nio.file.Files.createTempDirectory("graft_export_p")
         val prodPath = tmpE.resolve("produced").toString
@@ -251,11 +254,12 @@ object ScaleProbe {
         val nDocsE = prod.count()
         val t0E = System.nanoTime()
         val manifest = Export.writeShards(prod, nSh,
-          tmpE.resolve("out").toString)
+          tmpE.resolve("out").toString, runsPerShard = rps)
         val mRows = manifest.count()
         val secE = (System.nanoTime() - t0E) / 1e9
         val mAgg = manifest.agg(sum("n_rows"), sum("n_tokens")).head()
-        println(s"""{"probe":"export","shards":$nSh,"docs":$nDocsE,""" +
+        println(s"""{"probe":"export","shards":$nSh,"runs_per_shard":$rps,""" +
+          s""""docs":$nDocsE,""" +
           s""""sec":$secE,"docs_per_sec":${nDocsE / secE},""" +
           s""""manifest_rows":$mRows,""" +
           s""""manifest_docs":${mAgg.getLong(0)},""" +
@@ -460,6 +464,89 @@ object ScaleProbe {
         }
         spark.stop()
         return
+      case "epoch-advance" =>
+        // <sfDir> epoch-advance [batchMod] [runs] -- the incremental
+        // corpus-production ladder point (VERDICT r12 item 2): corpus
+        // version = doc_id % batchMod != 0 (default 10 -> a 10% batch),
+        // artifacts built OUTSIDE the clock (the once-per-version
+        // step); the timed span is Epoch.advance end to end. The claim
+        // under test: epoch cost tracks the BATCH plus narrow index
+        // scans, vs the full factory's corpus-sized rerun
+        // (corpus-production probe numbers at the same SF).
+        import org.apache.spark.sql.functions.{col, count, lit}
+        import graft.operators.{Dedup, Epoch, TextOps}
+        val mod = if (args.length > 2) args(2).toInt else 10
+        val runsE = if (args.length > 3) args(3).toInt else 2
+        val dd = spark.read.parquet(s"$sfDir/documents.parquet")
+        val exD = dd.where(col("doc_id") % mod =!= 0)
+        val incD = dd.where(col("doc_id") % mod === 0)
+        val baseDir = java.nio.file.Files
+          .createTempDirectory("graft_epoch_probe")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try graft.EntryHelpers.deleteTree(baseDir)
+          catch { case _: Throwable => () }))
+        val tB = System.nanoTime()
+        val (decB, finB) = graft.EntryHelpers.corpusProductionStages(exD)
+        finB.write.mode("overwrite")
+          .parquet(baseDir.resolve("produced").toString)
+        decB.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .write.mode("overwrite")
+          .parquet(baseDir.resolve("dec_counts").toString)
+        exD.select(TextOps.fingerprint(col("text")).as("fingerprint"))
+          .distinct().write.mode("overwrite")
+          .parquet(baseDir.resolve("fingerprints").toString)
+        Dedup.buildSignatureIndex(exD).write.mode("overwrite")
+          .parquet(baseDir.resolve("index").toString)
+        Dedup.writePairGraph(
+          Dedup.nearDupPairs(exD).select(col("doc_a"), col("doc_b")),
+          baseDir.resolve("edges").toString)
+        Dedup.connectedComponents(
+            Dedup.readPairGraph(spark, baseDir.resolve("edges").toString),
+            exD.select("doc_id"))
+          .write.mode("overwrite")
+          .parquet(baseDir.resolve("labels").toString)
+        Dedup.windowHashIndex(exD).write.mode("overwrite")
+          .parquet(baseDir.resolve("windows").toString)
+        Dedup.holdoutGramIndex(exD, col("doc_id") % 10 === 0)
+          .write.mode("overwrite")
+          .parquet(baseDir.resolve("holdout_grams").toString)
+        TextOps.lmRatioTable(exD).write.mode("overwrite")
+          .parquet(baseDir.resolve("lm_ratio").toString)
+        TextOps.lengthBandBounds(exD).write.mode("overwrite")
+          .parquet(baseDir.resolve("length_bounds").toString)
+        spark.catalog.clearCache()
+        val baseSec = (System.nanoTime() - tB) / 1e9
+        def rd(name: String) =
+          spark.read.parquet(baseDir.resolve(name).toString)
+        val baseV = Epoch.EpochVersion(
+          produced = rd("produced"), decCounts = rd("dec_counts"),
+          fingerprints = rd("fingerprints"), sigIndex = rd("index"),
+          edges = rd("edges"), labels = rd("labels"),
+          windowIndex = rd("windows"),
+          holdoutGrams = rd("holdout_grams"), lmRatio = rd("lm_ratio"),
+          lengthBounds = rd("length_bounds"))
+        val nBatchE = incD.count()
+        (() => Epoch.advance(incD, baseV),
+          runsE,
+          s""""probe":"epoch_advance","batch_mod":$mod,""" +
+            s""""batch_docs":$nBatchE,"base_build_sec":$baseSec""")
+      case "colstats-approx" =>
+        // <sfDir> colstats-approx [exact] [runs] -- the expand-free
+        // per-column stats operator priced ALONE (VERDICT r12 item 6):
+        // since the `column_stats_approx` registry row became a verdict
+        // row it deliberately executes the exact NDV-via-expand twin to
+        // referee the sketch, so no registry number shows the 100-TB
+        // default's own cost any more. `exact` runs Scale.columnStats
+        // instead, for the side-by-side.
+        val variant = if (args.length > 2) args(2) else "approx"
+        val runs = if (args.length > 3) args(3).toInt else 2
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        (() => variant match {
+            case "exact" => graft.operators.Scale.columnStats(li)
+            case _ => graft.operators.Scale.columnStatsApprox(li)
+          },
+          runs,
+          "\"probe\":\"colstats\",\"variant\":\"" + variant + "\"")
       case "wedge" =>
         // <edgesParquet> wedge <op> [runs] -- the wedge family measured
         // FROM the materialized edge table (the contract's consumption

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental CORPUS-PRODUCTION: the epoch-advance contract (VERDICT
+  * r12 item 2). [[graft.EntryHelpers.corpusProduction]] is the full
+  * training-data factory (curate v3 → cluster reps → decontaminate →
+  * temperature mix → deterministic shuffle → sequence pack); before
+  * this module, ANY append re-ran it from scratch — 4,635 s at sf1000
+  * even when only the appended batch changed. Here an append advances
+  * the produced corpus as an EPOCH: the shipped epoch-1 rows are
+  * IMMUTABLE (their positions, quotas and sequence slots never move —
+  * a training run that already consumed them stays valid), and the
+  * batch pays only delta work against persisted corpus-version
+  * artifacts. This is the reference's own design — per-upload
+  * incremental batches applied against persistent state, never a
+  * reprocess of history (/root/reference/app.py:58-123) — lifted to
+  * the corpus factory.
+  *
+  * The corpus-version ARTIFACTS ([[EpochVersion]]) are each an
+  * already-established "materialize once per version" table: the
+  * exact-fingerprint set ([[Dedup.incrementalDedup]]'s index), the
+  * MinHash signature index ([[Dedup.buildSignatureIndex]]), the edge
+  * table + labels ([[Dedup.updatePairGraphDelta]] /
+  * [[Dedup.relabelTouched]]), the window-hash index
+  * ([[Dedup.windowHashIndex]]), the holdout-gram index
+  * ([[Dedup.holdoutGramIndex]]), the trained LM ratio table
+  * ([[TextOps.lmRatioTable]]), the frozen length band
+  * ([[TextOps.lengthBandBounds]]) and the per-source decontaminated
+  * counts. All are narrow (8-byte keys / per-source rows) except none:
+  * corpus TEXT appears in no artifact and is never re-read.
+  *
+  * DELIBERATE divergences from a full union rebuild — each the
+  * production-correct choice, pinned in scaladoc and spec:
+  *  - **Existing wins.** A batch doc that exact- or near-duplicates
+  *    ANYTHING the corpus version has seen (produced or not) is
+  *    dropped, even if "better" — shipped epochs don't retract. (A
+  *    union rebuild would let a higher-quality newcomer displace an
+  *    old representative.) Same semantics as [[Dedup.incrementalDedup]]
+  *    and [[Dedup.incrementalNearDupPairs]].
+  *  - **Frozen calibration.** The length band and the LM are the
+  *    corpus VERSION's; quantile/model drift re-calibrates at the next
+  *    full version build, not per append.
+  *  - **Quota top-up.** Temperature quotas are RE-DERIVED from union
+  *    per-source counts, but epoch-1 selections are immutable: the
+  *    batch fills only the headroom `max(0, newQuota − alreadySelected)`
+  *    per source (a shrunk quota never evicts shipped docs).
+  *  - **Epoch-append order.** Appended survivors shuffle
+  *    deterministically AMONG THEMSELVES and take positions AFTER the
+  *    existing corpus; packing extends the token stream from the
+  *    epoch-1 boundary (a pure prefix-sum is append-extendable:
+  *    re-packing the concatenated sequence reproduces epoch-1's
+  *    assignments bit-for-bit — EpochSpec pins it).
+  *
+  * The `incremental_production` registry row runs [[advance]] over the
+  * odd-id batch against even-id-corpus artifacts; its DuckDB oracle
+  * replays the ENTIRE contract from the raw parquet — the epoch-1
+  * chain AND every batch stage above — so the hash check proves the
+  * epoch composition, not just its pieces.
+  */
+object Epoch {
+
+  /** The persisted artifacts of one produced corpus version. See the
+    * object scaladoc for each table's provenance; `produced` is the
+    * version's corpus (the 7-column [[graft.EntryHelpers
+    * .corpusProduction]] output), `decCounts` the per-source
+    * decontaminated-survivor counts its mix quotas were derived from.
+    */
+  final case class EpochVersion(
+      produced: DataFrame,
+      decCounts: DataFrame,
+      fingerprints: DataFrame,
+      sigIndex: DataFrame,
+      edges: DataFrame,
+      labels: DataFrame,
+      windowIndex: DataFrame,
+      holdoutGrams: DataFrame,
+      lmRatio: DataFrame,
+      lengthBounds: DataFrame)
+
+  /** Advance the corpus version by one appended batch. Returns the
+    * epoch-2 corpus: every epoch-1 row verbatim (`epoch = 1`) plus the
+    * admitted batch survivors (`epoch = 2`) at positions
+    * `N1+1 .. N1+M`, sequence-packed from the epoch-1 token boundary.
+    *
+    * Cost ∝ batch + narrow index scans: every batch-side signal
+    * (quality, lang-id, classifier, band, fingerprints, bands,
+    * windows, grams, bigrams) derives from ONE batch text scan each,
+    * and every corpus-side contribution is a key-only join against a
+    * persisted narrow artifact. No corpus text is read anywhere.
+    *
+    * @param holdout the UNION holdout predicate (the factory's
+    *                `doc_id % 10 === 0` eval slice), applied to the
+    *                batch; the base side's holdout grams are already
+    *                in `base.holdoutGrams`
+    */
+  def advance(batch: DataFrame, base: EpochVersion,
+              holdout: Column = col("doc_id") % 10 === 0,
+              seqLen: Int = 2048): DataFrame = {
+    // ---- curate v3, batch-vs-artifact form --------------------------
+    val q = TextOps.qualityScore(TextOps.tokenStats(batch))
+      .select(col("doc_id"), col("quality_score"))
+    val lang = TextOps.langIdAgg(batch)
+      .select(col("doc_id"), col("pred_lang"))
+    val band = TextOps.lengthBandFilterWithBounds(batch, base.lengthBounds)
+      .select("doc_id")
+    val clf = TextOps.classifierScore(batch).where(col("keep"))
+      .select("doc_id")
+    // exact dedup: batch-internal representative AND unseen fingerprint
+    val fp = batch.select(
+      TextOps.fingerprint(col("text")).as("fingerprint"), col("doc_id"))
+    val ex = fp.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .join(base.fingerprints.select("fingerprint"),
+        Seq("fingerprint"), "left_anti")
+      .select("doc_id")
+    val dsc = Dedup.duplicateSpanCoverageAgainst(batch, base.windowIndex)
+      .select(col("doc_id"), col("dup_frac"))
+    val lm = TextOps.lmScoreAgainst(batch, base.lmRatio)
+      .select(col("doc_id"), col("avg_prob"))
+    val cur = batch.select(col("doc_id"), col("source"))
+      .join(band, Seq("doc_id"))
+      .join(q, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(ex, Seq("doc_id"))
+      .join(dsc, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(clf, Seq("doc_id"))
+      .where(col("quality_score") >= 0.5 &&
+        col("pred_lang") =!= "unknown" &&
+        col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    // ---- near-dup: existing wins, batch-only clusters keep best ----
+    val delta = Dedup.updatePairGraphDelta(batch, base.sigIndex)
+    val newLabels = Dedup.relabelTouched(base.labels, base.edges, delta,
+        batch.select("doc_id"))
+      .localCheckpoint() // consumed twice below; lineage carries the
+                         // whole delta search + BSP relabel
+    val withBase = newLabels
+      .join(base.labels.select("doc_id"), Seq("doc_id"))
+      .select("cluster").distinct()
+    val freeBatch = newLabels
+      .join(batch.select("doc_id"), Seq("doc_id"))
+      .join(withBase, Seq("cluster"), "left_anti")
+    val reps = Dedup.keepByScore(
+      cur.select("doc_id", "quality_score"), freeBatch)
+    val dd = cur.join(reps.select("doc_id"), Seq("doc_id"))
+    // ---- decontaminate vs the union holdout -------------------------
+    val surviving = Dedup.decontaminateAgainst(batch, holdout,
+      base.holdoutGrams).select("doc_id")
+    val dec = dd.join(surviving, Seq("doc_id"))
+    // ---- quota top-up ----------------------------------------------
+    val bCounts = dec.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val unionCounts = base.decCounts
+      .select(col("source"), col("n_docs").as("_n_base"))
+      .join(bCounts.select(col("source"), col("n_docs").as("_n_batch")),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("_n_base"), lit(0L)) +
+          coalesce(col("_n_batch"), lit(0L))).as("n_docs"))
+    val quotas = TextOps.sourceTemperatureFromCounts(unionCounts)
+      .select(col("source"), col("expected_docs"))
+    val sel1 = base.produced.groupBy("source")
+      .agg(count(lit(1)).as("_n1"))
+    val room = quotas.join(sel1, Seq("source"), "left")
+      .select(col("source"),
+        greatest(col("expected_docs") - coalesce(col("_n1"), lit(0L)),
+          lit(0L)).as("_room"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    val admitted = dec
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .join(broadcast(room), Seq("source"))
+      .where(col("_rk") <= col("_room"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    // ---- epoch-append shuffle + pack extension ---------------------
+    val totals = base.produced.agg(count(lit(1)).as("_n1"),
+      coalesce(sum("n_tokens"), lit(0L)).as("_t1"))
+    val sh = TextOps.shuffleOrder(admitted.select("doc_id"))
+      .select(col("doc_id"), col("position").as("_bpos"))
+    val tok = batch
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(sh, Seq("doc_id"))
+    val pk = TextOps.packSequencesByLen(
+        tok.select(col("_bpos").as("doc_id"), col("n_tokens")), seqLen)
+      .select(col("doc_id").as("_bpos"), col("n_tokens"),
+        (col("seq_id") * seqLen + col("seq_offset")).as("_st0"))
+    val bfin = admitted.join(sh, Seq("doc_id"))
+      .join(pk, Seq("_bpos"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        (col("_n1") + col("_bpos")).as("position"), col("n_tokens"),
+        expr(s"(_t1 + _st0) DIV $seqLen").as("seq_id"),
+        pmod(col("_t1") + col("_st0"), lit(seqLen.toLong))
+          .as("seq_offset"),
+        lit(2L).as("epoch"))
+    base.produced
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("position"), col("n_tokens"), col("seq_id"),
+        col("seq_offset"), lit(1L).as("epoch"))
+      .unionByName(bfin)
+  }
+}

@@ -342,9 +342,14 @@ object Scale {
     * error bound is HLL's ~rsd. Nulls and min/max stay exact — they
     * were never the expensive part. Emitted long-format like the exact
     * twin, with the estimate under `ndv_approx` so the two can never be
-    * silently confused. Registry row is rows-only (sketch internals are
-    * engine-specific); accuracy vs the exact twin is asserted in
-    * ScaleSpec at rsd-scaled bounds.
+    * silently confused. Since round 12 the `column_stats_approx`
+    * registry row is a fully oracle-checked VERDICT row: it joins this
+    * frame to the exact twin and emits a `within_bound` flag whose
+    * DuckDB oracle replays the exact twin + TRUE — that row
+    * deliberately pays the exact plan to referee the sketch, while the
+    * expand-free plan contract stays pinned on this operator in
+    * ScaleSpec/PlanContractSpec (and ScaleProbe's `colstats-approx`
+    * kind prices the operator alone).
     */
   def columnStatsApprox(df: DataFrame, rsd: Double = 0.02): DataFrame = {
     import org.apache.spark.sql.types._

@@ -319,7 +319,7 @@ object TextOps {
     * corpus tokens; shrink it (losing fixed-point resolution) beyond.
     */
   def lmScore(docs: DataFrame, scale: Long = 100000000L,
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
     // Scratch discipline for the corpus-sized bigram stream (the
     // round-10 dress rehearsal's lesson — the string-keyed two-join
     // form shuffled 9.1 GB at sf100, ~91 GB extrapolated at sf1000,
@@ -341,21 +341,41 @@ object TextOps {
     //     trade: CPU is not the binding constraint, disk is).
     // At cluster scale the ratio table IS the LM you materialize once
     // per corpus version; incoming batches pay only the one join.
+    lmScoreAgainst(docs, lmRatioTable(docs, scale, textCol), scale, textCol)
+
+  /** The transition-probability ratio table (gh → fixed-point
+    * `count(bigram)·scale DIV count(w1)`) trained on `docs` — the LM a
+    * pipeline materializes ONCE per corpus version (the scaladoc above
+    * has promised exactly this artifact since round 10; [[graft
+    * .operators.Epoch]] now consumes it): incoming batches score
+    * against the persisted table via [[lmScoreAgainst]] and pay only
+    * the one gram-keyed join.
+    */
+  def lmRatioTable(docs: DataFrame, scale: Long = 100000000L,
+                   textCol: String = "text"): DataFrame = {
     val uni = docs
       .select(explode(split(lower(col(textCol)), " ")).as("tok"))
       .select(xxhash64(col("tok")).as("th"))
       .groupBy("th").agg(count(lit(1)).as("_c1"))
-    def bigrams = docs
-      .select(col("doc_id"),
-        explode(graft.functions.TokenNgrams(lower(col(textCol)), 2))
-          .as("gram"))
-    val ratio = bigrams
+    bigramFrame(docs, textCol)
       .select(xxhash64(col("gram")).as("gh"),
         xxhash64(substring_index(col("gram"), " ", 1)).as("th"))
       .groupBy("gh").agg(count(lit(1)).as("_c2"), first("th").as("th"))
       .join(uni, Seq("th"))
       .select(col("gh"), expr(s"_c2 * ${scale}L DIV _c1").as("_r"))
-    val scored = bigrams
+  }
+
+  /** Score `docs` against an externally trained [[lmRatioTable]]: same
+    * output columns as [[lmScore]]; bigrams absent from the table
+    * simply don't score (inner ratio join), and a document with NO
+    * scoreable bigram reports null `avg_prob` — the gate signal an
+    * epoch-advance curation reads ("is this doc scoreable under the
+    * corpus version's LM").
+    */
+  def lmScoreAgainst(docs: DataFrame, ratio: DataFrame,
+                     scale: Long = 100000000L,
+                     textCol: String = "text"): DataFrame = {
+    val scored = bigramFrame(docs, textCol)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .join(ratio, Seq("gh"))
       .groupBy("doc_id")
@@ -371,6 +391,15 @@ object TextOps {
           .otherwise(col("prob_fp_sum").cast("double") /
             (col("n_bigrams") * lit(scale)).cast("double")).as("avg_prob"))
   }
+
+  /** The per-document local bigram stream both LM halves consume —
+    * deliberately a `def`-shaped cheap codegen scan (see [[lmScore]]'s
+    * no-persist note).
+    */
+  private def bigramFrame(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.TokenNgrams(lower(col(textCol)), 2))
+        .as("gram"))
 
   /** [[lmScore]] in K bounded-scratch GRAM-HASH slices — the sliced
     * execution mode for the corpus size where even the single
@@ -476,18 +505,42 @@ object TextOps {
     * error) when N makes exact sorting unreasonable.
     */
   def lengthBandFilter(docs: DataFrame, lo: Double = 0.05, hi: Double = 0.95,
-                       textCol: String = "text"): DataFrame = {
-    val withLen = docs.withColumn("n_tokens",
-      size(split(col(textCol), " ")).cast("long"))
-    val bounds = withLen.agg(
-      expr(s"percentile_disc($lo) WITHIN GROUP (ORDER BY n_tokens)")
-        .as("_lo"),
-      expr(s"percentile_disc($hi) WITHIN GROUP (ORDER BY n_tokens)")
-        .as("_hi"))
-    withLen.crossJoin(broadcast(bounds))
+                       textCol: String = "text"): DataFrame =
+    lengthBandFilterWithBounds(docs, lengthBandBounds(docs, lo, hi, textCol),
+      textCol)
+
+  /** The band's percentile bounds as a 1-row (_lo, _hi) frame — split
+    * out of [[lengthBandFilter]] so an epoch-advance pipeline can
+    * FREEZE the calibration at a corpus version ([[graft.operators
+    * .Epoch]]): the bounds are computed once on the corpus the version
+    * was built from and persisted as a corpus-version artifact; an
+    * appended batch is gated against the FROZEN band rather than
+    * re-deriving quantiles over the union (which would silently
+    * re-curate — and potentially invalidate — already-shipped
+    * documents as the length distribution drifts).
+    */
+  def lengthBandBounds(docs: DataFrame, lo: Double = 0.05,
+                       hi: Double = 0.95,
+                       textCol: String = "text"): DataFrame =
+    docs.withColumn("n_tokens",
+        size(split(col(textCol), " ")).cast("long"))
+      .agg(
+        expr(s"percentile_disc($lo) WITHIN GROUP (ORDER BY n_tokens)")
+          .as("_lo"),
+        expr(s"percentile_disc($hi) WITHIN GROUP (ORDER BY n_tokens)")
+          .as("_hi"))
+
+  /** [[lengthBandFilter]] against an externally supplied (possibly
+    * frozen) bounds frame. The bounds attach as a broadcast 1-row
+    * frame — no driver collect.
+    */
+  def lengthBandFilterWithBounds(docs: DataFrame, bounds: DataFrame,
+                                 textCol: String = "text"): DataFrame =
+    docs.withColumn("n_tokens",
+        size(split(col(textCol), " ")).cast("long"))
+      .crossJoin(broadcast(bounds))
       .where(col("n_tokens") >= col("_lo") && col("n_tokens") <= col("_hi"))
       .select(col("doc_id"), col("n_tokens"))
-  }
 
   /** Sequence packing for LLM pretraining: lay all documents end-to-end
     * in `doc_id` order into one global token stream cut into fixed
@@ -1788,8 +1841,19 @@ object TextOps {
     * Scale: a |sources|-row aggregate (map-side combined) plus one
     * broadcast one-row total — nothing here grows with the corpus.
     */
-  def sourceTemperature(docs: DataFrame): DataFrame = {
-    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+  def sourceTemperature(docs: DataFrame): DataFrame =
+    sourceTemperatureFromCounts(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")))
+
+  /** [[sourceTemperature]] from an already-aggregated (source, n_docs)
+    * frame — the form an EPOCH-ADVANCE quota re-derivation calls
+    * ([[graft.operators.Epoch]]): per-source counts are a
+    * corpus-version artifact plus a batch-sized delta, so the quota
+    * arithmetic never re-scans the corpus. Identical fixed-point
+    * arithmetic, identical output.
+    */
+  def sourceTemperatureFromCounts(counts: DataFrame): DataFrame = {
+    val perSource = counts.select(col("source"), col("n_docs"))
       .withColumn("weight_fp",
         floor(sqrt(col("n_docs").cast("double")) * lit(1000000L))
           .cast("long"))
