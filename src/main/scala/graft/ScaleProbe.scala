@@ -478,8 +478,12 @@ object ScaleProbe {
         val mod = if (args.length > 2) args(2).toInt else 10
         val runsE = if (args.length > 3) args(3).toInt else 2
         val dd = spark.read.parquet(s"$sfDir/documents.parquet")
-        val exD = dd.where(col("doc_id") % mod =!= 0)
-        val incD = dd.where(col("doc_id") % mod === 0)
+        // Batch = remainder 1, NOT 0: the factory's holdout slice is
+        // doc_id % 10 == 0, and a %10==0 batch would be entirely
+        // holdout — decontamination would (correctly) drop every doc
+        // and the probe would time an empty admission.
+        val exD = dd.where(col("doc_id") % mod =!= 1)
+        val incD = dd.where(col("doc_id") % mod === 1)
         val baseDir = java.nio.file.Files
           .createTempDirectory("graft_epoch_probe")
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -526,9 +530,21 @@ object ScaleProbe {
           holdoutGrams = rd("holdout_grams"), lmRatio = rd("lm_ratio"),
           lengthBounds = rd("length_bounds"))
         val nBatchE = incD.count()
-        (() => Epoch.advance(incD, baseV),
+        // Variant: 'full' materializes the whole advanced corpus view
+        // (epoch-1 rows re-emitted — output is corpus-sized by
+        // definition); 'delta' (default) filters to epoch = 2, which
+        // constant-folds the epoch-1 union branch away — the cost of
+        // PRODUCING the appended rows, i.e. what a pipeline that
+        // appends to the produced table actually pays per epoch.
+        val variantE = if (args.length > 4) args(4) else "delta"
+        (() => {
+            val adv = Epoch.advance(incD, baseV)
+            if (variantE == "full") adv
+            else adv.where(col("epoch") === 2)
+          },
           runsE,
           s""""probe":"epoch_advance","batch_mod":$mod,""" +
+            s""""variant":"$variantE",""" +
             s""""batch_docs":$nBatchE,"base_build_sec":$baseSec""")
       case "colstats-approx" =>
         // <sfDir> colstats-approx [exact] [runs] -- the expand-free
