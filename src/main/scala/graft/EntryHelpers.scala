@@ -280,6 +280,16 @@ private[graft] object EntryHelpers {
     */
   private[graft] def corpusProductionStages(d: DataFrame)
       : (DataFrame, DataFrame) = {
+    // Every multi-consumed NARROW stage boundary below is eagerly
+    // localCheckpoint'ed (round 13, guide §5 / §1.2): without it the
+    // final `mixed ⋈ sh ⋈ packed` plan re-nests the whole curation +
+    // pair-search subtree once per consumer — `cur` appeared ~6× in
+    // the printed physical plan (1,991 Exchange / 2,517 scan nodes at
+    // sf0.1; measured 52.5 s idle min-of-2), every text signal
+    // recomputed per copy. Checkpointing the ~survivor-count frames
+    // (8-byte keys + a score) computes each stage ONCE — same rows,
+    // same oracle (the r12 relabelTouched lesson applied to the
+    // factory itself).
     val cur = curationBase(d)
       .join(Dedup.duplicateSpanCoverage(d)
         .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
@@ -289,14 +299,16 @@ private[graft] object EntryHelpers {
       .join(TextOps.classifierScore(d).where(col("keep"))
         .select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("quality_score"))
+      .localCheckpoint()
     val clusters = Dedup.connectedComponents(
       Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
     val reps = Dedup.keepByScore(
       cur.select("doc_id", "quality_score"), clusters)
     val dd = cur.join(reps.select("doc_id"), Seq("doc_id"))
     val dec = dd.join(
-      Dedup.decontaminate(d, col("doc_id") % 10 === 0).select("doc_id"),
-      Seq("doc_id"))
+        Dedup.decontaminate(d, col("doc_id") % 10 === 0).select("doc_id"),
+        Seq("doc_id"))
+      .localCheckpoint()
     // Mix and pack consume NARROW frames: the per-doc stats manifest
     // and the split-token length are computed where the text lives
     // (one map pass each, no exchange), and every join after that
@@ -308,8 +320,10 @@ private[graft] object EntryHelpers {
         TextOps.docStatsManifest(d)
           .join(dec.select("doc_id"), Seq("doc_id")))
       .select(col("doc_id"), col("source"), col("quality_score"))
+      .localCheckpoint()
     val sh = TextOps.shuffleOrder(mixed.select("doc_id"))
       .select(col("doc_id"), col("position"))
+      .localCheckpoint()
     val packed = TextOps.packSequencesByLen(
         d.select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))

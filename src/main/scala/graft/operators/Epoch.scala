@@ -119,6 +119,14 @@ object Epoch {
       .select(col("doc_id"), col("dup_frac"))
     val lm = TextOps.lmScoreAgainst(batch, base.lmRatio)
       .select(col("doc_id"), col("avg_prob"))
+    // Multi-consumed narrow stage boundaries below are eagerly
+    // localCheckpoint'ed (round 13, guide §5 / §1.2) — mirroring the
+    // corpusProductionStages fix: `cur` feeds the rep-keep AND the
+    // survivor join, `dec` feeds counts AND admission, `admitted`/`sh`
+    // each feed two branches of the pack-extension join. Without
+    // truncation the printed plan re-nested the whole batch curation +
+    // delta pair search once per consumer (1,446 Exchange nodes at
+    // sf0.1; measured 43.1 s idle min-of-2). Same rows, same oracle.
     val cur = batch.select(col("doc_id"), col("source"))
       .join(band, Seq("doc_id"))
       .join(q, Seq("doc_id"))
@@ -131,6 +139,7 @@ object Epoch {
         col("pred_lang") =!= "unknown" &&
         col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
       .select(col("doc_id"), col("source"), col("quality_score"))
+      .localCheckpoint()
     // ---- near-dup: existing wins, batch-only clusters keep best ----
     val delta = Dedup.updatePairGraphDelta(batch, base.sigIndex)
     val newLabels = Dedup.relabelTouched(base.labels, base.edges, delta,
@@ -149,7 +158,7 @@ object Epoch {
     // ---- decontaminate vs the union holdout -------------------------
     val surviving = Dedup.decontaminateAgainst(batch, holdout,
       base.holdoutGrams).select("doc_id")
-    val dec = dd.join(surviving, Seq("doc_id"))
+    val dec = dd.join(surviving, Seq("doc_id")).localCheckpoint()
     // ---- quota top-up ----------------------------------------------
     val bCounts = dec.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val unionCounts = base.decCounts
@@ -174,11 +183,13 @@ object Epoch {
       .join(broadcast(room), Seq("source"))
       .where(col("_rk") <= col("_room"))
       .select(col("doc_id"), col("source"), col("quality_score"))
+      .localCheckpoint()
     // ---- epoch-append shuffle + pack extension ---------------------
     val totals = base.produced.agg(count(lit(1)).as("_n1"),
       coalesce(sum("n_tokens"), lit(0L)).as("_t1"))
     val sh = TextOps.shuffleOrder(admitted.select("doc_id"))
       .select(col("doc_id"), col("position").as("_bpos"))
+      .localCheckpoint()
     val tok = batch
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
