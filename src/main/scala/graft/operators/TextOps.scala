@@ -1707,7 +1707,10 @@ object TextOps {
     */
   def invertedIndexMerge(a: DataFrame, b: DataFrame,
                          maxPostings: Int = 5): DataFrame = {
-    val u = a.unionAll(b)
+    // Consumed twice below (stats + posting re-cut); uncheckpointed,
+    // both consumers re-ran the two upstream index builds (round 13:
+    // 3.1 s → 2.8 s on the registry row). Vocabulary-sized rows.
+    val u = a.unionAll(b).localCheckpoint()
     val stats = u.groupBy("term").agg(sum("df").as("df"),
       sum("total_tf").as("total_tf"))
     val entries = u.select(col("term"),
