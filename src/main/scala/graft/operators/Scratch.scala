@@ -11,19 +11,74 @@ package graft.operators
   */
 private[graft] object Scratch {
 
-  /** `System.gc()` only when the JVM heap shows real pressure
-    * (used > half of max). At ladder scale the slice jobs grow the
-    * local-mode heap toward -Xmx and the hint fires exactly as before;
-    * at bench scale (sf0.1, tens of MB per slice) a full GC costs
-    * 0.1–0.5 s per slice against zero scratch worth reclaiming —
-    * measured 5 unconditional GCs inside the timed
-    * `neardup_pairs_banded_sliced` run (round 13). Periodic cleanup
-    * still backstops the skipped case (`spark.cleaner.periodicGC
-    * .interval`, default 30 min).
+  /** Cumulative shuffle-write bytes per live SparkContext, fed by a
+    * lazily installed stage-completion listener and drained (read +
+    * reset) by [[gcIfPressured]]. Exact in local mode — one JVM sees
+    * every task; on a cluster the driver-side stage metrics are the
+    * same aggregate the UI reports.
     */
-  def gcIfPressured(): Unit = {
-    val rt = Runtime.getRuntime
-    val used = rt.totalMemory() - rt.freeMemory()
-    if (used * 2 > rt.maxMemory()) System.gc()
+  private val scratchBytes = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    java.util.concurrent.atomic.AtomicLong]()
+
+  private def counter(sc: org.apache.spark.SparkContext)
+      : java.util.concurrent.atomic.AtomicLong = {
+    // stopped contexts can never fire their listener again — drop them
+    // so the map cannot grow across session lifetimes
+    scratchBytes.keySet.removeIf(_.isStopped)
+    scratchBytes.computeIfAbsent(sc, { sc2 =>
+      val c = new java.util.concurrent.atomic.AtomicLong(0L)
+      sc2.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler
+              .SparkListenerStageCompleted): Unit = {
+          c.addAndGet(
+            e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+      c
+    })
+  }
+
+  /** Default scratch threshold below which the per-slice GC hint is
+    * skipped (256 MiB; override `SPARK_GRAFT_SCRATCH_GC_MIN_BYTES`).
+    * At the ladder decades where slicing matters each slice writes
+    * gigabytes; a bench-scale slice writes single-digit MB.
+    */
+  val DefaultMinScratchBytes: Long = 256L << 20
+
+  /** Shuffle-write bytes accumulated in `spark`'s context since the
+    * last [[gcIfPressured]] drain (test hook; drains listener-bus
+    * stragglers first so a just-finished job is fully counted).
+    */
+  private[graft] def pendingScratchBytes(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    graft.Bench.drainListenerBus(spark.sparkContext)
+    counter(spark.sparkContext).get()
+  }
+
+  /** `System.gc()` only when the slices have actually produced scratch
+    * worth reclaiming: ≥ `SPARK_GRAFT_SCRATCH_GC_MIN_BYTES` (default
+    * 256 MiB) of shuffle-write bytes since the last reclaim, measured
+    * by a per-context stage listener. The GC hint exists solely so the
+    * ContextCleaner deletes dead shuffle files between slices — so the
+    * gate is the size of that scratch, not JVM heap fill: the round-13
+    * heap gate (`used > max/2`) counted garbage, and a long bench run
+    * with a slowly filling 24 g heap fired all 5 full GCs inside the
+    * timed sliced query anyway (~0.3–0.6 s each) against ~3 MB of
+    * scratch. At ladder scale (~GBs per slice) the new gate fires
+    * exactly as the old one did. Periodic cleanup still backstops the
+    * skipped case (`spark.cleaner.periodicGC.interval`, default
+    * 30 min).
+    */
+  def gcIfPressured(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val c = counter(spark.sparkContext)
+    // stage-completed events arrive on the async listener bus — drain
+    // so the slice that just finished is fully counted before deciding
+    graft.Bench.drainListenerBus(spark.sparkContext)
+    val thr = sys.env.get("SPARK_GRAFT_SCRATCH_GC_MIN_BYTES")
+      .map(_.toLong).getOrElse(DefaultMinScratchBytes)
+    if (c.getAndSet(0L) >= thr) System.gc()
   }
 }

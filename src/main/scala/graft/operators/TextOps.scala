@@ -442,7 +442,7 @@ object TextOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_s"))
         .write.mode("overwrite").parquet(s"$workDir/lm_$k")
-      Scratch.gcIfPressured()
+      Scratch.gcIfPressured(spark)
     }
     val partials = spark.read
       .parquet((0 until slices).map(k => s"$workDir/lm_$k"): _*)

@@ -782,4 +782,37 @@ class DedupSpec extends AnyFunSuite {
       } finally delta.unpersist(blocking = false)
     } finally exEdges.unpersist(blocking = false)
   }
+
+  test("cappedPairGraph memo re-arms its persist after a session-wide " +
+      "clearCache") {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = Dedup.nearDupPairs(docs).select("doc_a", "doc_b")
+    try {
+      val g1 = Dedup.cappedPairGraph(pairs, 256)
+      assert(g1.storageLevel !== StorageLevel.NONE)
+      // the bench's cold-cache reset / a test teardown: unpersists every
+      // cached frame WITHOUT evicting the memo
+      spark.catalog.clearCache()
+      assert(g1.storageLevel === StorageLevel.NONE)
+      // a memo hit must re-arm the persist, or every consumer join
+      // re-computes the capped graph once per reference
+      val g2 = Dedup.cappedPairGraph(pairs, 256)
+      assert(g2.storageLevel !== StorageLevel.NONE)
+      assert(g2.orderBy("doc_a", "doc_b").collect()
+        === g1.orderBy("doc_a", "doc_b").collect())
+    } finally Dedup.clearWedgeCache()
+  }
+
+  test("Scratch gates the per-slice GC on shuffle scratch actually " +
+      "written, and drains its counter") {
+    import graft.operators.Scratch
+    Scratch.gcIfPressured(spark)   // drain whatever ran before this test
+    assert(Scratch.pendingScratchBytes(spark) === 0L)
+    // force a real shuffle so the stage listener sees write bytes
+    docs.repartition(4, org.apache.spark.sql.functions.col("doc_id"))
+      .write.format("noop").mode("overwrite").save()
+    assert(Scratch.pendingScratchBytes(spark) > 0L)
+    Scratch.gcIfPressured(spark)   // below the 256 MiB bar: no GC, drains
+    assert(Scratch.pendingScratchBytes(spark) === 0L)
+  }
 }
