@@ -783,6 +783,34 @@ class DedupSpec extends AnyFunSuite {
     } finally exEdges.unpersist(blocking = false)
   }
 
+  test("connectedComponentsFrom warm-started at old cluster minima " +
+      "equals cold-start CC on the union (deep chains merged by a " +
+      "delta edge)") {
+    import spark.implicits._
+    // two deep path clusters (diameter 4) + one singleton
+    val oldEdges = Seq((10L, 12L), (12L, 14L), (14L, 16L), (16L, 18L),
+      (20L, 22L), (22L, 24L)).toDF("doc_a", "doc_b")
+    val oldVerts = Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L, 24L, 30L)
+      .toDF("doc_id")
+    val oldLabels = Dedup.connectedComponents(oldEdges, oldVerts)
+    // a batch vertex bridges the two deep clusters at their FAR ends
+    val delta = Seq((11L, 18L), (11L, 24L)).toDF("doc_a", "doc_b")
+    val union = oldEdges.unionAll(delta)
+    val allVerts = oldVerts.unionAll(Seq(11L).toDF("doc_id"))
+    val init = allVerts.join(oldLabels, Seq("doc_id"), "left")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("cluster"),
+          org.apache.spark.sql.functions.col("doc_id")).as("cluster"))
+    val warm = Dedup.connectedComponentsFrom(union, init)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cold = Dedup.connectedComponents(union, allVerts)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(warm === cold)
+    // the merged component labels at the global minimum
+    assert(warm.filter(_._1 == 24L).head._2 === 10L)
+  }
+
   test("cappedPairGraph memo re-arms its persist after a session-wide " +
       "clearCache") {
     import org.apache.spark.storage.StorageLevel
