@@ -558,11 +558,23 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("value"),
         eventMs(events).as("_ms"))
       .withColumn("bucket", expr(s"_ms div $bucketMs"))
-    val lastInBucket = Window.partitionBy("user_id", "bucket")
-      .orderBy(desc("_ms"), desc("event_id"))
+    // ONE user_id exchange end to end (round 14, guide §2.4 — "window
+    // functions partitioned by the same key as a preceding aggregation
+    // do not need a second shuffle"): the former shape shuffled on
+    // (user_id, bucket) for the last-in-bucket window, on user_id for
+    // the grid aggregate, re-shuffled one join side, and shuffled again
+    // for the forward-fill window. Here last-in-bucket is read off ONE
+    // user_id-partitioned sort — a bucket's last observation is the row
+    // whose successor (in (bucket, _ms, event_id) order) starts a new
+    // bucket — so the grid aggregate, the (user_id, bucket) join and
+    // the forward-fill window all reuse the same user_id partitioning.
+    // Same rows: max-(_ms, event_id) per bucket is exactly the row the
+    // desc row_number picked.
+    val byTime = Window.partitionBy("user_id")
+      .orderBy("bucket", "_ms", "event_id")
     val hourly = obs
-      .withColumn("_rn", row_number().over(lastInBucket))
-      .where(col("_rn") === 1)
+      .withColumn("_nb", lead("bucket", 1).over(byTime))
+      .where(col("_nb").isNull || col("_nb") =!= col("bucket"))
       .select(col("user_id"), col("bucket"), col("value"))
     val grid = obs.groupBy("user_id")
       .agg(min("bucket").as("_b0"), max("bucket").as("_b1"))

@@ -199,33 +199,41 @@ object TextOps {
     *     any such n-gram).
     * All three are single IEEE divisions of integer counts — portable.
     *
-    * Plan shape: ONE tokenize → window-lead pass (persisted — three
-    * aggregations consume it), then three partial-aggregated groupBys
-    * keyed by (doc_id, gram), each reduced to per-doc counts. Shuffles
-    * carry only gram keys and counts; nothing is quadratic. Caller clears
-    * the session cache after materializing (Bench/Verify do).
+    * Plan shape: one codegen'd tokenize+shingle scan per gram size
+    * feeding a partial-aggregated groupBy keyed by (doc_id, gram), each
+    * reduced to per-doc counts. Shuffles carry only gram keys and
+    * map-side-combined counts; nothing is quadratic, and no window or
+    * persist of the token stream anywhere (round 14 — see the note in
+    * the body).
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val toks = docs
+    // Round 14 (guide §2.4 remove shuffles outright): the former
+    // posexplode + window-lead form shuffled AND SORTED the corpus's
+    // full token stream on doc_id and persisted the widened
+    // (pos, tok, lead1, lead2) rows — but n-grams are document-LOCAL,
+    // so each family is built inside whole-stage codegen
+    // ([[graft.functions.TokenNgrams]], tokenization byte-identical to
+    // `split(_, " ")` by its contract — the same primitive every other
+    // gram operator resolves through) and partial-aggregated straight
+    // into its (doc_id, gram) counts: no window, no persist, no
+    // token-stream exchange. Three codegen scans replace one scan +
+    // one full-stream sort — the established [[graft.operators.Dedup]]
+    // tokenGrams trade (CPU-cheap rescans beat a corpus-stream
+    // shuffle+sort at every measured decade). The gram STRING "t1 t2"
+    // is a bijective encoding of the lead pair (tokens cannot contain
+    // the separator), so every count below is unchanged.
+    def gramCounts(n: Int) = docs
       .select(col("doc_id"),
-        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
-      .withColumn("_t1", lead("tok", 1).over(w))
-      .withColumn("_t2", lead("tok", 2).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tokAgg = toks.groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("c"))
+        explode(graft.functions.TokenNgrams(lower(col(textCol)), n))
+          .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val tokAgg = gramCounts(1)
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"), max("c").as("_top"))
-    val biAgg = toks.where(col("_t1").isNotNull)
-      .groupBy(col("doc_id"), col("tok"), col("_t1"))
-      .agg(count(lit(1)).as("c"))
+    val biAgg = gramCounts(2)
       .groupBy("doc_id")
       .agg(sum("c").as("_n_bi"), count(lit(1)).as("_d_bi"))
-    val triAgg = toks.where(col("_t2").isNotNull)
-      .groupBy(col("doc_id"), col("tok"), col("_t1"), col("_t2"))
-      .agg(count(lit(1)).as("c"))
+    val triAgg = gramCounts(3)
       .groupBy("doc_id")
       .agg(sum("c").as("_n_tri"), count(lit(1)).as("_d_tri"))
     def dupFrac(total: Column, distinct: Column): Column =
@@ -1615,15 +1623,24 @@ object TextOps {
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Round 14 (guide §2.3 shuffle fewer bytes): only the QUERY TERMS'
+    // document frequencies ever reach the scoring join, so df is
+    // computed over the query-filtered tf slice — ≤ |distinct query
+    // terms| rows, broadcastable at any corpus size — instead of a
+    // vocabulary-sized aggregate + vocabulary-keyed join. And the
+    // corpus token total is Σ tf over the already-persisted tf frame
+    // (bit-identical to counting the exploded stream), so the second
+    // full tokenize scan the old `corpus` frame paid is gone.
+    val dfreq = tf
+      .join(broadcast(qdf.select("tok").distinct()), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = docs.agg(count(lit(1)).as("_n"))
-      .crossJoin(docs.select(explode(split(lower(col(textCol)), " "))
-        .as("_t")).agg(count(lit(1)).as("_tt")))
+      .crossJoin(tf.agg(coalesce(sum("tf"), lit(0L)).as("_tt")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score_fp"), asc("doc_id"))
     tf.join(qdf, Seq("tok"))
-      .join(dfreq, Seq("tok"))
+      .join(broadcast(dfreq), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
       .withColumn("_dlr_fp", expr("(dl * 1000L * _n) DIV _tt"))
